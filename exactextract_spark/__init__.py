@@ -1,0 +1,15 @@
+"""exactextract_spark — a from-scratch, PySpark-native zonal-statistics
+and spatial-tiling engine with the query/data-processing capabilities of
+isciences/exactextract (reference studied read-only at /root/reference;
+no code copied — the execution model is Spark DataFrames + Arrow-batched
+numpy kernels, not the reference's C++ per-cell traversal engine)."""
+
+from .extract import exact_extract
+from .geom import parse_wkt
+from .grid import RasterGrid
+from .kernel import cell_lengths, coverage_fraction
+from .ops import Op, parse_op, parse_ops
+
+__all__ = ["exact_extract", "parse_wkt", "RasterGrid", "coverage_fraction",
+           "cell_lengths", "Op", "parse_op", "parse_ops"]
+__version__ = "0.1.0"

@@ -1,0 +1,159 @@
+"""Per-(zone, tile) partial-state accumulation (numpy, runs inside the
+vectorized Spark kernel UDF).
+
+Computes the mergeable sufficient statistics of the reference's
+``RasterStats`` (/root/reference/src/raster_stats.h:82-834) for one zone
+x one tile:
+
+- ``sum_c``/``sum_cx``/``sum_cw``/``sum_cxw`` — the four sums
+  (raster_stats.h:740-748), plus ``sum_cx2``/``sum_cx2w`` so that
+  (weighted) variance has an exactly mergeable algebraic form (the
+  reference's West accumulator refuses to combine across chunks,
+  raster_stats.h:113-115 — this engine lifts that restriction).
+- first-seen min/max with cell location (strict comparisons ->
+  row-major first occurrence wins ties, raster_stats.h:299-311).
+- value histogram (value -> sum_ci, sum_ciwi) (raster_stats.h:752-757).
+- stored per-cell arrays with global cell_id for deterministic ordering
+  (raster_stats.h:759-765; cell_id on the value grid, operation.cpp:313).
+
+Nodata / min_coverage / coverage_weight / default semantics follow
+raster_stats.h:155-296 exactly:
+  * cells with cov < min_coverage_frac are skipped (cov is float32, the
+    comparison uses >=, default FLT_MIN i.e. "any positive coverage");
+  * nodata/NaN values are skipped unless default_value is given;
+  * nodata weights become default_weight (NaN when unset -> weighted
+    sums propagate NaN, as in the reference);
+  * coverage_weight: fraction (default) | none (c:=1 after threshold) |
+    area_cartesian | area_spherical_m2 | area_spherical_km2 — the area
+    multiply happens in float32 like the reference's
+    Raster<float> area raster (raster_stats.h:277-296, 329-343).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .grid import spherical_row_areas
+from .ops import StatRequirements
+
+__all__ = ["accumulate_pair"]
+
+
+def _area_factor(coverage_weight: str, ymax: float, dy: float, dx: float,
+                 row0: int, nrows: int):
+    if coverage_weight == "area_cartesian":
+        return np.full(nrows, np.float32(dx * dy), dtype=np.float32)
+    if coverage_weight == "area_spherical_m2":
+        return (spherical_row_areas(ymax + row0 * dy, dy, row0, nrows) * dx).astype(np.float32)
+    if coverage_weight == "area_spherical_km2":
+        return (spherical_row_areas(ymax + row0 * dy, dy, row0, nrows, 1e-6) * dx).astype(np.float32)
+    return None
+
+
+def accumulate_pair(cov: np.ndarray, values: np.ndarray, *,
+                    req: StatRequirements,
+                    nodata: float | None,
+                    weights: np.ndarray | None = None,
+                    weight_nodata: float | None = None,
+                    min_coverage_frac: float,
+                    coverage_weight: str = "fraction",
+                    default_value: float | None = None,
+                    default_weight: float | None = None,
+                    row0: int = 0, col0: int = 0,
+                    grid_ncols: int = 0,
+                    grid_xmin: float = 0.0, grid_ymax: float = 0.0,
+                    dx: float = 1.0, dy: float = 1.0) -> dict | None:
+    """Returns a dict of partial-state fields, or None when no cell
+    qualifies (the pair contributes nothing)."""
+    nrows, ncols = cov.shape
+    sel = cov >= np.float32(min_coverage_frac)
+    if not sel.any():
+        return None
+
+    vals = values.astype(np.float64, copy=False)
+    if nodata is not None:
+        defined = vals != nodata
+    else:
+        defined = np.ones_like(sel)
+    defined = defined & ~np.isnan(vals)
+
+    if default_value is not None:
+        vals = np.where(defined, vals, default_value)
+        used = sel
+    else:
+        used = sel & defined
+    if not used.any():
+        return None
+
+    # effective coverage (area multiply in float32 per reference; NONE
+    # resets to 1 after thresholding — raster_stats.h:277-296)
+    areas = _area_factor(coverage_weight, grid_ymax - row0 * dy, dy, dx, row0, nrows)
+    covf = cov
+    if areas is not None:
+        covf = (cov * areas[:, None]).astype(np.float32)
+    if coverage_weight == "none":
+        c = np.ones(cov.shape, dtype=np.float64)
+    else:
+        c = covf.astype(np.float64)
+
+    rr, cc = np.nonzero(used)
+    cvals = vals[rr, cc]
+    ccov = c[rr, cc]
+    out: dict = {}
+    out["n"] = int(rr.size)
+    out["sum_c"] = float(ccov.sum())
+    out["sum_cx"] = float((cvals * ccov).sum())
+    if req.variance:
+        out["sum_cx2"] = float((cvals * cvals * ccov).sum())
+
+    w = None
+    if req.weighted or req.cells_weights:
+        if weights is None:
+            w = np.full(cvals.shape, np.nan)
+        else:
+            wv = weights.astype(np.float64, copy=False)[rr, cc]
+            wdef = ~np.isnan(wv)
+            if weight_nodata is not None:
+                wdef &= wv != weight_nodata
+            dw = np.nan if default_weight is None else float(default_weight)
+            w = np.where(wdef, wv, dw)
+        ciwi = ccov * w
+        out["sum_cw"] = float(ciwi.sum())
+        out["sum_cxw"] = float((cvals * ciwi).sum())
+        if req.weighted_variance:
+            out["sum_cx2w"] = float((cvals * cvals * ciwi).sum())
+
+    cell_ids = (rr + row0).astype(np.int64) * grid_ncols + (cc + col0)
+    if req.minmax:
+        imin = int(np.argmin(cvals))
+        imax = int(np.argmax(cvals))
+        out["min_v"] = float(cvals[imin])
+        out["max_v"] = float(cvals[imax])
+        out["min_cell"] = int(cell_ids[imin])
+        out["max_cell"] = int(cell_ids[imax])
+        if req.store_xy:
+            out["min_x"] = grid_xmin + (int(cc[imin]) + col0 + 0.5) * dx
+            out["min_y"] = grid_ymax - (int(rr[imin]) + row0 + 0.5) * dy
+            out["max_x"] = grid_xmin + (int(cc[imax]) + col0 + 0.5) * dx
+            out["max_y"] = grid_ymax - (int(rr[imax]) + row0 + 0.5) * dy
+
+    if req.histogram:
+        uniq, inv = np.unique(cvals, return_inverse=True)
+        hci = np.bincount(inv, weights=ccov)
+        if req.weighted and w is not None:
+            hciw = np.bincount(inv, weights=ccov * w)
+        else:
+            hciw = np.zeros_like(hci)
+        out["hist"] = [(float(v), float(a), float(b)) for v, a, b in zip(uniq, hci, hciw)]
+
+    if req.cells:
+        xs = grid_xmin + (cc + col0 + 0.5) * dx
+        ys = grid_ymax - (rr + row0 + 0.5) * dy
+        # stored coverage is the post-transform value (raster_stats.h:281-287)
+        stored_cov = np.ones(rr.size) if coverage_weight == "none" else covf.astype(np.float64)[rr, cc]
+        wcol = w if w is not None else np.full(rr.size, np.nan)
+        out["cells"] = [
+            (int(cid), float(v), float(cv), float(ww), float(x), float(y))
+            for cid, v, cv, ww, x, y in zip(cell_ids, cvals, stored_cov, wcol, xs, ys)
+        ]
+    return out

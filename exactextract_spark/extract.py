@@ -1,0 +1,461 @@
+"""The zonal-statistics planner: zones ⋈ tiles → kernel → mergeable
+partial states → groupBy(zone).agg → finalize.
+
+This is the Spark-native re-expression of the reference's processors
+(/root/reference/src/feature_sequential_processor.cpp:58-125,
+raster_parallel_processor.cpp:83-232).  The reference's 5-stage oneTBB
+pipeline maps onto the Spark plan one-to-one:
+
+  1. subgrid work list            -> the tile table (one row per tile)
+  2. STRtree feature-hit query    -> zone-bbox → tile-range explode +
+                                     equi-join on (tile_row, tile_col);
+                                     the grid itself is the spatial index
+  3. raster window read           -> tile payload column scan
+  4. coverage + block-local stats -> Arrow-batched mapInPandas kernel
+                                     emitting partial-state rows
+  5. serial merge                 -> groupBy(zone_id).agg(...) — Spark's
+                                     partial+final aggregation, which is
+                                     also the skew answer: a zone touching
+                                     100k tiles is pre-aggregated map-side
+                                     per partition before the (tiny) final
+                                     shuffle, so no salting is needed for
+                                     the scalar states (they are all
+                                     associative-commutative by design).
+
+Join strategies:
+- "broadcast" (default for small/medium zone sets): only (zone_id,
+  tile_row, tile_col) pairs enter the broadcast hash join; geometry WKT
+  travels via a SparkContext broadcast dict straight to the kernel, so
+  the big tile payloads are NEVER shuffled — the kernel runs in the same
+  stage as the tile scan.
+- "shuffle": for huge zone tables; pairs carry geometry and the join
+  shuffles by tile key (payloads move exactly once).  AQE handles skewed
+  tile keys.
+
+Variance is carried as (Σc, Σcx, Σcx²) so partial states merge exactly —
+lifting the reference's parallel-strategy restriction
+(raster_parallel_processor.cpp:91-95, raster_stats.h:113-115).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from .accumulate import accumulate_pair
+from .geom import parse_wkt
+from .io import decode_tile
+from .kernel import coverage_for_window
+from .ops import Op, group_ops_by_key, parse_ops
+
+__all__ = ["exact_extract", "attach_bbox", "zone_tile_pairs", "run_kernel"]
+
+BROADCAST_ZONE_LIMIT = 200_000
+
+_HIST_T = T.ArrayType(T.StructType([
+    T.StructField("v", T.DoubleType()),
+    T.StructField("ci", T.DoubleType()),
+    T.StructField("ciw", T.DoubleType()),
+]))
+_CELLS_T = T.ArrayType(T.StructType([
+    T.StructField("cell_id", T.LongType()),
+    T.StructField("v", T.DoubleType()),
+    T.StructField("cov", T.DoubleType()),
+    T.StructField("w", T.DoubleType()),
+    T.StructField("x", T.DoubleType()),
+    T.StructField("y", T.DoubleType()),
+]))
+
+
+def attach_bbox(zones: DataFrame) -> DataFrame:
+    """Add (xmin, ymin, xmax, ymax) parsed from WKT (bbox pre-filter
+    feeds tile-range pruning — reference
+    feature_sequential_processor.cpp:72-76)."""
+    if "xmin" in zones.columns:
+        return zones
+
+    @F.pandas_udf(T.StructType([T.StructField(n, T.DoubleType()) for n in
+                                ("xmin", "ymin", "xmax", "ymax")]))
+    def bbox_udf(wkt: pd.Series) -> pd.DataFrame:
+        rows = []
+        for w in wkt:
+            try:
+                rows.append(parse_wkt(w).bbox)
+            except Exception:
+                rows.append((np.nan, np.nan, np.nan, np.nan))
+        return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
+
+    return zones.withColumn("_bbox", bbox_udf("geometry")).select("*", "_bbox.*").drop("_bbox")
+
+
+def zone_tile_pairs(zones_bbox: DataFrame, grid: dict, tile: int) -> DataFrame:
+    """bbox → covered tile-index range → explode.  Pure JVM expressions;
+    Catalyst folds the constants.  Equivalent of Grid::crop +
+    subdivide (grid.h:145-238, grid.cpp:92-119) as a relational op."""
+    gx, gy = float(grid["grid_xmin"]), float(grid["grid_ymax"])
+    dx, dy = float(grid["dx"]), float(grid["dy"])
+    ntr = (int(grid["grid_nrows"]) + tile - 1) // tile
+    ntc = (int(grid["grid_ncols"]) + tile - 1) // tile
+    tw, th = dx * tile, dy * tile
+
+    tc0 = F.greatest(F.lit(0), F.floor((F.col("xmin") - gx) / tw)).cast("int")
+    tc1 = F.least(F.lit(ntc - 1), F.floor((F.col("xmax") - gx) / tw - 1e-12)).cast("int")
+    tr0 = F.greatest(F.lit(0), F.floor((gy - F.col("ymax")) / th)).cast("int")
+    tr1 = F.least(F.lit(ntr - 1), F.floor((gy - F.col("ymin")) / th - 1e-12)).cast("int")
+
+    z = zones_bbox.where((F.col("xmax") > gx) & (F.col("xmin") < gx + ntc * tw) &
+                         (F.col("ymax") > gy - ntr * th) & (F.col("ymin") < gy))
+    z = z.withColumn("_tr0", tr0).withColumn("_tr1", tr1) \
+         .withColumn("_tc0", tc0).withColumn("_tc1", tc1) \
+         .where((F.col("_tr1") >= F.col("_tr0")) & (F.col("_tc1") >= F.col("_tc0")))
+    return (z.withColumn("tile_row", F.explode(F.sequence("_tr0", "_tr1")))
+             .withColumn("tile_col", F.explode(F.sequence("_tc0", "_tc1")))
+             .drop("_tr0", "_tr1", "_tc0", "_tc1"))
+
+
+def _partial_schema(keygroups) -> T.StructType:
+    fields = [T.StructField("zone_id", T.StringType())]
+    for i, (_, req, _) in enumerate(keygroups):
+        p = f"k{i}_"
+        fields += [T.StructField(p + "n", T.LongType()),
+                   T.StructField(p + "sum_c", T.DoubleType()),
+                   T.StructField(p + "sum_cx", T.DoubleType())]
+        if req.variance:
+            fields.append(T.StructField(p + "sum_cx2", T.DoubleType()))
+        if req.weighted:
+            fields += [T.StructField(p + "sum_cw", T.DoubleType()),
+                       T.StructField(p + "sum_cxw", T.DoubleType())]
+            if req.weighted_variance:
+                fields.append(T.StructField(p + "sum_cx2w", T.DoubleType()))
+        if req.minmax:
+            fields += [T.StructField(p + "min_v", T.DoubleType()),
+                       T.StructField(p + "min_cell", T.LongType()),
+                       T.StructField(p + "max_v", T.DoubleType()),
+                       T.StructField(p + "max_cell", T.LongType())]
+            if req.store_xy:
+                fields += [T.StructField(p + n, T.DoubleType())
+                           for n in ("min_x", "min_y", "max_x", "max_y")]
+        if req.histogram:
+            fields.append(T.StructField(p + "hist", _HIST_T))
+        if req.cells:
+            fields.append(T.StructField(p + "cells", _CELLS_T))
+    return T.StructType(fields)
+
+
+def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
+               has_weights: bool) -> DataFrame:
+    """mapInPandas kernel: decode tile, compute coverage once, update
+    every op-key's accumulator (read-once dedup of shared windows —
+    reference feature_sequential_processor.cpp:85-113)."""
+    schema = _partial_schema(keygroups)
+    key_specs = [(i, req, dict(
+        min_coverage_frac=key[2], coverage_weight=key[3],
+        default_value=key[4], default_weight=key[5]))
+        for i, (key, req, _) in enumerate(keygroups)]
+    col_names = [f.name for f in schema.fields]
+
+    def kernel(batches):
+        geom_cache: dict = {}
+        for pdf in batches:
+            n_rows = len(pdf)
+            if n_rows == 0:
+                continue
+            g = lambda c: pdf[c].to_numpy()
+            zid_a = g("zone_id")
+            wkt_a = g("geometry") if geom_lookup is None else None
+            nr_a, nc_a = g("nrows"), g("ncols")
+            r0_a, c0_a = g("row0"), g("col0")
+            gx_a, gy_a = g("grid_xmin"), g("grid_ymax")
+            dx_a, dy_a = g("dx"), g("dy")
+            gnc_a = g("grid_ncols")
+            buf_a, dt_a, nd_a = g("values"), g("dtype"), pdf["nodata"]
+            if has_weights:
+                wbuf_a, wdt_a, wnd_a = g("w_values"), g("w_dtype"), pdf["w_nodata"]
+            out_rows = []
+            for j in range(n_rows):
+                zid = zid_a[j]
+                geom = geom_cache.get(zid)
+                if geom is None:
+                    wkt = geom_lookup.value[zid] if geom_lookup is not None else wkt_a[j]
+                    geom = parse_wkt(wkt)
+                    if len(geom_cache) > 4096:
+                        geom_cache.clear()
+                    geom_cache[zid] = geom
+                nr, nc = int(nr_a[j]), int(nc_a[j])
+                row0, col0 = int(r0_a[j]), int(c0_a[j])
+                dx, dy = float(dx_a[j]), float(dy_a[j])
+                xmin = float(gx_a[j]) + col0 * dx
+                ymax = float(gy_a[j]) - row0 * dy
+                cov = coverage_for_window(geom, xmin, ymax, dx, dy, nr, nc)
+                if not cov.any():
+                    continue
+                vals = decode_tile(buf_a[j], dt_a[j], nr, nc)
+                wvals = None
+                w_nodata = None
+                if has_weights and wbuf_a[j] is not None:
+                    wvals = decode_tile(wbuf_a[j], wdt_a[j], nr, nc)
+                    wn = wnd_a.iloc[j]
+                    w_nodata = None if wn is None or pd.isna(wn) else float(wn)
+                nd = nd_a.iloc[j]
+                nd = None if nd is None or pd.isna(nd) else float(nd)
+                rec = {"zone_id": zid}
+                any_key = False
+                for i, req, kwargs in key_specs:
+                    part = accumulate_pair(
+                        cov, vals, req=req, nodata=nd,
+                        weights=wvals, weight_nodata=w_nodata,
+                        row0=row0, col0=col0,
+                        grid_ncols=int(gnc_a[j]),
+                        grid_xmin=float(gx_a[j]), grid_ymax=float(gy_a[j]),
+                        dx=dx, dy=dy, **kwargs)
+                    if part is None:
+                        continue
+                    any_key = True
+                    for k, v in part.items():
+                        rec[f"k{i}_{k}"] = v
+                if any_key:
+                    out_rows.append(rec)
+            yield pd.DataFrame(out_rows, columns=col_names) if out_rows \
+                else pd.DataFrame(columns=col_names)
+
+    return joined.mapInPandas(kernel, schema=schema)
+
+
+def _quantile_udf(q: float):
+    """Exact weighted quantile over the per-zone sorted histogram —
+    digit-for-digit the reference algorithm
+    (/root/reference/src/weighted_quantiles.cpp:21-75: sort distinct
+    values, s_i = i*w_i + (n-1)*cumsum_{i-1}, linear interpolation at
+    q*(Σw)*(n-1)).  NOT percentile_approx — the histogram is exact and
+    bounded by value variety, not cell count."""
+    @F.pandas_udf(T.DoubleType())
+    def qf(hist: pd.Series) -> pd.Series:
+        out = []
+        for h in hist:
+            if h is None or len(h) == 0:
+                out.append(None)
+                continue
+            xs = np.array([e["v"] for e in h], dtype=np.float64)
+            ws = np.array([e["ci"] for e in h], dtype=np.float64)
+            n = xs.size
+            cum = np.cumsum(ws)
+            s = np.empty(n)
+            s[0] = 0.0
+            if n > 1:
+                s[1:] = np.arange(1, n) * ws[1:] + (float(n) - 1.0) * cum[:-1]
+            sn = cum[-1] * (float(n) - 1.0)
+            t = q * sn
+            left = int(np.searchsorted(s, t, side="right")) - 1
+            if left >= n - 1:
+                out.append(float(xs[n - 1]))
+            else:
+                r = left + 1
+                out.append(float(xs[left] + (t - s[left]) * (xs[r] - xs[left]) / (s[r] - s[left])))
+        return pd.Series(out, dtype="float64")
+    return qf
+
+
+def _finalize_exprs(i: int, ops_in_key: list[Op]) -> list[Column]:
+    p = f"k{i}_"
+    sum_c, sum_cx = F.col(p + "sum_c"), F.col(p + "sum_cx")
+    mean = sum_cx / sum_c
+    exprs = []
+    for op in ops_in_key:
+        s = op.stat
+        if s == "count":
+            e = F.coalesce(sum_c, F.lit(0.0))
+        elif s == "sum":
+            e = F.coalesce(sum_cx, F.lit(0.0))
+        elif s == "mean":
+            e = F.when(sum_c > 0, mean)
+        elif s == "min":
+            e = F.col(p + "mins.v")
+        elif s == "max":
+            e = F.col(p + "maxs.v")
+        elif s == "min_center_x":
+            e = F.col(p + "mins.x")
+        elif s == "min_center_y":
+            e = F.col(p + "mins.y")
+        elif s == "max_center_x":
+            e = F.col(p + "maxs.x")
+        elif s == "max_center_y":
+            e = F.col(p + "maxs.y")
+        elif s in ("variance", "stdev", "coefficient_of_variation"):
+            var = F.greatest(F.col(p + "sum_cx2") / sum_c - mean * mean, F.lit(0.0))
+            if s == "variance":
+                e = F.when(sum_c > 0, var)
+            elif s == "stdev":
+                e = F.when(sum_c > 0, F.sqrt(var))
+            else:
+                e = F.when(sum_c > 0, F.sqrt(var) / mean)
+        elif s == "weighted_count":
+            e = F.coalesce(F.col(p + "sum_cw"), F.lit(0.0))
+        elif s == "weighted_sum":
+            e = F.coalesce(F.col(p + "sum_cxw"), F.lit(0.0))
+        elif s == "weighted_mean":
+            e = F.when(F.col(p + "sum_cw") != 0, F.col(p + "sum_cxw") / F.col(p + "sum_cw"))
+        elif s in ("weighted_variance", "weighted_stdev"):
+            wmean = F.col(p + "sum_cxw") / F.col(p + "sum_cw")
+            wvar = F.greatest(F.col(p + "sum_cx2w") / F.col(p + "sum_cw") - wmean * wmean,
+                              F.lit(0.0))
+            e = F.when(F.col(p + "sum_cw") != 0,
+                       wvar if s == "weighted_variance" else F.sqrt(wvar))
+        elif s == "variety":
+            e = F.coalesce(F.col(p + "variety"), F.lit(0).cast("long"))
+        elif s in ("majority", "mode"):
+            e = F.col(p + "majority")
+        elif s == "minority":
+            e = F.col(p + "minority")
+        elif s == "unique":
+            e = F.expr(f"transform({p}hist_sorted, s -> s.v)")
+        elif s == "frac":
+            e = F.expr(f"transform({p}hist_sorted, s -> s.ci / {p}hist_sum_ci)")
+        elif s == "weighted_frac":
+            e = F.expr(f"transform({p}hist_sorted, s -> s.ciw / {p}hist_sum_ciw)")
+        elif s == "median":
+            e = _quantile_udf(0.5)(F.col(p + "hist_sorted"))
+        elif s == "quantile":
+            e = _quantile_udf(op.q)(F.col(p + "hist_sorted"))
+        elif s == "values":
+            e = F.expr(f"transform({p}cells_sorted, s -> s.v)")
+        elif s == "coverage":
+            e = F.expr(f"transform({p}cells_sorted, s -> s.cov)")
+        elif s == "weights":
+            e = F.expr(f"transform({p}cells_sorted, s -> s.w)")
+        elif s == "center_x":
+            e = F.expr(f"transform({p}cells_sorted, s -> s.x)")
+        elif s == "center_y":
+            e = F.expr(f"transform({p}cells_sorted, s -> s.y)")
+        elif s == "cell_id":
+            e = F.expr(f"transform({p}cells_sorted, s -> s.cell_id)")
+        else:
+            raise ValueError(f"unhandled stat {s}")
+        exprs.append(e.alias(op.name))
+    return exprs
+
+
+def exact_extract(zones: DataFrame, tiles: DataFrame, ops, *,
+                  weight_tiles: DataFrame | None = None,
+                  include_cols: list[str] | None = None,
+                  strategy: str = "auto",
+                  grid: dict | None = None,
+                  tile_size: int | None = None) -> DataFrame:
+    """Compute zonal statistics — the engine's primary entry point
+    (reference: python exact_extract,
+    /root/reference/python/src/exactextract/exact_extract.py:363-502).
+
+    zones: (zone_id string, geometry WKT string, ...)
+    tiles: tile table from io.tiles_from_docs (or equivalent schema)
+    ops:   list of stat descriptors / Op objects (ops.parse_ops)
+    """
+    spark = zones.sparkSession
+    op_list = parse_ops(ops) if not all(isinstance(o, Op) for o in ops) else list(ops)
+    keygroups = group_ops_by_key(op_list)
+
+    if grid is None:
+        grid = tiles.select("grid_xmin", "grid_ymax", "dx", "dy",
+                            "grid_nrows", "grid_ncols").first().asDict()
+    if tile_size is None:
+        tile_size = grid.get("tile") or tiles.select(F.max("nrows")).first()[0]
+
+    zones_b = attach_bbox(zones)
+
+    has_weights = weight_tiles is not None
+    tiles_in = tiles
+    if has_weights:
+        w = weight_tiles.select(
+            F.col("tile_row").alias("w_tile_row"), F.col("tile_col").alias("w_tile_col"),
+            F.col("values").alias("w_values"), F.col("dtype").alias("w_dtype"),
+            F.col("nodata").alias("w_nodata"))
+        tiles_in = tiles.join(
+            w, (F.col("tile_row") == F.col("w_tile_row")) &
+               (F.col("tile_col") == F.col("w_tile_col")), "left") \
+            .drop("w_tile_row", "w_tile_col")
+
+    if strategy == "auto":
+        n_zones = zones_b.count()
+        strategy = "broadcast" if n_zones <= BROADCAST_ZONE_LIMIT else "shuffle"
+
+    geom_lookup = None
+    if strategy == "broadcast":
+        geoms = {r["zone_id"]: r["geometry"]
+                 for r in zones_b.select("zone_id", "geometry").collect()}
+        geom_lookup = spark.sparkContext.broadcast(geoms)
+        pairs = zone_tile_pairs(zones_b.select("zone_id", "xmin", "ymin", "xmax", "ymax"),
+                                grid, tile_size)
+        joined = tiles_in.join(F.broadcast(pairs.select("zone_id", "tile_row", "tile_col")),
+                               ["tile_row", "tile_col"])
+    else:
+        pairs = zone_tile_pairs(
+            zones_b.select("zone_id", "geometry", "xmin", "ymin", "xmax", "ymax"),
+            grid, tile_size)
+        joined = tiles_in.join(pairs, ["tile_row", "tile_col"])
+
+    partials = run_kernel(joined, keygroups, geom_lookup=geom_lookup,
+                          has_weights=has_weights)
+
+    need_hist = any(req.histogram for _, req, _ in keygroups)
+    need_cells = any(req.cells for _, req, _ in keygroups)
+    if need_hist or need_cells:
+        partials = partials.persist()
+
+    # --- scalar aggregation (partial+final merge; RasterStats::combine
+    # analog, raster_stats.h:107-155) ---
+    aggs = []
+    for i, (_, req, _) in enumerate(keygroups):
+        p = f"k{i}_"
+        aggs += [F.sum(p + "n").alias(p + "n"),
+                 F.sum(p + "sum_c").alias(p + "sum_c"),
+                 F.sum(p + "sum_cx").alias(p + "sum_cx")]
+        if req.variance:
+            aggs.append(F.sum(p + "sum_cx2").alias(p + "sum_cx2"))
+        if req.weighted:
+            aggs += [F.sum(p + "sum_cw").alias(p + "sum_cw"),
+                     F.sum(p + "sum_cxw").alias(p + "sum_cxw")]
+            if req.weighted_variance:
+                aggs.append(F.sum(p + "sum_cx2w").alias(p + "sum_cx2w"))
+        if req.minmax:
+            xy_min = [F.col(p + "min_x").alias("x"), F.col(p + "min_y").alias("y")] \
+                if req.store_xy else []
+            xy_max = [F.col(p + "max_x").alias("x"), F.col(p + "max_y").alias("y")] \
+                if req.store_xy else []
+            # ties resolve to lowest cell_id = first-seen in row-major
+            # scan order (raster_stats.h:299-311)
+            aggs.append(F.min(F.when(F.col(p + "min_v").isNotNull(), F.struct(
+                F.col(p + "min_v").alias("v"), F.col(p + "min_cell").alias("cell"),
+                *xy_min))).alias(p + "mins"))
+            aggs.append(F.max(F.when(F.col(p + "max_v").isNotNull(), F.struct(
+                F.col(p + "max_v").alias("v"), (-F.col(p + "max_cell")).alias("negcell"),
+                *xy_max))).alias(p + "maxs"))
+    scalar = partials.groupBy("zone_id").agg(*aggs)
+
+    result = zones_b.select("zone_id", *(include_cols or [])).join(scalar, "zone_id", "left")
+
+    # --- histogram branch: explode → re-aggregate (mergeable histogram;
+    # raster_stats.h:752-757 merged key-wise as in combine()) ---
+    for i, (_, req, _) in enumerate(keygroups):
+        p = f"k{i}_"
+        if req.histogram:
+            h = (partials.select("zone_id", F.explode(p + "hist").alias("h"))
+                 .groupBy("zone_id", F.col("h.v").alias("v"))
+                 .agg(F.sum("h.ci").alias("ci"), F.sum("h.ciw").alias("ciw")))
+            hz = h.groupBy("zone_id").agg(
+                F.count("*").alias(p + "variety"),
+                F.max_by("v", F.struct("ci", "v")).alias(p + "majority"),
+                F.min_by("v", F.struct("ci", "v")).alias(p + "minority"),
+                F.sum("ci").alias(p + "hist_sum_ci"),
+                F.sum("ciw").alias(p + "hist_sum_ciw"),
+                F.array_sort(F.collect_list(F.struct("v", "ci", "ciw"))).alias(p + "hist_sorted"))
+            result = result.join(hz, "zone_id", "left")
+        if req.cells:
+            cz = (partials.select("zone_id", F.explode(p + "cells").alias("c"))
+                  .groupBy("zone_id")
+                  .agg(F.array_sort(F.collect_list(F.struct(
+                      "c.cell_id", "c.v", "c.cov", "c.w", "c.x", "c.y"))).alias(p + "cells_sorted")))
+            result = result.join(cz, "zone_id", "left")
+
+    final_cols = [F.col("zone_id"), *[F.col(c) for c in (include_cols or [])]]
+    for i, (_, _, ops_in_key) in enumerate(keygroups):
+        final_cols += _finalize_exprs(i, ops_in_key)
+    return result.select(*final_cols)

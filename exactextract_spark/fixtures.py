@@ -1,0 +1,158 @@
+"""Deterministic synthetic zonal fixture, shared by the Spark engine and
+the DuckDB oracle.
+
+Everything is defined by pure int64 arithmetic so that the Spark path
+(docs table → spans → zones+tiles → kernel → agg) and a plain ANSI-SQL
+oracle produce BIT-IDENTICAL doubles:
+
+- grid: G×G cells, extent (0,0)-(G,G), dx=dy=1, row 0 at top;
+- values: val(r,c) = (r*73 + c*131 + ((r*c)%7)*19) % 97, with cells
+  where (r*31 + c*17) % 23 == 0 set to the nodata sentinel -1
+  (generator "arith-v1" in io.py);
+- weights: wgt(r,c) = (r*13 + c*7) % 11 (generator "weight-v1");
+- zones: Z axis-aligned rectangles on quarter-cell boundaries (LCG
+  formulas below), so every coverage fraction is k/16 — exactly
+  representable in float32 AND float64, making Σc, Σcx, Σcx² exact and
+  order-independent.  This is what lets the driver's value-hash compare
+  Spark vs DuckDB without a float tolerance.
+
+Scale knobs derive from the testdata scale factor (sf directory name).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .grid import RasterGrid
+
+__all__ = ["SynthConfig", "build_docs", "zone_sql", "cells_sql", "pairs_sql"]
+
+# zone LCG constants (all results < 2^53, exact in int64 and in DuckDB BIGINT)
+_AX, _BX = 1103515245, 12345
+_AY, _BY = 214013, 2531011
+_AW, _BW = 69069, 7
+_AH, _BH = 48271, 11
+WQ = 96  # max zone extent in quarter-cells (24 cells)
+
+
+@dataclass(frozen=True)
+class SynthConfig:
+    G: int          # grid cells per side
+    Z: int          # number of zones
+    tile: int = 64
+
+    @classmethod
+    def from_sf_dir(cls, sf_dir: str) -> "SynthConfig":
+        m = re.search(r"sf([\d.]+)", sf_dir)
+        sf = float(m.group(1)) if m else 0.01
+        G = max(64, int(round(2000 * math.sqrt(sf))))
+        Z = max(50, int(round(10000 * sf)))
+        return cls(G=G, Z=Z)
+
+    @property
+    def grid(self) -> RasterGrid:
+        return RasterGrid(0.0, 0.0, float(self.G), float(self.G), 1.0, 1.0)
+
+    def grid_dict(self) -> dict:
+        return dict(grid_xmin=0.0, grid_ymax=float(self.G), dx=1.0, dy=1.0,
+                    grid_nrows=self.G, grid_ncols=self.G, tile=self.tile)
+
+    # quarter-cell zone coords (exact in SQL and Python)
+    def zone_exprs(self, k):
+        """Returns SQL strings for zx0, zy0, zx1, zy1 given int column k."""
+        zx0 = f"(({_AX}*{k} + {_BX}) % {4 * self.G - WQ}) / 4.0"
+        zy0 = f"(({_AY}*{k} + {_BY}) % {4 * self.G - WQ}) / 4.0"
+        zw = f"(1 + ({_AW}*{k} + {_BW}) % {WQ})"
+        zh = f"(1 + ({_AH}*{k} + {_BH}) % {WQ})"
+        zx1 = f"({zx0} + {zw} / 4.0)"
+        zy1 = f"({zy0} + {zh} / 4.0)"
+        return zx0, zy0, zx1, zy1
+
+
+def build_docs(spark: SparkSession, cfg: SynthConfig) -> DataFrame:
+    """The interleaved-document table (FIXTURES.md §1): zone docs with
+    WKT text spans + raster docs with media_ref tile spans.  Built with
+    pure JVM expressions from spark.range — no driver-side data."""
+    G, tile = cfg.G, cfg.tile
+    nt = (G + tile - 1) // tile
+
+    zx0, zy0, zx1, zy1 = cfg.zone_exprs("id")
+    wkt = (f"concat('POLYGON ((', {zx0}, ' ', {zy0}, ', ', {zx1}, ' ', {zy0}, ', ', "
+           f"{zx1}, ' ', {zy1}, ', ', {zx0}, ' ', {zy1}, ', ', {zx0}, ' ', {zy0}, '))')")
+    zdocs = spark.range(cfg.Z).select(
+        F.concat(F.lit("z"), F.col("id")).alias("doc_id"),
+        F.expr(
+            "array(named_struct('kind','text','text', concat('zone:z', id), 'media_ref','', 'offset', 0),"
+            f"      named_struct('kind','text','text', {wkt}, 'media_ref','', 'offset', 1))"
+        ).alias("spans"))
+
+    def raster_docs(rid: str, gen: str, nodata: str):
+        meta = (f'{{"xmin":0.0,"ymin":0.0,"xmax":{G}.0,"ymax":{G}.0,'
+                f'"dx":1.0,"dy":1.0,"nodata":{nodata},"dtype":"float64",'
+                f'"band_count":1,"tile":{tile},"generator":"{gen}"}}')
+        head = f"raster:{rid} {meta}"
+        return spark.range(nt * nt).select(
+            F.concat(F.lit(f"{rid}:t"), F.col("id")).alias("doc_id"),
+            F.expr(
+                f"array(named_struct('kind','text','text','{head}','media_ref','','offset',0),"
+                f"      named_struct('kind','text','text',"
+                f"        concat('{{\"tile_row\":', id div {nt}, ',\"tile_col\":', id % {nt}, '}}'),"
+                f"        'media_ref','','offset',1),"
+                f"      named_struct('kind','media','text','',"
+                f"        'media_ref', concat('raster://{rid}/band/0/tile/', id div {nt}, '/', id % {nt}),"
+                f"        'offset',2))"
+            ).alias("spans"))
+
+    return zdocs.unionByName(raster_docs("r0", "arith-v1", "-1.0")) \
+                .unionByName(raster_docs("w0", "weight-v1", "null"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL builders (no engine code involved)
+# ---------------------------------------------------------------------------
+
+def cells_sql(cfg: SynthConfig) -> str:
+    G = cfg.G
+    return f"""
+cells AS (
+  SELECT r, c,
+         CASE WHEN ((r*31 + c*17) % 23) = 0 THEN NULL
+              ELSE CAST((r*73 + c*131 + ((r*c)%7)*19) % 97 AS DOUBLE) END AS val,
+         CAST((r*13 + c*7) % 11 AS DOUBLE) AS wgt,
+         CAST(c AS DOUBLE) AS cx0, CAST(c+1 AS DOUBLE) AS cx1,
+         CAST({G}-r-1 AS DOUBLE) AS cy0, CAST({G}-r AS DOUBLE) AS cy1,
+         r*{G}+c AS cell_id
+  FROM (SELECT i // {G} AS r, i % {G} AS c
+        FROM (SELECT range AS i FROM range({G}*{G})))
+)"""
+
+
+def zone_sql(cfg: SynthConfig) -> str:
+    zx0, zy0, zx1, zy1 = cfg.zone_exprs("k")
+    return f"""
+zones AS (
+  SELECT 'z' || k AS zone_id, k,
+         {zx0} AS zx0, {zy0} AS zy0, {zx1} AS zx1, {zy1} AS zy1
+  FROM (SELECT range AS k FROM range({cfg.Z}))
+)"""
+
+
+def pairs_sql(cfg: SynthConfig) -> str:
+    """Zone × cell pairs with exact coverage fraction (closed-form
+    rectangle overlap; equals the kernel's float32 result exactly
+    because all fractions are multiples of 1/16)."""
+    return f"""
+{zone_sql(cfg)},
+{cells_sql(cfg)},
+pairs AS (
+  SELECT z.zone_id, z.k, c.val, c.wgt, c.cell_id, c.r, c.c,
+         (LEAST(z.zx1, c.cx1) - GREATEST(z.zx0, c.cx0))
+       * (LEAST(z.zy1, c.cy1) - GREATEST(z.zy0, c.cy0)) AS cov
+  FROM zones z
+  JOIN cells c
+    ON c.cx1 > z.zx0 AND c.cx0 < z.zx1 AND c.cy1 > z.zy0 AND c.cy0 < z.zy1
+)"""

@@ -1,0 +1,196 @@
+"""Interleaved-document table I/O.
+
+The engine's primary input (BASELINE.json input_hint) is an
+Iceberg/parquet table of interleaved text+media documents:
+
+    docs(doc_id: string,
+         spans: array<struct<kind:string, text:string,
+                             media_ref:string, offset:int>>)
+
+Two document kinds (FIXTURES.md §1):
+
+- zone docs:   span[0].text = "zone:{zone_id}", span[1].text = WKT,
+               further text spans = "k=v" properties.
+- raster docs: span[0].text = "raster:{raster_id} {grid-meta JSON}",
+               then per-tile a text span (tile JSON) and a media span
+               whose media_ref is "raster://{rid}/band/{b}/tile/{tr}/{tc}".
+
+Tile payloads are NOT stored in the table: they are materialized
+deterministically from the media_ref (seeded-hash / arithmetic
+generators below), so the table stays pure metadata + text.  This file
+keeps every transformation in JVM-side DataFrame expressions except the
+payload generator itself (Arrow-batched mapInPandas).
+
+Span-sequence equality (kind, text, media_ref, order) is preserved:
+``spans_roundtrip`` re-emits the spans of every parsed doc for
+verification against the source.
+
+The reference analogs are the pluggable FeatureSource / RasterSource
+iterators (/root/reference/src/feature_source.h,
+/root/reference/python/src/exactextract/raster.py:25-362).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F, types as T
+
+__all__ = [
+    "SPAN_SCHEMA", "DOCS_SCHEMA", "GRID_META_SCHEMA",
+    "zones_from_docs", "raster_meta_from_docs", "tiles_from_docs",
+    "decode_tile", "encode_tile", "spans_roundtrip",
+]
+
+SPAN_SCHEMA = T.StructType([
+    T.StructField("kind", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("offset", T.IntegerType()),
+])
+DOCS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("spans", T.ArrayType(SPAN_SCHEMA)),
+])
+
+# grid metadata JSON carried in a raster doc's first span
+GRID_META_SCHEMA = T.StructType([
+    T.StructField("xmin", T.DoubleType()),
+    T.StructField("ymin", T.DoubleType()),
+    T.StructField("xmax", T.DoubleType()),
+    T.StructField("ymax", T.DoubleType()),
+    T.StructField("dx", T.DoubleType()),
+    T.StructField("dy", T.DoubleType()),
+    T.StructField("nodata", T.DoubleType()),
+    T.StructField("dtype", T.StringType()),
+    T.StructField("band_count", T.IntegerType()),
+    T.StructField("tile", T.IntegerType()),
+    T.StructField("generator", T.StringType()),
+])
+
+_MEDIA_REF_RE = r"raster://([^/]+)/band/(\d+)/tile/(\d+)/(\d+)"
+
+
+def decode_tile(buf: bytes, dtype: str, nrows: int, ncols: int) -> np.ndarray:
+    return np.frombuffer(buf, dtype=np.dtype(dtype)).reshape(nrows, ncols)
+
+
+def encode_tile(arr: np.ndarray) -> bytes:
+    return np.ascontiguousarray(arr).tobytes()
+
+
+def zones_from_docs(docs: DataFrame) -> DataFrame:
+    """zone docs -> zones(zone_id, geometry, props).  Pure JVM exprs;
+    bbox is attached later by the extract planner (WKT parse)."""
+    z = docs.where(F.col("spans")[0]["text"].startswith("zone:"))
+    props = F.expr(
+        "map_from_entries(transform("
+        "  filter(slice(spans, 3, size(spans)), s -> s.kind = 'text' AND instr(s.text, '=') > 0),"
+        "  s -> struct(split(s.text, '=')[0] AS key, split(s.text, '=')[1] AS value)))"
+    )
+    return z.select(
+        F.substring(F.col("spans")[0]["text"], 6, 2 ** 30).alias("zone_id"),
+        F.col("spans")[1]["text"].alias("geometry"),
+        props.alias("props"),
+    )
+
+
+def raster_meta_from_docs(docs: DataFrame) -> DataFrame:
+    """raster docs -> one row per (raster_id) with parsed grid metadata."""
+    r = docs.where(F.col("spans")[0]["text"].startswith("raster:"))
+    head = F.col("spans")[0]["text"]
+    rid = F.regexp_extract(head, r"^raster:(\S+)", 1)
+    meta_json = F.expr("substring(spans[0].text, instr(spans[0].text, '{'))")
+    return (r.select(rid.alias("raster_id"),
+                     F.from_json(meta_json, GRID_META_SCHEMA).alias("meta"))
+             .select("raster_id", "meta.*")
+             .dropDuplicates(["raster_id"]))
+
+
+def tiles_from_docs(docs: DataFrame, raster_id: str, meta_row) -> DataFrame:
+    """raster docs -> tile table for one raster, payloads materialized
+    by the named deterministic generator.
+
+    Output: (raster_id, band, tile_row, tile_col, row0, col0, nrows,
+    ncols, values binary) + grid constants as literal columns.
+    The reference analog is RasterSource.read_box windowed reads
+    (raster_source.h:21-56) — here a tile is one windowed block."""
+    m = meta_row
+    tile = int(m["tile"])
+    g_nrows = int(round((m["ymax"] - m["ymin"]) / m["dy"]))
+    g_ncols = int(round((m["xmax"] - m["xmin"]) / m["dx"]))
+
+    r = docs.where(F.col("spans")[0]["text"].startswith(f"raster:{raster_id} ") |
+                   (F.col("spans")[0]["text"] == f"raster:{raster_id}"))
+    media = (r.select(F.explode("spans").alias("s"))
+              .where((F.col("s.kind") == "media") & (F.col("s.media_ref") != ""))
+              .select(F.col("s.media_ref").alias("media_ref")))
+    t = media.select(
+        F.regexp_extract("media_ref", _MEDIA_REF_RE, 1).alias("rid"),
+        F.regexp_extract("media_ref", _MEDIA_REF_RE, 2).cast("int").alias("band"),
+        F.regexp_extract("media_ref", _MEDIA_REF_RE, 3).cast("int").alias("tile_row"),
+        F.regexp_extract("media_ref", _MEDIA_REF_RE, 4).cast("int").alias("tile_col"),
+    ).where(F.col("rid") == raster_id).drop("rid")
+
+    t = (t.withColumn("row0", F.col("tile_row") * tile)
+          .withColumn("col0", F.col("tile_col") * tile)
+          .withColumn("nrows", F.least(F.lit(tile), F.lit(g_nrows) - F.col("row0")))
+          .withColumn("ncols", F.least(F.lit(tile), F.lit(g_ncols) - F.col("col0"))))
+
+    gen = m["generator"] or "hash-v1"
+    dtype = m["dtype"] or "float64"
+
+    def _materialize(batches):
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for row0, col0, nr, nc in zip(pdf["row0"], pdf["col0"], pdf["nrows"], pdf["ncols"]):
+                arr = generate_tile(gen, int(row0), int(col0), int(nr), int(nc))
+                payloads.append(encode_tile(arr.astype(np.dtype(dtype))))
+            out = pdf.copy()
+            out["values"] = payloads
+            yield out
+
+    schema = T.StructType(t.schema.fields + [T.StructField("values", T.BinaryType())])
+    t = t.mapInPandas(_materialize, schema=schema)
+    return (t.withColumn("raster_id", F.lit(raster_id))
+             .withColumn("grid_xmin", F.lit(float(m["xmin"])))
+             .withColumn("grid_ymax", F.lit(float(m["ymax"])))
+             .withColumn("dx", F.lit(float(m["dx"])))
+             .withColumn("dy", F.lit(float(m["dy"])))
+             .withColumn("grid_nrows", F.lit(g_nrows))
+             .withColumn("grid_ncols", F.lit(g_ncols))
+             .withColumn("dtype", F.lit(dtype))
+             .withColumn("nodata", F.lit(None if m["nodata"] is None else float(m["nodata"])).cast("double")))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic tile generators (FIXTURES.md §1: payloads are regenerated
+# from the media_ref; no external data).  All integer arithmetic so that
+# a SQL oracle can reproduce the same values exactly.
+# ---------------------------------------------------------------------------
+
+def generate_tile(gen: str, row0: int, col0: int, nrows: int, ncols: int) -> np.ndarray:
+    r = np.arange(row0, row0 + nrows, dtype=np.int64)[:, None]
+    c = np.arange(col0, col0 + ncols, dtype=np.int64)[None, :]
+    if gen == "arith-v1":
+        v = (r * 73 + c * 131 + ((r * c) % 7) * 19) % 97
+        v = v.astype(np.float64)
+        v[((r * 31 + c * 17) % 23) == 0] = -1.0  # nodata sentinel
+        return v
+    if gen == "weight-v1":
+        return ((r * 13 + c * 7) % 11).astype(np.float64)
+    if gen == "hash-v1":
+        # splitmix-style integer hash; matches nothing external, used for
+        # scale benches where no oracle is needed
+        h = (r * 2654435761 + c * 40503) & 0x7FFFFFFF
+        h = (h ^ (h >> 13)) * 1274126177 & 0x7FFFFFFF
+        return ((h ^ (h >> 16)) % 10000).astype(np.float64) / 100.0
+    raise ValueError(f"unknown tile generator: {gen!r}")
+
+
+def spans_roundtrip(docs: DataFrame) -> DataFrame:
+    """Re-emit (doc_id, kind, text, media_ref, offset) in span order for
+    the span-sequence-equality invariant (BASELINE.json input_hint)."""
+    return (docs.select("doc_id", F.posexplode("spans").alias("pos", "s"))
+                .select("doc_id", F.col("pos").cast("int").alias("pos"),
+                        "s.kind", "s.text", "s.media_ref", "s.offset"))
