@@ -256,7 +256,7 @@ def _quantile_udf(q: float):
     return qf
 
 
-def _finalize_exprs(i: int, ops_in_key: list[Op]) -> list[Column]:
+def _finalize_exprs(i: int, ops_in_key: list[Op], int_values: bool = False) -> list[Column]:
     p = f"k{i}_"
     sum_c, sum_cx = F.col(p + "sum_c"), F.col(p + "sum_cx")
     mean = sum_cx / sum_c
@@ -313,10 +313,13 @@ def _finalize_exprs(i: int, ops_in_key: list[Op]) -> list[Column]:
             e = F.expr(f"transform({p}hist_sorted, s -> s.ci / {p}hist_sum_ci)")
         elif s == "weighted_frac":
             e = F.expr(f"transform({p}hist_sorted, s -> s.ciw / {p}hist_sum_ciw)")
-        elif s == "median":
-            e = _quantile_udf(0.5)(F.col(p + "hist_sorted"))
-        elif s == "quantile":
-            e = _quantile_udf(op.q)(F.col(p + "hist_sorted"))
+        elif s in ("median", "quantile"):
+            e = _quantile_udf(0.5 if s == "median" else op.q)(F.col(p + "hist_sorted"))
+            if int_values:
+                # result type is the cell type (operation.cpp:115-206):
+                # interpolated quantiles truncate toward zero for integer
+                # rasters, like the reference's static_cast<T>
+                e = e.cast("long").cast("double")
         elif s == "values":
             e = F.expr(f"transform({p}cells_sorted, s -> s.v)")
         elif s == "coverage":
@@ -350,7 +353,9 @@ def exact_extract(zones: DataFrame, tiles: DataFrame, ops, *,
     ops:   list of stat descriptors / Op objects (ops.parse_ops)
     """
     spark = zones.sparkSession
-    op_list = parse_ops(ops) if not all(isinstance(o, Op) for o in ops) else list(ops)
+    wname = "weights" if weight_tiles is not None else None
+    op_list = parse_ops(ops, weights=wname) \
+        if not all(isinstance(o, Op) for o in ops) else list(ops)
     keygroups = group_ops_by_key(op_list)
 
     if grid is None:
@@ -358,6 +363,10 @@ def exact_extract(zones: DataFrame, tiles: DataFrame, ops, *,
                             "grid_nrows", "grid_ncols").first().asDict()
     if tile_size is None:
         tile_size = grid.get("tile") or tiles.select(F.max("nrows")).first()[0]
+    values_dtype = grid.get("dtype")
+    if values_dtype is None:
+        values_dtype = tiles.select("dtype").first()[0]
+    int_values = np.dtype(values_dtype).kind in "iu"
 
     zones_b = attach_bbox(zones)
 
@@ -457,5 +466,5 @@ def exact_extract(zones: DataFrame, tiles: DataFrame, ops, *,
 
     final_cols = [F.col("zone_id"), *[F.col(c) for c in (include_cols or [])]]
     for i, (_, _, ops_in_key) in enumerate(keygroups):
-        final_cols += _finalize_exprs(i, ops_in_key)
+        final_cols += _finalize_exprs(i, ops_in_key, int_values)
     return result.select(*final_cols)

@@ -188,6 +188,44 @@ def generate_tile(gen: str, row0: int, col0: int, nrows: int, ncols: int) -> np.
     raise ValueError(f"unknown tile generator: {gen!r}")
 
 
+def tiles_from_array(spark, arr: np.ndarray, *, xmin: float = 0.0, ymax: float | None = None,
+                     dx: float = 1.0, dy: float = 1.0, nodata: float | None = None,
+                     tile: int = 64, raster_id: str = "mem", band: int = 0) -> DataFrame:
+    """Build a tile table from an in-memory numpy raster — the analog of
+    the reference's NumPyRasterSource
+    (/root/reference/python/src/exactextract/raster.py:135-200).
+    Used by tests and small in-memory workflows."""
+    from pyspark.sql import Row
+
+    nr, nc = arr.shape
+    if ymax is None:
+        ymax = float(nr) * dy
+    rows = []
+    for tr in range((nr + tile - 1) // tile):
+        for tc in range((nc + tile - 1) // tile):
+            r0, c0 = tr * tile, tc * tile
+            block = np.ascontiguousarray(arr[r0:min(r0 + tile, nr), c0:min(c0 + tile, nc)])
+            rows.append(Row(
+                raster_id=raster_id, band=band, tile_row=tr, tile_col=tc,
+                row0=r0, col0=c0, nrows=block.shape[0], ncols=block.shape[1],
+                values=bytearray(encode_tile(block)),
+                grid_xmin=float(xmin), grid_ymax=float(ymax),
+                dx=float(dx), dy=float(dy), grid_nrows=nr, grid_ncols=nc,
+                dtype=str(arr.dtype), nodata=None if nodata is None else float(nodata)))
+    schema = T.StructType([
+        T.StructField("raster_id", T.StringType()), T.StructField("band", T.IntegerType()),
+        T.StructField("tile_row", T.IntegerType()), T.StructField("tile_col", T.IntegerType()),
+        T.StructField("row0", T.IntegerType()), T.StructField("col0", T.IntegerType()),
+        T.StructField("nrows", T.IntegerType()), T.StructField("ncols", T.IntegerType()),
+        T.StructField("values", T.BinaryType()),
+        T.StructField("grid_xmin", T.DoubleType()), T.StructField("grid_ymax", T.DoubleType()),
+        T.StructField("dx", T.DoubleType()), T.StructField("dy", T.DoubleType()),
+        T.StructField("grid_nrows", T.IntegerType()), T.StructField("grid_ncols", T.IntegerType()),
+        T.StructField("dtype", T.StringType()), T.StructField("nodata", T.DoubleType()),
+    ])
+    return spark.createDataFrame(rows, schema=schema)
+
+
 def spans_roundtrip(docs: DataFrame) -> DataFrame:
     """Re-emit (doc_id, kind, text, media_ref, offset) in span order for
     the span-sequence-equality invariant (BASELINE.json input_hint)."""
