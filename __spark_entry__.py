@@ -1,38 +1,96 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Engine: exactextract_spark — PySpark-native zonal statistics over an
+interleaved text+media document table (see SURVEY.md §2, FIXTURES.md).
+
+Every zonal query runs the FULL pipeline: synthesize the interleaved
+docs table with JVM expressions → parse spans into zones + raster tile
+metadata → materialize tile payloads from media_refs → bbox tile-range
+explode → broadcast join → Arrow kernel → partial+final aggregation.
+The DuckDB oracles recompute the same stats from first principles
+(closed-form rectangle coverage over a range()-generated grid); the
+quarter-cell-aligned fixture makes both sides bit-identical.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from exactextract_spark import io as eio
+from exactextract_spark.extract import attach_bbox, exact_extract, zone_tile_pairs
+from exactextract_spark.fixtures import SynthConfig, build_docs
+from exactextract_spark.oracles import ZONAL_ORACLES
+
+_ORACLE_CFG = SynthConfig.from_sf_dir("sf0.01")  # driver compares at sf=0.01
+
+
+def _setup(spark: SparkSession, sf_dir: str):
+    cfg = SynthConfig.from_sf_dir(sf_dir)
+    docs = build_docs(spark, cfg)
+    zones = eio.zones_from_docs(docs)
+    meta = {r["raster_id"]: r.asDict()
+            for r in eio.raster_meta_from_docs(docs).collect()}
+    tiles = eio.tiles_from_docs(docs, "r0", meta["r0"])
+    wtiles = eio.tiles_from_docs(docs, "w0", meta["w0"])
+    grid = cfg.grid_dict()
+    grid["dtype"] = "float64"
+    return cfg, zones, tiles, wtiles, grid
+
+
+def _zq(ops, weighted=False, post=None):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
+        res = exact_extract(zones, tiles, ops,
+                            weight_tiles=wtiles if weighted else None,
+                            grid=grid, strategy="broadcast")
+        return post(res) if post else res
+    return run
+
+
+def _frac_post(res: DataFrame) -> DataFrame:
+    return (res.select("zone_id",
+                       F.explode(F.arrays_zip("unique", "frac", "weighted_frac")).alias("e"))
+               .select("zone_id", F.col("e.unique").alias("value"),
+                       F.col("e.frac").alias("frac"),
+                       F.col("e.weighted_frac").alias("weighted_frac")))
+
+
+def _tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
+    pairs = zone_tile_pairs(attach_bbox(zones), grid, cfg.tile)
+    return pairs.select("zone_id", "tile_row", "tile_col").distinct()
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _zq(["count", "sum", "mean", "min", "max", "variety", "median"])(
+        spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "zonal_basic": _zq(["count", "sum", "mean", "min", "max"]),
+        "zonal_weighted": _zq(["weighted_count", "weighted_sum", "weighted_mean"],
+                              weighted=True),
+        "zonal_variance": _zq(["variance", "stdev"]),
+        "zonal_histogram": _zq(["variety", "majority", "minority"]),
+        "zonal_frac": _zq(["unique", "frac", "weighted_frac"], weighted=True,
+                          post=_frac_post),
+        "zonal_quantiles": _zq(["median", "quantile(q=0.25)", "quantile(q=0.75)"]),
+        "zonal_minmax_loc": _zq(["min_center_x", "min_center_y",
+                                 "max_center_x", "max_center_y"]),
+        "zonal_coverage_none": _zq(["count(coverage_weight=none)",
+                                    "mean(coverage_weight=none)"]),
+        "zonal_min_coverage": _zq(["count(min_coverage_frac=0.5)",
+                                   "sum(min_coverage_frac=0.5)"]),
+        "zonal_mixed_args": _zq(["count", "count_mc=count(min_coverage_frac=0.25)",
+                                 "weighted_mean"], weighted=True),
+        "tile_assignment": _tile_assignment,
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: fn(_ORACLE_CFG) for name, fn in ZONAL_ORACLES.items()}

@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline zonal queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+plus derived polygons/sec and pixels/sec (the BASELINE.json metric).
+The fixture scales with sf; a handful of giant zones (25% of the grid
+each) are added to exercise the skew path (per-tile fan-out + map-side
+partial aggregation)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from exactextract_spark import io as eio  # noqa: E402
+from exactextract_spark.extract import attach_bbox, exact_extract, zone_tile_pairs  # noqa: E402
+from exactextract_spark.fixtures import SynthConfig, build_docs  # noqa: E402
+from exactextract_spark.session import get_spark  # noqa: E402
+
+
+def big_zones(spark, cfg, n=8):
+    """Giant zones covering ~25% of the grid each — the skew driver
+    (FIXTURES.md F9)."""
+    G = cfg.G
+    rows = []
+    for i in range(n):
+        w = G // 2
+        x0 = (i * 37) % (G - w)
+        y0 = (i * 53) % (G - w)
+        rows.append((f"big{i}",
+                     f"POLYGON (({x0} {y0}, {x0 + w} {y0}, {x0 + w} {y0 + w}, "
+                     f"{x0} {y0 + w}, {x0} {y0}))"))
+    return spark.createDataFrame(rows, ["zone_id", "geometry"])
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    gmult = float(os.environ.get("SPARK_GRAFT_BENCH_GMULT", "2.0"))
+
+    cfg0 = SynthConfig.from_sf_dir(sf_dir)
+    cfg = SynthConfig(G=int(cfg0.G * gmult), Z=cfg0.Z * 2, tile=cfg0.tile)
+
+    spark = get_spark(app="exactextract-bench", cores=cores,
+                      shuffle_partitions=cores)
+    try:
+        docs = build_docs(spark, cfg)
+        zones = eio.zones_from_docs(docs)
+        meta = {r["raster_id"]: r.asDict()
+                for r in eio.raster_meta_from_docs(docs).collect()}
+        tiles = eio.tiles_from_docs(docs, "r0", meta["r0"]).persist()
+        wtiles = eio.tiles_from_docs(docs, "w0", meta["w0"]).persist()
+        n_tiles = tiles.count()
+        wtiles.count()
+        grid = cfg.grid_dict()
+        grid["dtype"] = "float64"
+
+        zones_all = zones.unionByName(
+            big_zones(spark, cfg).withColumn("props", F.lit(None).cast("map<string,string>")))
+
+        # pixels touched per full run = sum of tile cells over joined pairs
+        pairs = zone_tile_pairs(attach_bbox(zones_all), grid, cfg.tile)
+        joined = tiles.join(F.broadcast(pairs.select("zone_id", "tile_row", "tile_col")),
+                            ["tile_row", "tile_col"])
+        px = joined.select(F.sum(F.col("nrows") * F.col("ncols"))).first()[0]
+        n_zones = zones_all.count()
+
+        timings = {}
+
+        def bench(name, fn, warm=False):
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+
+        bench("q_basic", lambda: exact_extract(
+            zones_all, tiles, ["count", "sum", "mean", "min", "max"],
+            grid=grid, strategy="broadcast"))
+        bench("q_weighted", lambda: exact_extract(
+            zones_all, tiles, ["weighted_mean", "weighted_sum"],
+            weight_tiles=wtiles, grid=grid, strategy="broadcast"))
+        bench("q_hist", lambda: exact_extract(
+            zones_all, tiles, ["variety", "majority", "median"],
+            grid=grid, strategy="broadcast"))
+        bench("q_variance", lambda: exact_extract(
+            zones_all, tiles, ["variance", "stdev"],
+            grid=grid, strategy="broadcast"))
+        bench("q_tile_assignment",
+              lambda: zone_tile_pairs(attach_bbox(zones_all), grid, cfg.tile)
+              .select("zone_id", "tile_row", "tile_col"))
+
+        total = round(sum(timings.values()), 3)
+        out = {
+            "metric": "zonal-stats suite wall time",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_dir,
+            "config": {"grid_cells": cfg.G * cfg.G, "zones": n_zones,
+                       "tiles": n_tiles, "cores": cores,
+                       "pixels_per_run": int(px)},
+            "polygons_per_sec": round(n_zones / timings["q_basic"], 2),
+            "pixels_per_sec": round(px / timings["q_basic"], 1),
+        }
+        print(json.dumps(out))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,188 @@
+"""DuckDB oracle SQL for the driver's correctness gate.
+
+Every query in __spark_entry__.queries() has a matching ANSI-SQL string
+here that recomputes the same result from first principles (range()
+generators + closed-form rectangle coverage — no engine code).  The
+synthetic fixture (fixtures.py) is quarter-cell aligned, so engine and
+oracle agree bit-for-bit, not just to tolerance."""
+
+from __future__ import annotations
+
+from .fixtures import SynthConfig, pairs_sql
+
+D = "FILTER (val IS NOT NULL)"
+
+
+def _agg(cfg: SynthConfig, select: str, extra_cte: str = "") -> str:
+    return f"""WITH {pairs_sql(cfg)}{extra_cte}
+SELECT zone_id, {select}
+FROM pairs GROUP BY zone_id"""
+
+
+def zonal_basic(cfg):
+    return _agg(cfg, f"""
+  COALESCE(SUM(cov) {D}, 0.0) AS count,
+  COALESCE(SUM(val*cov) {D}, 0.0) AS sum,
+  CASE WHEN SUM(cov) {D} > 0
+       THEN (SUM(val*cov) {D}) / (SUM(cov) {D}) END AS mean,
+  MIN(val) AS min, MAX(val) AS max""")
+
+
+def zonal_weighted(cfg):
+    return _agg(cfg, f"""
+  COALESCE(SUM(cov*wgt) {D}, 0.0) AS weighted_count,
+  COALESCE(SUM(val*(cov*wgt)) {D}, 0.0) AS weighted_sum,
+  CASE WHEN SUM(cov*wgt) {D} <> 0
+       THEN (SUM(val*(cov*wgt)) {D}) / (SUM(cov*wgt) {D}) END AS weighted_mean""")
+
+
+def zonal_variance(cfg):
+    # identical operation order to extract._finalize_exprs: var =
+    # greatest(sum_cx2/sum_c - mean*mean, 0), mean = sum_cx/sum_c
+    return f"""WITH {pairs_sql(cfg)},
+s AS (
+  SELECT zone_id,
+         SUM(cov) {D} AS sum_c,
+         SUM(val*cov) {D} AS sum_cx,
+         SUM((val*val)*cov) {D} AS sum_cx2
+  FROM pairs GROUP BY zone_id)
+SELECT zone_id,
+  CASE WHEN sum_c > 0
+       THEN GREATEST(sum_cx2/sum_c - (sum_cx/sum_c)*(sum_cx/sum_c), 0.0) END AS variance,
+  CASE WHEN sum_c > 0
+       THEN SQRT(GREATEST(sum_cx2/sum_c - (sum_cx/sum_c)*(sum_cx/sum_c), 0.0)) END AS stdev
+FROM s"""
+
+
+def _hist_cte(cfg):
+    return f"""WITH {pairs_sql(cfg)},
+h AS (
+  SELECT zone_id, val AS v, SUM(cov) AS ci, SUM(cov*wgt) AS ciw
+  FROM pairs WHERE val IS NOT NULL GROUP BY zone_id, val)"""
+
+
+def zonal_histogram(cfg):
+    return f"""{_hist_cte(cfg)},
+m AS (
+  SELECT zone_id, v, ci,
+         ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY ci DESC, v DESC) AS rmaj,
+         ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY ci ASC, v ASC) AS rmin
+  FROM h)
+SELECT h2.zone_id,
+       CAST(COUNT(*) AS BIGINT) AS variety,
+       MAX(CASE WHEN m.rmaj = 1 THEN m.v END) AS majority,
+       MAX(CASE WHEN m.rmin = 1 THEN m.v END) AS minority
+FROM h h2 JOIN m ON h2.zone_id = m.zone_id AND h2.v = m.v
+GROUP BY h2.zone_id"""
+
+
+def zonal_frac(cfg):
+    return f"""{_hist_cte(cfg)},
+t AS (SELECT zone_id, SUM(ci) AS tot, SUM(ciw) AS totw FROM h GROUP BY zone_id)
+SELECT h.zone_id, h.v AS value, h.ci / t.tot AS frac, h.ciw / t.totw AS weighted_frac
+FROM h JOIN t USING (zone_id)"""
+
+
+def _quantile_expr(q: str, out: str) -> str:
+    """One quantile via the reference formula (weighted_quantiles.cpp:21-75)."""
+    return f"""
+sel_{out} AS (
+  SELECT zone_id, x + ({q} * sn - s) * (nx - x) / (ns - s) AS val_interp, x AS val_last,
+         ns IS NULL AS at_end
+  FROM q
+  WHERE s <= {q} * sn AND (ns IS NULL OR ns > {q} * sn)),
+r_{out} AS (
+  SELECT zone_id, CASE WHEN at_end THEN val_last ELSE val_interp END AS {out}
+  FROM sel_{out})"""
+
+
+def zonal_quantiles(cfg):
+    return f"""{_hist_cte(cfg)},
+o AS (
+  SELECT zone_id, v, ci,
+         ROW_NUMBER() OVER w - 1 AS i,
+         SUM(ci) OVER (PARTITION BY zone_id ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cumprev,
+         COUNT(*) OVER (PARTITION BY zone_id) AS n,
+         SUM(ci) OVER (PARTITION BY zone_id) AS sw
+  FROM h
+  WINDOW w AS (PARTITION BY zone_id ORDER BY v)),
+q AS (
+  SELECT zone_id, v AS x,
+         i * ci + (n - 1) * COALESCE(cumprev, 0.0) AS s,
+         LEAD(v) OVER w2 AS nx,
+         LEAD(i * ci + (n - 1) * COALESCE(cumprev, 0.0)) OVER w2 AS ns,
+         sw * (n - 1) AS sn
+  FROM o
+  WINDOW w2 AS (PARTITION BY zone_id ORDER BY v)),
+{_quantile_expr('0.5', 'median')},
+{_quantile_expr('0.25', 'quantile_25')},
+{_quantile_expr('0.75', 'quantile_75')}
+SELECT zone_id, median, quantile_25, quantile_75
+FROM r_median JOIN r_quantile_25 USING (zone_id) JOIN r_quantile_75 USING (zone_id)"""
+
+
+def zonal_minmax_loc(cfg):
+    G = cfg.G
+    return f"""WITH {pairs_sql(cfg)},
+rk AS (
+  SELECT zone_id, c, r,
+         ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY val ASC, cell_id ASC) AS rmin,
+         ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY val DESC, cell_id ASC) AS rmax
+  FROM pairs WHERE val IS NOT NULL)
+SELECT zone_id,
+  MAX(CASE WHEN rmin = 1 THEN c + 0.5 END) AS min_center_x,
+  MAX(CASE WHEN rmin = 1 THEN {G} - r - 0.5 END) AS min_center_y,
+  MAX(CASE WHEN rmax = 1 THEN c + 0.5 END) AS max_center_x,
+  MAX(CASE WHEN rmax = 1 THEN {G} - r - 0.5 END) AS max_center_y
+FROM rk GROUP BY zone_id"""
+
+
+def zonal_coverage_none(cfg):
+    return _agg(cfg, f"""
+  COALESCE(CAST(COUNT(val) AS DOUBLE), 0.0) AS count,
+  CASE WHEN COUNT(val) > 0 THEN SUM(val) / CAST(COUNT(val) AS DOUBLE) END AS mean""")
+
+
+def zonal_min_coverage(cfg):
+    return f"""WITH {pairs_sql(cfg)}
+SELECT zone_id,
+  COALESCE(SUM(cov) FILTER (val IS NOT NULL AND cov >= 0.5), 0.0) AS count,
+  COALESCE(SUM(val*cov) FILTER (val IS NOT NULL AND cov >= 0.5), 0.0) AS sum
+FROM pairs GROUP BY zone_id"""
+
+
+def tile_assignment(cfg):
+    """Zone → tile co-partitioning keys (north rule: 'matching the
+    reference's join output rows and tile assignments')."""
+    T = cfg.tile
+    return f"""WITH {pairs_sql(cfg)}
+SELECT DISTINCT zone_id,
+       CAST(r // {T} AS INT) AS tile_row,
+       CAST(c // {T} AS INT) AS tile_col
+FROM pairs"""
+
+
+def zonal_mixed_args(cfg):
+    """Several op-keys in one query: default + min_coverage + unweighted
+    count alongside weighted mean (exercises op-key sharing)."""
+    return _agg(cfg, f"""
+  COALESCE(SUM(cov) {D}, 0.0) AS count,
+  COALESCE(SUM(cov) FILTER (val IS NOT NULL AND cov >= 0.25), 0.0) AS count_mc,
+  CASE WHEN SUM(cov*wgt) {D} <> 0
+       THEN (SUM(val*(cov*wgt)) {D}) / (SUM(cov*wgt) {D}) END AS weighted_mean""")
+
+
+ZONAL_ORACLES = {
+    "zonal_basic": zonal_basic,
+    "zonal_weighted": zonal_weighted,
+    "zonal_variance": zonal_variance,
+    "zonal_histogram": zonal_histogram,
+    "zonal_frac": zonal_frac,
+    "zonal_quantiles": zonal_quantiles,
+    "zonal_minmax_loc": zonal_minmax_loc,
+    "zonal_coverage_none": zonal_coverage_none,
+    "zonal_min_coverage": zonal_min_coverage,
+    "zonal_mixed_args": zonal_mixed_args,
+    "tile_assignment": tile_assignment,
+}

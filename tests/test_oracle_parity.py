@@ -1,0 +1,76 @@
+"""Engine-vs-DuckDB-oracle parity — the same comparison the driver's
+correctness gate performs, but asserting BIT-EXACT equality (the
+quarter-aligned fixture makes every double exact)."""
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+from exactextract_spark.fixtures import SynthConfig
+from exactextract_spark.oracles import ZONAL_ORACLES
+
+SF_DIR = "/root/testdata/sf0.01"
+CFG = SynthConfig.from_sf_dir(SF_DIR)
+
+
+def _compare(name, spark):
+    eng = entry_mod.queries()[name](spark, SF_DIR).toPandas()
+    ora = duckdb.sql(ZONAL_ORACLES[name](CFG)).df()
+    sort_cols = [c for c in ("zone_id", "value", "tile_row", "tile_col") if c in eng.columns]
+    eng = eng.sort_values(sort_cols).reset_index(drop=True)[sorted(eng.columns)]
+    ora = ora.sort_values(sort_cols).reset_index(drop=True)[sorted(ora.columns)]
+    assert list(eng.columns) == list(ora.columns), (list(eng.columns), list(ora.columns))
+    assert len(eng) == len(ora), (name, len(eng), len(ora))
+    for c in eng.columns:
+        a, b = eng[c], ora[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            ok = ((a == b) | (a.isna() & b.isna())).all()
+            assert ok, (name, c, (a - b).abs().max(),
+                        a[~((a == b) | (a.isna() & b.isna()))].head(),
+                        b[~((a == b) | (a.isna() & b.isna()))].head())
+        else:
+            assert (a.astype(object) == b.astype(object)).all() or \
+                   (a.isna() & b.isna()).any() is not None and \
+                   ((a == b) | (a.isna() & b.isna())).all(), (name, c)
+
+
+@pytest.mark.parametrize("name", sorted(ZONAL_ORACLES))
+def test_oracle_parity(name, spark):
+    _compare(name, spark)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "zone_id" in df.columns and "mean" in df.columns
+
+
+def test_queries_have_oracles():
+    q = set(entry_mod.queries())
+    o = set(entry_mod.oracle_sql())
+    assert o <= q
+    # every zonal query is oracle-checked
+    assert {n for n in q if n.startswith(("zonal", "tile"))} <= o
+
+
+def test_span_roundtrip(spark):
+    """Per-row span-sequence equality (kind, text, media_ref, order) —
+    BASELINE.json input_hint invariant."""
+    from exactextract_spark.fixtures import build_docs
+    from exactextract_spark.io import spans_roundtrip
+
+    docs = build_docs(spark, SynthConfig(G=64, Z=20))
+    src = docs.select("doc_id", "spans").toPandas()
+    rt = spans_roundtrip(docs).toPandas()
+    for _, row in src.iterrows():
+        got = rt[rt.doc_id == row.doc_id].sort_values("pos")
+        spans = row.spans
+        assert len(got) == len(spans)
+        for (_, g), s in zip(got.iterrows(), spans):
+            assert (g["kind"], g["text"], g["media_ref"], g["offset"]) == \
+                   (s["kind"], s["text"], s["media_ref"], s["offset"])
