@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from exactextract_spark import io as eio  # noqa: E402
-from exactextract_spark.extract import attach_bbox, exact_extract, zone_tile_pairs  # noqa: E402
+from exactextract_spark.extract import ZonalExtractor, attach_bbox, zone_tile_pairs  # noqa: E402
 from exactextract_spark.fixtures import SynthConfig, build_docs  # noqa: E402
 from exactextract_spark.session import get_spark  # noqa: E402
 
@@ -57,8 +57,8 @@ def main():
         zones = eio.zones_from_docs(docs)
         meta = {r["raster_id"]: r.asDict()
                 for r in eio.raster_meta_from_docs(docs).collect()}
-        tiles = eio.tiles_from_docs(docs, "r0", meta["r0"]).persist()
-        wtiles = eio.tiles_from_docs(docs, "w0", meta["w0"]).persist()
+        tiles = eio.tiles_from_docs(docs, "r0", meta["r0"]).repartition(cores).persist()
+        wtiles = eio.tiles_from_docs(docs, "w0", meta["w0"]).repartition(cores).persist()
         n_tiles = tiles.count()
         wtiles.count()
         grid = cfg.grid_dict()
@@ -74,25 +74,30 @@ def main():
         px = joined.select(F.sum(F.col("nrows") * F.col("ncols"))).first()[0]
         n_zones = zones_all.count()
 
-        timings = {}
+        ext = ZonalExtractor(zones_all, tiles, grid=grid, strategy="broadcast")
+        ext_w = ZonalExtractor(zones_all, tiles, weight_tiles=wtiles,
+                               grid=grid, strategy="broadcast")
 
-        def bench(name, fn, warm=False):
+        timings = {}
+        timings_cold = {}
+
+        def bench(name, fn):
+            # first run includes python-worker/codegen warmup; second is
+            # the steady-state number a long-running cluster job sees
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            timings_cold[name] = round(time.time() - t0, 3)
             t0 = time.time()
             fn().write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
 
-        bench("q_basic", lambda: exact_extract(
-            zones_all, tiles, ["count", "sum", "mean", "min", "max"],
-            grid=grid, strategy="broadcast"))
-        bench("q_weighted", lambda: exact_extract(
-            zones_all, tiles, ["weighted_mean", "weighted_sum"],
-            weight_tiles=wtiles, grid=grid, strategy="broadcast"))
-        bench("q_hist", lambda: exact_extract(
-            zones_all, tiles, ["variety", "majority", "median"],
-            grid=grid, strategy="broadcast"))
-        bench("q_variance", lambda: exact_extract(
-            zones_all, tiles, ["variance", "stdev"],
-            grid=grid, strategy="broadcast"))
+        # one untimed warmup to spin up python workers / codegen
+        ext.extract(["count"]).write.format("noop").mode("overwrite").save()
+
+        bench("q_basic", lambda: ext.extract(["count", "sum", "mean", "min", "max"]))
+        bench("q_weighted", lambda: ext_w.extract(["weighted_mean", "weighted_sum"]))
+        bench("q_hist", lambda: ext.extract(["variety", "majority", "median"]))
+        bench("q_variance", lambda: ext.extract(["variance", "stdev"]))
         bench("q_tile_assignment",
               lambda: zone_tile_pairs(attach_bbox(zones_all), grid, cfg.tile)
               .select("zone_id", "tile_row", "tile_col"))
@@ -107,6 +112,7 @@ def main():
             "config": {"grid_cells": cfg.G * cfg.G, "zones": n_zones,
                        "tiles": n_tiles, "cores": cores,
                        "pixels_per_run": int(px)},
+            "queries_cold": timings_cold,
             "polygons_per_sec": round(n_zones / timings["q_basic"], 2),
             "pixels_per_sec": round(px / timings["q_basic"], 1),
         }

@@ -161,9 +161,10 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
             n_rows = len(pdf)
             if n_rows == 0:
                 continue
+            grouped = "zone_ids" in pdf.columns  # one row per tile, zone list attached
             g = lambda c: pdf[c].to_numpy()
-            zid_a = g("zone_id")
-            wkt_a = g("geometry") if geom_lookup is None else None
+            zid_a = g("zone_ids") if grouped else g("zone_id")
+            wkt_a = g("geometry") if geom_lookup is None and not grouped else None
             nr_a, nc_a = g("nrows"), g("ncols")
             r0_a, c0_a = g("row0"), g("col0")
             gx_a, gy_a = g("grid_xmin"), g("grid_ymax")
@@ -174,48 +175,52 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                 wbuf_a, wdt_a, wnd_a = g("w_values"), g("w_dtype"), pdf["w_nodata"]
             out_rows = []
             for j in range(n_rows):
-                zid = zid_a[j]
-                geom = geom_cache.get(zid)
-                if geom is None:
-                    wkt = geom_lookup.value[zid] if geom_lookup is not None else wkt_a[j]
-                    geom = parse_wkt(wkt)
-                    if len(geom_cache) > 4096:
-                        geom_cache.clear()
-                    geom_cache[zid] = geom
                 nr, nc = int(nr_a[j]), int(nc_a[j])
                 row0, col0 = int(r0_a[j]), int(c0_a[j])
                 dx, dy = float(dx_a[j]), float(dy_a[j])
                 xmin = float(gx_a[j]) + col0 * dx
                 ymax = float(gy_a[j]) - row0 * dy
-                cov = coverage_for_window(geom, xmin, ymax, dx, dy, nr, nc)
-                if not cov.any():
-                    continue
-                vals = decode_tile(buf_a[j], dt_a[j], nr, nc)
+                vals = None
                 wvals = None
                 w_nodata = None
-                if has_weights and wbuf_a[j] is not None:
-                    wvals = decode_tile(wbuf_a[j], wdt_a[j], nr, nc)
-                    wn = wnd_a.iloc[j]
-                    w_nodata = None if wn is None or pd.isna(wn) else float(wn)
                 nd = nd_a.iloc[j]
                 nd = None if nd is None or pd.isna(nd) else float(nd)
-                rec = {"zone_id": zid}
-                any_key = False
-                for i, req, kwargs in key_specs:
-                    part = accumulate_pair(
-                        cov, vals, req=req, nodata=nd,
-                        weights=wvals, weight_nodata=w_nodata,
-                        row0=row0, col0=col0,
-                        grid_ncols=int(gnc_a[j]),
-                        grid_xmin=float(gx_a[j]), grid_ymax=float(gy_a[j]),
-                        dx=dx, dy=dy, **kwargs)
-                    if part is None:
+                for zid in (zid_a[j] if grouped else (zid_a[j],)):
+                    geom = geom_cache.get(zid)
+                    if geom is None:
+                        wkt = geom_lookup.value[zid] if geom_lookup is not None else wkt_a[j]
+                        geom = parse_wkt(wkt)
+                        if len(geom_cache) > 65536:
+                            geom_cache.clear()
+                        geom_cache[zid] = geom
+                    cov = coverage_for_window(geom, xmin, ymax, dx, dy, nr, nc)
+                    if not cov.any():
                         continue
-                    any_key = True
-                    for k, v in part.items():
-                        rec[f"k{i}_{k}"] = v
-                if any_key:
-                    out_rows.append(rec)
+                    if vals is None:
+                        # decode once per tile row (read-once dedup,
+                        # feature_sequential_processor.cpp:85-113)
+                        vals = decode_tile(buf_a[j], dt_a[j], nr, nc)
+                        if has_weights and wbuf_a[j] is not None:
+                            wvals = decode_tile(wbuf_a[j], wdt_a[j], nr, nc)
+                            wn = wnd_a.iloc[j]
+                            w_nodata = None if wn is None or pd.isna(wn) else float(wn)
+                    rec = {"zone_id": zid}
+                    any_key = False
+                    for i, req, kwargs in key_specs:
+                        part = accumulate_pair(
+                            cov, vals, req=req, nodata=nd,
+                            weights=wvals, weight_nodata=w_nodata,
+                            row0=row0, col0=col0,
+                            grid_ncols=int(gnc_a[j]),
+                            grid_xmin=float(gx_a[j]), grid_ymax=float(gy_a[j]),
+                            dx=dx, dy=dy, **kwargs)
+                        if part is None:
+                            continue
+                        any_key = True
+                        for k, v in part.items():
+                            rec[f"k{i}_{k}"] = v
+                    if any_key:
+                        out_rows.append(rec)
             yield pd.DataFrame(out_rows, columns=col_names) if out_rows \
                 else pd.DataFrame(columns=col_names)
 
@@ -338,6 +343,78 @@ def _finalize_exprs(i: int, ops_in_key: list[Op], int_values: bool = False) -> l
     return exprs
 
 
+class ZonalExtractor:
+    """Reusable extraction context: zone bboxes, geometry broadcast and
+    the tile⋈zone-list join are prepared once; ``extract(ops)`` can then
+    run many op-sets against the same join (the reference reuses one
+    processor across its Operation list the same way)."""
+
+    def __init__(self, zones: DataFrame, tiles: DataFrame, *,
+                 weight_tiles: DataFrame | None = None,
+                 strategy: str = "auto",
+                 grid: dict | None = None,
+                 tile_size: int | None = None):
+        spark = zones.sparkSession
+        if grid is None:
+            grid = tiles.select("grid_xmin", "grid_ymax", "dx", "dy",
+                                "grid_nrows", "grid_ncols").first().asDict()
+        if tile_size is None:
+            tile_size = grid.get("tile") or tiles.select(F.max("nrows")).first()[0]
+        values_dtype = grid.get("dtype")
+        if values_dtype is None:
+            values_dtype = tiles.select("dtype").first()[0]
+        self.int_values = np.dtype(values_dtype).kind in "iu"
+        self.has_weights = weight_tiles is not None
+
+        # zone bbox parse is op-independent: cache it (used by the
+        # pair explode AND the final left join)
+        zones_b = attach_bbox(zones).persist()
+        self.zones_b = zones_b
+
+        tiles_in = tiles
+        if self.has_weights:
+            w = weight_tiles.select(
+                F.col("tile_row").alias("w_tile_row"), F.col("tile_col").alias("w_tile_col"),
+                F.col("values").alias("w_values"), F.col("dtype").alias("w_dtype"),
+                F.col("nodata").alias("w_nodata"))
+            tiles_in = tiles.join(
+                w, (F.col("tile_row") == F.col("w_tile_row")) &
+                   (F.col("tile_col") == F.col("w_tile_col")), "left") \
+                .drop("w_tile_row", "w_tile_col")
+
+        if strategy == "auto":
+            strategy = "broadcast" if zones_b.count() <= BROADCAST_ZONE_LIMIT else "shuffle"
+        self.strategy = strategy
+
+        self.geom_lookup = None
+        if strategy == "broadcast":
+            geoms = {r["zone_id"]: r["geometry"]
+                     for r in zones_b.select("zone_id", "geometry").collect()}
+            self.geom_lookup = spark.sparkContext.broadcast(geoms)
+            pairs = zone_tile_pairs(zones_b.select("zone_id", "xmin", "ymin", "xmax", "ymax"),
+                                    grid, tile_size)
+            # ship each tile payload across the JVM->Arrow boundary exactly
+            # once: attach the per-tile zone hit-list (the STRtree-query
+            # analog, raster_parallel_processor.cpp:142-162) to the tile row
+            pairs_agg = (pairs.groupBy("tile_row", "tile_col")
+                         .agg(F.collect_list("zone_id").alias("zone_ids"))).persist()
+            self.joined = tiles_in.join(F.broadcast(pairs_agg), ["tile_row", "tile_col"])
+        else:
+            pairs = zone_tile_pairs(
+                zones_b.select("zone_id", "geometry", "xmin", "ymin", "xmax", "ymax"),
+                grid, tile_size)
+            self.joined = tiles_in.join(pairs, ["tile_row", "tile_col"])
+
+    def extract(self, ops, *, include_cols: list[str] | None = None) -> DataFrame:
+        wname = "weights" if self.has_weights else None
+        op_list = parse_ops(ops, weights=wname) \
+            if not all(isinstance(o, Op) for o in ops) else list(ops)
+        keygroups = group_ops_by_key(op_list)
+        return _assemble(self.zones_b, self.joined, keygroups,
+                         geom_lookup=self.geom_lookup, has_weights=self.has_weights,
+                         int_values=self.int_values, include_cols=include_cols)
+
+
 def exact_extract(zones: DataFrame, tiles: DataFrame, ops, *,
                   weight_tiles: DataFrame | None = None,
                   include_cols: list[str] | None = None,
@@ -352,55 +429,13 @@ def exact_extract(zones: DataFrame, tiles: DataFrame, ops, *,
     tiles: tile table from io.tiles_from_docs (or equivalent schema)
     ops:   list of stat descriptors / Op objects (ops.parse_ops)
     """
-    spark = zones.sparkSession
-    wname = "weights" if weight_tiles is not None else None
-    op_list = parse_ops(ops, weights=wname) \
-        if not all(isinstance(o, Op) for o in ops) else list(ops)
-    keygroups = group_ops_by_key(op_list)
+    return ZonalExtractor(zones, tiles, weight_tiles=weight_tiles,
+                          strategy=strategy, grid=grid, tile_size=tile_size) \
+        .extract(ops, include_cols=include_cols)
 
-    if grid is None:
-        grid = tiles.select("grid_xmin", "grid_ymax", "dx", "dy",
-                            "grid_nrows", "grid_ncols").first().asDict()
-    if tile_size is None:
-        tile_size = grid.get("tile") or tiles.select(F.max("nrows")).first()[0]
-    values_dtype = grid.get("dtype")
-    if values_dtype is None:
-        values_dtype = tiles.select("dtype").first()[0]
-    int_values = np.dtype(values_dtype).kind in "iu"
 
-    zones_b = attach_bbox(zones)
-
-    has_weights = weight_tiles is not None
-    tiles_in = tiles
-    if has_weights:
-        w = weight_tiles.select(
-            F.col("tile_row").alias("w_tile_row"), F.col("tile_col").alias("w_tile_col"),
-            F.col("values").alias("w_values"), F.col("dtype").alias("w_dtype"),
-            F.col("nodata").alias("w_nodata"))
-        tiles_in = tiles.join(
-            w, (F.col("tile_row") == F.col("w_tile_row")) &
-               (F.col("tile_col") == F.col("w_tile_col")), "left") \
-            .drop("w_tile_row", "w_tile_col")
-
-    if strategy == "auto":
-        n_zones = zones_b.count()
-        strategy = "broadcast" if n_zones <= BROADCAST_ZONE_LIMIT else "shuffle"
-
-    geom_lookup = None
-    if strategy == "broadcast":
-        geoms = {r["zone_id"]: r["geometry"]
-                 for r in zones_b.select("zone_id", "geometry").collect()}
-        geom_lookup = spark.sparkContext.broadcast(geoms)
-        pairs = zone_tile_pairs(zones_b.select("zone_id", "xmin", "ymin", "xmax", "ymax"),
-                                grid, tile_size)
-        joined = tiles_in.join(F.broadcast(pairs.select("zone_id", "tile_row", "tile_col")),
-                               ["tile_row", "tile_col"])
-    else:
-        pairs = zone_tile_pairs(
-            zones_b.select("zone_id", "geometry", "xmin", "ymin", "xmax", "ymax"),
-            grid, tile_size)
-        joined = tiles_in.join(pairs, ["tile_row", "tile_col"])
-
+def _assemble(zones_b, joined, keygroups, *, geom_lookup, has_weights,
+              int_values, include_cols):
     partials = run_kernel(joined, keygroups, geom_lookup=geom_lookup,
                           has_weights=has_weights)
 
