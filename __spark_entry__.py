@@ -22,6 +22,10 @@ from exactextract_spark import io as eio
 from exactextract_spark.extract import attach_bbox, exact_extract, zone_tile_pairs
 from exactextract_spark.fixtures import SynthConfig, build_docs
 from exactextract_spark.oracles import ZONAL_ORACLES
+from exactextract_spark.pipeline import dedup as pdedup
+from exactextract_spark.pipeline import multimodal as pmm
+from exactextract_spark.pipeline import similarity as psim
+from exactextract_spark.pipeline import text as ptext
 
 _ORACLE_CFG = SynthConfig.from_sf_dir("sf0.01")  # driver compares at sf=0.01
 
@@ -88,9 +92,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_mixed_args": _zq(["count", "count_mc=count(min_coverage_frac=0.25)",
                                  "weighted_mean"], weighted=True),
         "tile_assignment": _tile_assignment,
+        # training-data pipeline operators (documents / embeddings)
+        "text_stats": ptext.text_stats,
+        "lang_guess": ptext.lang_guess,
+        "doc_fingerprint": ptext.fingerprint,
+        "token_histogram": ptext.token_histogram,
+        "dedup_exact": pdedup.exact_dedup,
+        "dedup_minhash_sig": pdedup.minhash_signature,
+        "dedup_minhash_pairs": pdedup.minhash_pairs,
+        "dedup_simhash": pdedup.simhash,
+        "dedup_ngram_jaccard": pdedup.ngram_jaccard,
+        "ann_topk": psim.ann_topk,
+        "ann_lsh_buckets": psim.lsh_buckets,
+        "embedding_neardup": psim.embedding_neardup,
+        "media_metadata": pmm.media_metadata,
     }
     return q
 
 
+PIPELINE_ORACLES = {
+    "text_stats": ptext.text_stats_oracle,
+    "lang_guess": ptext.lang_guess_oracle,
+    "doc_fingerprint": ptext.fingerprint_oracle,
+    "token_histogram": ptext.token_histogram_oracle,
+    "dedup_exact": pdedup.exact_dedup_oracle,
+    "dedup_minhash_sig": pdedup.minhash_signature_oracle,
+    "dedup_minhash_pairs": pdedup.minhash_pairs_oracle,
+    "dedup_simhash": pdedup.simhash_oracle,
+    "dedup_ngram_jaccard": pdedup.ngram_jaccard_oracle,
+    "ann_topk": psim.ann_topk_oracle,
+    "ann_lsh_buckets": psim.lsh_buckets_oracle,
+    "embedding_neardup": psim.embedding_neardup_oracle,
+    "media_metadata": pmm.media_metadata_oracle,
+}
+
+
 def oracle_sql() -> dict[str, str]:
-    return {name: fn(_ORACLE_CFG) for name, fn in ZONAL_ORACLES.items()}
+    out = {name: fn(_ORACLE_CFG) for name, fn in ZONAL_ORACLES.items()}
+    out.update({name: fn() for name, fn in PIPELINE_ORACLES.items()})
+    return out

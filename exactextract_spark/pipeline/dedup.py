@@ -1,0 +1,164 @@
+"""Deduplication operators: exact (hash-groupBy), MinHash+LSH banding,
+SimHash, and n-gram Jaccard — all JVM-side Spark SQL expressions with
+bit-exact DuckDB oracles.
+
+Scale notes (100 TB): exact dedup is a single hash shuffle on the
+digest; MinHash-LSH turns all-pairs similarity into an equi-join on
+band keys (each band join is a shuffle on a 64-bit key, candidates
+verified afterwards) — the standard shingle→minhash→band→bucket-join
+pipeline.  No driver-side state anywhere."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .text import M, P, TOKCODE_SPARK
+
+# fixed minhash permutation constants (a*x + b) % P
+MINHASH_A = [131, 137, 139, 149, 151, 157, 163, 167,
+             173, 179, 181, 191, 193, 197, 199, 211]
+MINHASH_B = [17, 29, 41, 53, 67, 79, 97, 101,
+             113, 127, 139, 151, 163, 179, 193, 211]
+N_BANDS, BAND_W = 4, 4
+SIMHASH_BITS = 16
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate grouping: md5 digest → min doc_id is canonical."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("text_hash")
+    return d.select("doc_id", "text_hash",
+                    F.min("doc_id").over(w).alias("canonical_id")) \
+            .withColumn("is_duplicate", F.col("doc_id") != F.col("canonical_id"))
+
+
+def exact_dedup_oracle() -> str:
+    return """SELECT doc_id, md5(text) AS text_hash,
+  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+FROM documents"""
+
+
+# --- shingling ------------------------------------------------------------
+
+_TC = TOKCODE_SPARK.format(t="t")
+# 3-token shingle codes; documents with <3 tokens collapse to one code
+_SHINGLES_SPARK = (
+    "CASE WHEN size(tc) >= 3 THEN "
+    f" transform(sequence(1, size(tc) - 2), i ->"
+    f"   ((element_at(tc, i) * {M} + element_at(tc, i + 1)) % {P} * {M}"
+    f"    + element_at(tc, i + 2)) % {P})"
+    " ELSE array(aggregate(tc, CAST(0 AS BIGINT), (a, c) -> (a * 31 + c) % 1000000007)) END")
+_TC_ARR_SPARK = (f"transform(split(trim(text), '\\\\s+'), t -> CAST({_TC} AS BIGINT))")
+
+_SHINGLES_DUCK = (
+    "CASE WHEN len(tc) >= 3 THEN "
+    f" list_transform(range(1, len(tc) - 1), i ->"
+    f"   ((tc[i] * {M} + tc[i + 1]) % {P} * {M} + tc[i + 2]) % {P})"
+    " ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), tc),"
+    "       (a, c) -> (a * 31 + c) % 1000000007)] END")
+_TC_ARR_DUCK = ("list_transform(regexp_split_to_array(trim(text), '\\s+'),"
+                f" t -> CAST({_TC} AS BIGINT))")
+
+
+def _band_expr(prefix: str, b: int) -> str:
+    """Fold BAND_W minhashes into one band key (mod-P Horner)."""
+    e = f"{prefix}{b * BAND_W}"
+    for j in range(1, BAND_W):
+        e = f"(({e}) * 8191 + {prefix}{b * BAND_W + j}) % {P}"
+    return e
+
+
+def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16 minhashes over 3-token shingles, folded into 4 LSH bands."""
+    d = _docs(spark, sf_dir).selectExpr("doc_id", f"{_TC_ARR_SPARK} AS tc") \
+        .selectExpr("doc_id", f"{_SHINGLES_SPARK} AS sh")
+    mh = [f"array_min(transform(sh, s -> ({MINHASH_A[j]} * s + {MINHASH_B[j]}) % {P})) AS mh{j}"
+          for j in range(len(MINHASH_A))]
+    d = d.selectExpr("doc_id", *mh)
+    bands = [F.expr(_band_expr("mh", b)).alias(f"band{b}") for b in range(N_BANDS)]
+    return d.select("doc_id", *bands)
+
+
+def minhash_signature_oracle() -> str:
+    mh = ", ".join(
+        f"list_min(list_transform(sh, s -> ({MINHASH_A[j]} * s + {MINHASH_B[j]}) % {P})) AS mh{j}"
+        for j in range(len(MINHASH_A)))
+    bands = ", ".join(f"{_band_expr('mh', b)} AS band{b}" for b in range(N_BANDS))
+    return f"""SELECT doc_id, {bands}
+FROM (SELECT doc_id, {mh}
+      FROM (SELECT doc_id, {_SHINGLES_DUCK} AS sh
+            FROM (SELECT doc_id, {_TC_ARR_DUCK} AS tc FROM documents)))"""
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band key.  At scale each
+    band is an equi-join on its key (shuffle by band value)."""
+    sig = minhash_signature(spark, sf_dir)
+    parts = []
+    for b in range(N_BANDS):
+        l = sig.select(F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bk"))
+        r = sig.select(F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bk"))
+        parts.append(l.join(r, "bk").where(F.col("doc_a") < F.col("doc_b"))
+                      .select("doc_a", "doc_b"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def minhash_pairs_oracle() -> str:
+    sig = minhash_signature_oracle()
+    joins = " UNION ".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b"
+        f" ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(N_BANDS))
+    return f"WITH sig AS ({sig}) {joins}"
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over token codes (bit-majority of code bits)."""
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"aggregate(sequence(0, {SIMHASH_BITS - 1}), CAST(0 AS BIGINT), (acc, b) -> acc + "
+        f"  CASE WHEN aggregate({_TC_ARR_SPARK}, CAST(0 AS BIGINT),"
+        f"       (a, c) -> a + CASE WHEN (c >> b) % 2 = 1 THEN 1 ELSE -1 END) > 0"
+        f"  THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END) AS simhash")
+
+
+def simhash_oracle() -> str:
+    return f"""SELECT doc_id,
+  list_sum(list_transform(range(0, {SIMHASH_BITS}), b ->
+    CASE WHEN list_sum(list_transform({_TC_ARR_DUCK},
+      c -> CASE WHEN (c >> b) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS simhash
+FROM documents"""
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for adjacent doc pairs (deterministic
+    demo pairing; production path verifies minhash_pairs candidates)."""
+    d = _docs(spark, sf_dir).selectExpr("doc_id", f"{_TC_ARR_SPARK} AS tc") \
+        .selectExpr("doc_id", f"array_distinct({_SHINGLES_SPARK}) AS sh")
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (a.join(b, a.doc_a + 1 == b.doc_b)
+            .selectExpr("doc_a", "doc_b",
+                        "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)"
+                        " / size(array_union(sh_a, sh_b)) AS jaccard"))
+
+
+def ngram_jaccard_oracle() -> str:
+    return f"""WITH d AS (
+  SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS sh
+  FROM (SELECT doc_id, {_TC_ARR_DUCK} AS tc FROM documents))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM d a JOIN d b ON a.doc_id + 1 = b.doc_id"""

@@ -1,0 +1,70 @@
+"""Multimodal column plumbing: treat image/audio/video as opaque binary
+columns with typed metadata.
+
+The container has no image/audio codecs, so the decode step is a
+clearly-marked STUB (deterministic fake header parse /
+NotImplementedError for real decoding).  Everything Spark-side is real
+and tested: schema, Arrow-batched mapInPandas, batch shapes,
+partitioning."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("first_byte", T.IntegerType()),
+    T.StructField("fake_width", T.IntegerType()),
+    T.StructField("fake_height", T.IntegerType()),
+])
+
+
+def decode_stub(payload: bytes) -> dict:
+    """Deterministic fake "decode": header-derived metadata.  A real
+    deployment would swap in PIL / libav here."""
+    n = len(payload)
+    fb = payload[0] if n else 0
+    return {"n_bytes": n, "first_byte": fb,
+            "fake_width": n % 640, "fake_height": (fb * 7) % 480}
+
+
+def real_decode(payload: bytes):
+    raise NotImplementedError(
+        "image/audio decoding is stubbed in this container; install a "
+        "codec (PIL/libav) and replace decode_stub")
+
+
+def binary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with a fake binary media payload column (UTF-8 bytes of
+    the text — deterministic, no external data)."""
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", F.encode("text", "UTF-8").alias("payload")))
+
+
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode → typed metadata through Arrow-batched mapInPandas
+    (the real plumbing; only the decoder itself is a stub)."""
+    docs = binary_docs(spark, sf_dir)
+
+    def run(batches):
+        for pdf in batches:
+            metas = [decode_stub(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(metas)
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out.astype({"n_bytes": np.int32, "first_byte": np.int32,
+                              "fake_width": np.int32, "fake_height": np.int32})
+
+    return docs.mapInPandas(run, schema=META_SCHEMA)
+
+
+def media_metadata_oracle() -> str:
+    # documents are ASCII, so codepoint == first UTF-8 byte
+    return """SELECT doc_id,
+  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+  CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+  CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
+  CAST((ascii(substr(text, 1, 1)) * 7) % 480 AS INT) AS fake_height
+FROM documents"""

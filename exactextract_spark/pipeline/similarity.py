@@ -1,0 +1,132 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+- brute-force cosine top-k: the exactness baseline.  Dot products are
+  sequential left-folds in float64 so the DuckDB oracle is bit-exact.
+- LSH-bucketed variant: deterministic pseudo-random hyperplanes (sign
+  bits of integer-formula projections) → bucket equi-join — the scale
+  path (candidates per bucket, not all-pairs).
+
+At 100 TB the broadcast side is the query set; the data side streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+N_QUERIES = 16
+TOP_K = 5
+N_PLANES = 8
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+_DOT_SPARK = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+              " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+_DOT_DUCK = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+             " list_transform(range(1, len({a}) + 1),"
+             " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)")
+
+
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for the first N_QUERIES vectors."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    j = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    dot = _DOT_SPARK.format(a="qe", b="ce")
+    nq = "SQRT(" + _DOT_SPARK.format(a="qe", b="qe") + ")"
+    nc = "SQRT(" + _DOT_SPARK.format(a="ce", b="ce") + ")"
+    scored = j.selectExpr("query_id", "neighbor_id",
+                          f"({dot}) / (({nq}) * ({nc})) AS cosine")
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= TOP_K)
+                  .select("query_id", "neighbor_id",
+                          F.col("rank").cast("int").alias("rank"), "cosine"))
+
+
+def ann_topk_oracle() -> str:
+    dot = _DOT_DUCK.format(a="q.embedding", b="c.embedding")
+    nq = "SQRT(" + _DOT_DUCK.format(a="q.embedding", b="q.embedding") + ")"
+    nc = "SQRT(" + _DOT_DUCK.format(a="c.embedding", b="c.embedding") + ")"
+    return f"""WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ({dot}) / (({nq}) * ({nc})) AS cosine
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES})
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+WHERE rank <= {TOP_K}"""
+
+
+# deterministic pseudo-hyperplane component for plane p, dim i:
+# integer formula -> centered small int
+_PLANE = "((({i} * 37 + {p} * 101) % 13) - 6)"
+
+_PROJ_SPARK = ("aggregate(zip_with(sequence(0, size({e}) - 1), {e},"
+               " (i, x) -> CAST(" + _PLANE.format(i="i", p="{p}") + " AS DOUBLE)"
+               " * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+_PROJ_DUCK = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+              " list_transform(range(1, len({e}) + 1),"
+              " i -> CAST(" + _PLANE.format(i="(i - 1)", p="{p}") + " AS DOUBLE)"
+              " * CAST({e}[i] AS DOUBLE))), (x, y) -> x + y)")
+
+
+def _bucket_spark(e: str) -> str:
+    return " + ".join(
+        f"CASE WHEN ({_PROJ_SPARK.format(e=e, p=p)}) > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(N_PLANES))
+
+
+def _bucket_duck(e: str) -> str:
+    return " + ".join(
+        f"CASE WHEN ({_PROJ_DUCK.format(e=e, p=p)}) > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(N_PLANES))
+
+
+def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (the ANN scale path:
+    candidate search becomes an equi-join on bucket)."""
+    return _emb(spark, sf_dir).selectExpr(
+        "vec_id", f"CAST({_bucket_spark('embedding')} AS INT) AS bucket")
+
+
+def lsh_buckets_oracle() -> str:
+    return f"SELECT vec_id, CAST({_bucket_duck('embedding')} AS INT) AS bucket FROM embeddings"
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs within LSH buckets with cosine above 0.9 —
+    composition of the bucket join + exact verification."""
+    b = lsh_buckets(spark, sf_dir)
+    e = _emb(spark, sf_dir).join(b, "vec_id")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+                 F.col("bucket"))
+    c = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+                 F.col("bucket"))
+    dot = _DOT_SPARK.format(a="ea", b="eb")
+    na = "SQRT(" + _DOT_SPARK.format(a="ea", b="ea") + ")"
+    nb = "SQRT(" + _DOT_SPARK.format(a="eb", b="eb") + ")"
+    return (a.join(c, "bucket").where(F.col("vec_a") < F.col("vec_b"))
+            .selectExpr("vec_a", "vec_b", f"({dot}) / (({na}) * ({nb})) AS cosine")
+            .where("cosine > 0.9"))
+
+
+def embedding_neardup_oracle() -> str:
+    dot = _DOT_DUCK.format(a="a.embedding", b="b.embedding")
+    na = "SQRT(" + _DOT_DUCK.format(a="a.embedding", b="a.embedding") + ")"
+    nb = "SQRT(" + _DOT_DUCK.format(a="b.embedding", b="b.embedding") + ")"
+    return f"""WITH bk AS ({lsh_buckets_oracle()})
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ({dot}) / (({na}) * ({nb})) AS cosine
+FROM embeddings a JOIN bk ba ON a.vec_id = ba.vec_id
+JOIN bk bb ON TRUE
+JOIN embeddings b ON b.vec_id = bb.vec_id
+WHERE ba.bucket = bb.bucket AND a.vec_id < b.vec_id
+  AND ({dot}) / (({na}) * ({nb})) > 0.9"""

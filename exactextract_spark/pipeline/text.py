@@ -1,0 +1,119 @@
+"""Text-analysis operators over the documents table.
+
+All pure JVM-side Spark SQL expressions.  Each builder has a paired
+DuckDB oracle SQL (same arithmetic, same operation order) so the
+driver's value-hash comparison passes bit-exact."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# deterministic per-token integer code (ASCII docs): first char, second
+# char, length — used by fingerprints/minhash/simhash instead of any
+# engine-builtin hash so both engines agree exactly
+TOKCODE_SPARK = "(ascii({t})*961 + ascii(substr({t},2,1))*31 + length({t}))"
+TOKCODE_DUCK = TOKCODE_SPARK  # same syntax in both dialects
+P = 1000000007
+M = 1000003
+
+STOPWORDS = "('the','and','of','a','to','in','is')"
+LANG_MARKERS = {
+    "en": "('the','and','of','to','is')",
+    "es": "('el','la','de','que','y')",
+    "de": "('der','die','und','das')",
+    "fr": "('le','et','les','des')",
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality stats: chars, tokens, distinct tokens,
+    average token length, stopword ratio."""
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "length(text) AS n_chars",
+        "size(split(trim(text), '\\\\s+')) AS n_tokens",
+        "size(array_distinct(split(trim(text), '\\\\s+'))) AS n_unique_tokens",
+        "CAST(aggregate(transform(split(trim(text), '\\\\s+'), t -> length(t)), 0, (a, x) -> a + x) AS DOUBLE)"
+        " / size(split(trim(text), '\\\\s+')) AS avg_token_len",
+        f"CAST(size(filter(split(trim(text), '\\\\s+'), t -> t IN {STOPWORDS})) AS DOUBLE)"
+        " / size(split(trim(text), '\\\\s+')) AS stopword_ratio",
+    )
+
+
+def text_stats_oracle() -> str:
+    return f"""SELECT doc_id,
+  length(text) AS n_chars,
+  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS INT) AS n_unique_tokens,
+  CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> length(t))) AS DOUBLE)
+    / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_token_len,
+  CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN {STOPWORDS})) AS DOUBLE)
+    / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio
+FROM documents"""
+
+
+def _lang_counts_sql(toks: str, dialect_filter: str) -> list[str]:
+    return [f"CAST(len({dialect_filter}({toks}, t -> t IN {m})) AS INT) AS c_{lang}"
+            if dialect_filter == "list_filter" else
+            f"size(filter({toks}, t -> t IN {m})) AS c_{lang}"
+            for lang, m in LANG_MARKERS.items()]
+
+
+_LANG_CASE = ("CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en' "
+              "WHEN c_es >= c_de AND c_es >= c_fr THEN 'es' "
+              "WHEN c_de >= c_fr THEN 'de' ELSE 'fr' END AS lang_guess")
+
+
+def lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword-marker language heuristic (deterministic)."""
+    toks = "split(trim(text), '\\\\s+')"
+    counts = _lang_counts_sql(toks, "filter")
+    return (_docs(spark, sf_dir)
+            .selectExpr("doc_id", *counts)
+            .selectExpr("doc_id", "c_en", "c_es", "c_de", "c_fr", _LANG_CASE))
+
+
+def lang_guess_oracle() -> str:
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    counts = ", ".join(_lang_counts_sql(toks, "list_filter"))
+    return f"""SELECT doc_id, c_en, c_es, c_de, c_fr, {_LANG_CASE}
+FROM (SELECT doc_id, {counts} FROM documents)"""
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial document fingerprint over token codes
+    (mod-{P} arithmetic; no engine-builtin hash)."""
+    tc = TOKCODE_SPARK.format(t="t")
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"aggregate(transform(split(trim(text), '\\\\s+'), t -> CAST({tc} AS BIGINT)),"
+        f" CAST(0 AS BIGINT), (a, c) -> (a * {M} + c) % {P}) AS fingerprint",
+    )
+
+
+def fingerprint_oracle() -> str:
+    tc = TOKCODE_DUCK.format(t="t")
+    return f"""SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> CAST({tc} AS BIGINT))),
+    (a, c) -> (a * {M} + c) % {P}) AS fingerprint
+FROM documents"""
+
+
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency (explode + groupBy — the classic
+    wordcount shape, fully JVM-side)."""
+    return (_docs(spark, sf_dir)
+            .selectExpr("explode(split(trim(text), '\\\\s+')) AS token")
+            .groupBy("token").agg(F.count("*").alias("freq")))
+
+
+def token_histogram_oracle() -> str:
+    return """SELECT token, COUNT(*) AS freq
+FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM documents)
+GROUP BY token"""

