@@ -114,8 +114,9 @@ def zone_tile_pairs(zones_bbox: DataFrame, grid: dict, tile: int) -> DataFrame:
              .drop("_tr0", "_tr1", "_tc0", "_tc1"))
 
 
-def _partial_schema(keygroups) -> T.StructType:
+def _partial_schema(keygroups, passthrough=()) -> T.StructType:
     fields = [T.StructField("zone_id", T.StringType())]
+    fields += [T.StructField(c, T.IntegerType()) for c in passthrough]
     for i, (_, req, _) in enumerate(keygroups):
         p = f"k{i}_"
         fields += [T.StructField(p + "n", T.LongType()),
@@ -144,11 +145,13 @@ def _partial_schema(keygroups) -> T.StructType:
 
 
 def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
-               has_weights: bool) -> DataFrame:
+               has_weights: bool, passthrough=()) -> DataFrame:
     """mapInPandas kernel: decode tile, compute coverage once, update
     every op-key's accumulator (read-once dedup of shared windows —
-    reference feature_sequential_processor.cpp:85-113)."""
-    schema = _partial_schema(keygroups)
+    reference feature_sequential_processor.cpp:85-113).  ``passthrough``
+    columns (e.g. tile ids for checkpoint lineage) are copied onto every
+    partial row."""
+    schema = _partial_schema(keygroups, passthrough)
     key_specs = [(i, req, dict(
         min_coverage_frac=key[2], coverage_weight=key[3],
         default_value=key[4], default_weight=key[5]))
@@ -196,6 +199,7 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                     cov = coverage_for_window(geom, xmin, ymax, dx, dy, nr, nc)
                     if not cov.any():
                         continue
+                    pt = {c: int(pdf[c].iloc[j]) for c in passthrough}
                     if vals is None:
                         # decode once per tile row (read-once dedup,
                         # feature_sequential_processor.cpp:85-113)
@@ -204,7 +208,7 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                             wvals = decode_tile(wbuf_a[j], wdt_a[j], nr, nc)
                             wn = wnd_a.iloc[j]
                             w_nodata = None if wn is None or pd.isna(wn) else float(wn)
-                    rec = {"zone_id": zid}
+                    rec = {"zone_id": zid, **pt}
                     any_key = False
                     for i, req, kwargs in key_specs:
                         part = accumulate_pair(
@@ -438,7 +442,15 @@ def _assemble(zones_b, joined, keygroups, *, geom_lookup, has_weights,
               int_values, include_cols):
     partials = run_kernel(joined, keygroups, geom_lookup=geom_lookup,
                           has_weights=has_weights)
+    return aggregate_partials(zones_b, partials, keygroups,
+                              int_values=int_values, include_cols=include_cols)
 
+
+def aggregate_partials(zones_b, partials, keygroups, *, int_values=False,
+                       include_cols=None):
+    """Merge partial states into final per-zone statistics.  Separated
+    from the kernel so checkpoint/resume can merge stored partials
+    (checkpoint.py) — the RasterStats::combine stage."""
     need_hist = any(req.histogram for _, req, _ in keygroups)
     need_cells = any(req.cells for _, req, _ in keygroups)
     if need_hist or need_cells:
