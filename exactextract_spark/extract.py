@@ -265,6 +265,35 @@ def _quantile_udf(q: float):
     return qf
 
 
+def _python_op_udf(fn, weighted: bool, result_type: str):
+    """Custom-op finalizer: calls the user function once per zone with
+    masked numpy arrays — the reference PythonOperation contract
+    (operation_bindings.cpp:75-99).  Skipped (NULL) for zones with no
+    intersecting cells, like the reference never calling the op for
+    non-intersecting features."""
+    @F.pandas_udf(result_type)
+    def u(cells: pd.Series) -> pd.Series:
+        out = []
+        for c in cells:
+            if c is None or len(c) == 0:
+                out.append(None)
+                continue
+            vals = np.ma.masked_array(np.array([e["v"] for e in c], dtype=np.float64))
+            cov = np.array([e["cov"] for e in c], dtype=np.float64)
+            if weighted:
+                w = np.array([e["w"] for e in c], dtype=np.float64)
+                r = fn(vals, cov, w)
+            else:
+                r = fn(vals, cov)
+            if isinstance(r, np.ndarray):
+                r = r.tolist()
+            elif isinstance(r, np.generic):
+                r = r.item()
+            out.append(r)
+        return pd.Series(out, dtype="object")
+    return u
+
+
 def _finalize_exprs(i: int, ops_in_key: list[Op], int_values: bool = False) -> list[Column]:
     p = f"k{i}_"
     sum_c, sum_cx = F.col(p + "sum_c"), F.col(p + "sum_cx")
@@ -341,6 +370,9 @@ def _finalize_exprs(i: int, ops_in_key: list[Op], int_values: bool = False) -> l
             e = F.expr(f"transform({p}cells_sorted, s -> s.y)")
         elif s == "cell_id":
             e = F.expr(f"transform({p}cells_sorted, s -> s.cell_id)")
+        elif s == "python":
+            e = _python_op_udf(op.fn, op.weights is not None, op.result_type)(
+                F.col(p + "cells_sorted"))
         else:
             raise ValueError(f"unhandled stat {s}")
         exprs.append(e.alias(op.name))

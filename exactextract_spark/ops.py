@@ -54,6 +54,10 @@ class Op:
     coverage_weight: str = "fraction"
     default_value: float | None = None
     default_weight: float | None = None
+    # custom Python op (reference PythonOperation,
+    # python/src/pybindings/operation_bindings.cpp:29-131)
+    fn: object = None              # callable(values, cov[, weights])
+    result_type: str = "double"
 
     @property
     def key(self):
@@ -84,6 +88,11 @@ class StatRequirements:
     def merge_op(self, op: Op) -> None:
         self.basic = True
         s = op.stat
+        if s == "python":
+            self.cells = True
+            if op.weights is not None:
+                self.cells_weights = True
+            return
         if s in _NEEDS_WEIGHTS:
             self.weighted = True
         if s in _NEEDS_VARIANCE:
@@ -158,12 +167,36 @@ def parse_op(desc: str, *, values: str = "values", weights: str | None = None) -
     if stat in _NEEDS_WEIGHTS and weights is None:
         raise ValueError(f"stat {stat!r} requires a weights raster")
     return Op(stat=stat, name=name, values=values,
-              weights=weights if stat in _NEEDS_WEIGHTS or stat == "weights" else weights,
+              weights=weights if stat in _NEEDS_WEIGHTS else None,
               **kwargs)
 
 
+def wrap_callable(fn, *, values: str = "values", weights: str | None = None,
+                  name: str | None = None, result_type: str = "double") -> Op:
+    """Wrap a user callable into a custom op — same contract as the
+    reference's PythonOperation (operation_bindings.cpp:29-131): 2 args
+    (values, coverage) or 3 args (values, coverage, weights), masked
+    numpy arrays in, scalar/array out; never called for
+    non-intersecting features; errors propagate.
+
+    Deviation: the Spark engine needs a declared result type
+    (default DOUBLE; pass result_type='array<double>' etc.) where the
+    reference infers it from the returned object."""
+    import inspect
+
+    nargs = len(inspect.signature(fn).parameters)
+    if nargs not in (2, 3):
+        raise ValueError("custom operation must take 2 or 3 arguments")
+    if nargs == 3 and weights is None:
+        raise ValueError("No weights provided for 3-argument custom operation")
+    return Op(stat="python", name=name or fn.__name__, values=values,
+              weights=weights if nargs == 3 else None,
+              fn=fn, result_type=result_type)
+
+
 def parse_ops(descs, *, values: str = "values", weights: str | None = None) -> list[Op]:
-    ops = [parse_op(d, values=values, weights=weights) if isinstance(d, str) else d
+    ops = [parse_op(d, values=values, weights=weights) if isinstance(d, str)
+           else (wrap_callable(d, values=values, weights=weights) if callable(d) else d)
            for d in descs]
     seen = set()
     for op in ops:
