@@ -1,0 +1,55 @@
+"""High-level conveniences mirroring the reference's Python API surface
+(/root/reference/python/src/exactextract/exact_extract.py:28-144
+multi-source fan-out and naming; python/src/exactextract/writer.py
+unnesting; frac_as_map output option)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .extract import ZonalExtractor
+from .ops import parse_ops
+
+__all__ = ["exact_extract_multi", "unnest_arrays", "frac_as_map"]
+
+
+def exact_extract_multi(zones: DataFrame, rasters: dict[str, DataFrame], ops, *,
+                        weights: DataFrame | None = None,
+                        include_cols: list[str] | None = None) -> DataFrame:
+    """Fan out one op list over several rasters (and their bands),
+    auto-naming columns ``{src}_{stat}`` or ``{src}_band_{b}_{stat}``
+    (reference naming, exact_extract.py:28-38; utils.cpp:213-264).
+    Results join on zone_id into one row per zone."""
+    out = None
+    for src_name, tiles in rasters.items():
+        bands = [r[0] for r in tiles.select("band").distinct().collect()]
+        for b in sorted(bands):
+            btiles = tiles.where(F.col("band") == b)
+            prefix = f"{src_name}_" if len(bands) == 1 else f"{src_name}_band_{b}_"
+            wname = "weights" if weights is not None else None
+            op_list = parse_ops(ops, weights=wname)
+            named = [o.__class__(**{**o.__dict__, "name": prefix + o.name}) for o in op_list]
+            ext = ZonalExtractor(zones, btiles, weight_tiles=weights)
+            res = ext.extract(named, include_cols=include_cols if out is None else None)
+            out = res if out is None else out.join(res, "zone_id", "full")
+    return out
+
+
+def unnest_arrays(df: DataFrame, array_cols: list[str],
+                  keep_cols: list[str] | None = None) -> DataFrame:
+    """Explode parallel array result columns into one output row per
+    element — the reference's GDALFeatureUnnester
+    (src/gdal_feature_unnester.h:23-58); Spark-native as
+    explode(arrays_zip(...))."""
+    keep = keep_cols if keep_cols is not None else \
+        [c for c in df.columns if c not in array_cols]
+    z = F.explode(F.arrays_zip(*[F.col(c) for c in array_cols])).alias("_e")
+    out = df.select(*keep, z)
+    return out.select(*keep, *[F.col(f"_e.{c}").alias(c) for c in array_cols])
+
+
+def frac_as_map(df: DataFrame, unique_col: str = "unique", frac_col: str = "frac",
+                out_col: str = "frac_map") -> DataFrame:
+    """Combine parallel unique/frac arrays into a map<value,frac> column
+    (reference frac_as_map output option, exact_extract.py:251-265)."""
+    return df.withColumn(out_col, F.map_from_arrays(F.col(unique_col), F.col(frac_col)))

@@ -1,0 +1,88 @@
+"""Command-line interface mirroring the reference CLI surface
+(/root/reference/src/exactextract.cpp:54-193):
+
+  exactextract-spark \
+      --polygons zones.parquet --fid zone_id --geom geometry \
+      --raster values=tiles.parquet [--weights w=tiles.parquet] \
+      --stat "mean" --stat "q3=quantile(q=0.75)" \
+      [--include-col props] [--strategy broadcast|shuffle|auto] \
+      [--docs docs.parquet --raster-id r0]  (interleaved-doc input) \
+      --output out.parquet
+
+Reads zones/tiles from parquet (or an interleaved-docs table), runs the
+engine, writes the result parquet.  ``--id-name/--id-type`` re-cast the
+feature id like the reference's OGR SQL trick (exactextract.cpp:195-236).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("exactextract-spark")
+    p.add_argument("--polygons", help="parquet with zone rows")
+    p.add_argument("--fid", default="zone_id", help="zone id column")
+    p.add_argument("--geom", default="geometry", help="WKT geometry column")
+    p.add_argument("--docs", help="interleaved-docs parquet (alternative input)")
+    p.add_argument("--raster", required=False, help="NAME=tiles.parquet or raster id in --docs")
+    p.add_argument("--weights", help="NAME=tiles.parquet or raster id in --docs")
+    p.add_argument("--stat", "-s", action="append", required=True, dest="stats")
+    p.add_argument("--include-col", action="append", default=[], dest="include_cols")
+    p.add_argument("--id-name", help="rename the id column in the output")
+    p.add_argument("--id-type", help="cast the id column (e.g. bigint)")
+    p.add_argument("--strategy", default="auto",
+                   choices=["auto", "broadcast", "shuffle"])
+    p.add_argument("--output", "-o", required=True)
+    p.add_argument("--cores", type=int, default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from pyspark.sql import functions as F
+
+    from . import io as eio
+    from .extract import exact_extract
+    from .session import get_spark
+
+    spark = get_spark(app="exactextract-cli", cores=args.cores)
+
+    if args.docs:
+        docs = spark.read.parquet(args.docs)
+        zones = eio.zones_from_docs(docs)
+        meta = {r["raster_id"]: r.asDict()
+                for r in eio.raster_meta_from_docs(docs).collect()}
+        rid = args.raster or next(iter(meta))
+        tiles = eio.tiles_from_docs(docs, rid, meta[rid])
+        wtiles = eio.tiles_from_docs(docs, args.weights, meta[args.weights]) \
+            if args.weights else None
+    else:
+        if not args.polygons or not args.raster:
+            print("either --docs or both --polygons and --raster are required",
+                  file=sys.stderr)
+            return 2
+        zones = spark.read.parquet(args.polygons).withColumnRenamed(args.fid, "zone_id") \
+            .withColumnRenamed(args.geom, "geometry")
+        _, _, tpath = args.raster.partition("=")
+        tiles = spark.read.parquet(tpath or args.raster)
+        wtiles = None
+        if args.weights:
+            _, _, wpath = args.weights.partition("=")
+            wtiles = spark.read.parquet(wpath or args.weights)
+
+    res = exact_extract(zones, tiles, args.stats, weight_tiles=wtiles,
+                        include_cols=args.include_cols or None,
+                        strategy=args.strategy)
+    if args.id_type:
+        res = res.withColumn("zone_id", F.col("zone_id").cast(args.id_type))
+    if args.id_name:
+        res = res.withColumnRenamed("zone_id", args.id_name)
+    res.write.mode("overwrite").parquet(args.output)
+    print(f"wrote {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -39,6 +39,8 @@ lifting the reference's parallel-strategy restriction
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
@@ -189,14 +191,24 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                 nd = nd_a.iloc[j]
                 nd = None if nd is None or pd.isna(nd) else float(nd)
                 for zid in (zid_a[j] if grouped else (zid_a[j],)):
-                    geom = geom_cache.get(zid)
-                    if geom is None:
+                    cached = geom_cache.get(zid)
+                    if cached is None:
                         wkt = geom_lookup.value[zid] if geom_lookup is not None else wkt_a[j]
                         geom = parse_wkt(wkt)
                         if len(geom_cache) > 65536:
                             geom_cache.clear()
-                        geom_cache[zid] = geom
-                    cov = coverage_for_window(geom, xmin, ymax, dx, dy, nr, nc)
+                        cached = geom_cache[zid] = (geom, geom.bbox)
+                    geom, (bx0, by0, bx1, by1) = cached
+                    # crop to the zone-bbox ∩ tile sub-window so kernel
+                    # work scales with the zone, not the tile (the
+                    # reference's crop/shrink_to_fit, grid.h:145-238)
+                    c0z = min(max(int(math.floor((bx0 - xmin) / dx)), 0), nc - 1)
+                    c1z = min(max(int(math.ceil((bx1 - xmin) / dx)), c0z + 1), nc)
+                    r0z = min(max(int(math.floor((ymax - by1) / dy)), 0), nr - 1)
+                    r1z = min(max(int(math.ceil((ymax - by0) / dy)), r0z + 1), nr)
+                    nrw, ncw = r1z - r0z, c1z - c0z
+                    cov = coverage_for_window(geom, xmin + c0z * dx, ymax - r0z * dy,
+                                              dx, dy, nrw, ncw)
                     if not cov.any():
                         continue
                     pt = {c: int(pdf[c].iloc[j]) for c in passthrough}
@@ -212,9 +224,10 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                     any_key = False
                     for i, req, kwargs in key_specs:
                         part = accumulate_pair(
-                            cov, vals, req=req, nodata=nd,
-                            weights=wvals, weight_nodata=w_nodata,
-                            row0=row0, col0=col0,
+                            cov, vals[r0z:r1z, c0z:c1z], req=req, nodata=nd,
+                            weights=None if wvals is None else wvals[r0z:r1z, c0z:c1z],
+                            weight_nodata=w_nodata,
+                            row0=row0 + r0z, col0=col0 + c0z,
                             grid_ncols=int(gnc_a[j]),
                             grid_xmin=float(gx_a[j]), grid_ymax=float(gy_a[j]),
                             dx=dx, dy=dy, **kwargs)

@@ -1,0 +1,83 @@
+"""Multi-raster fan-out naming, unnest, frac_as_map, and the CLI."""
+
+import numpy as np
+import pytest
+
+ARANGE9 = np.arange(1, 10, dtype=np.float64).reshape(3, 3)
+SQ = "POLYGON ((0.5 0.5, 2.5 0.5, 2.5 2.5, 0.5 2.5, 0.5 0.5))"
+
+
+def test_multi_raster_naming(spark):
+    # F6 naming: {src}_{stat} (test_exact_extract.py:294-458)
+    from exactextract_spark.api import exact_extract_multi
+    from exactextract_spark.io import tiles_from_array
+
+    rasters = {"a": tiles_from_array(spark, ARANGE9, raster_id="a"),
+               "b": tiles_from_array(spark, 2 * ARANGE9, raster_id="b")}
+    zones = spark.createDataFrame([("z0", SQ)], ["zone_id", "geometry"])
+    r = exact_extract_multi(zones, rasters, ["mean", "count"]).collect()[0]
+    assert r["a_mean"] == pytest.approx(5.0)
+    assert r["b_mean"] == pytest.approx(10.0)
+    assert r["a_count"] == r["b_count"] == pytest.approx(4.0)
+
+
+def test_unnest_arrays(spark):
+    from exactextract_spark.api import unnest_arrays
+    from exactextract_spark.extract import exact_extract
+    from exactextract_spark.io import tiles_from_array
+
+    zones = spark.createDataFrame([("z0", SQ)], ["zone_id", "geometry"])
+    res = exact_extract(zones, tiles_from_array(spark, ARANGE9),
+                        ["values", "coverage", "cell_id"])
+    rows = unnest_arrays(res, ["cell_id", "values", "coverage"]).collect()
+    assert len(rows) == 9
+    assert [r["cell_id"] for r in rows] == list(range(9))
+    assert rows[4]["values"] == 5.0 and rows[4]["coverage"] == 1.0
+
+
+def test_frac_as_map(spark):
+    from exactextract_spark.api import frac_as_map
+    from exactextract_spark.extract import exact_extract
+    from exactextract_spark.io import tiles_from_array
+
+    rast = np.array([[1, 1, 1], [2, 2, 2], [3, 3, 3]], dtype=np.float64)
+    zones = spark.createDataFrame([("z0", SQ)], ["zone_id", "geometry"])
+    res = frac_as_map(exact_extract(zones, tiles_from_array(spark, rast),
+                                    ["unique", "frac"]))
+    m = res.collect()[0]["frac_map"]
+    assert m == {1.0: 0.25, 2.0: 0.5, 3.0: 0.25}
+
+
+def test_cli_roundtrip(spark, tmp_path):
+    from exactextract_spark.cli import main
+    from exactextract_spark.io import tiles_from_array
+
+    zones = spark.createDataFrame(
+        [("z0", SQ), ("z1", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")],
+        ["zone_id", "geometry"])
+    zones.write.parquet(str(tmp_path / "zones.parquet"))
+    tiles_from_array(spark, ARANGE9).write.parquet(str(tmp_path / "tiles.parquet"))
+
+    rc = main(["--polygons", str(tmp_path / "zones.parquet"),
+               "--raster", f"v={tmp_path}/tiles.parquet",
+               "--stat", "mean", "--stat", "count",
+               "--id-name", "fid",
+               "--output", str(tmp_path / "out.parquet"),
+               "--cores", "8"])
+    assert rc == 0
+    out = {r["fid"]: r for r in spark.read.parquet(str(tmp_path / "out.parquet")).collect()}
+    assert out["z0"]["mean"] == pytest.approx(5.0)
+    assert out["z1"]["count"] == pytest.approx(1.0)
+
+
+def test_cli_docs_input(spark, tmp_path):
+    from exactextract_spark.cli import main
+    from exactextract_spark.fixtures import SynthConfig, build_docs
+
+    build_docs(spark, SynthConfig(G=64, Z=10)).write.parquet(str(tmp_path / "docs.parquet"))
+    rc = main(["--docs", str(tmp_path / "docs.parquet"), "--raster", "r0",
+               "--stat", "count", "--stat", "mean",
+               "--output", str(tmp_path / "out.parquet"), "--cores", "8"])
+    assert rc == 0
+    rows = spark.read.parquet(str(tmp_path / "out.parquet")).collect()
+    assert len(rows) == 10

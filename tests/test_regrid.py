@@ -1,0 +1,55 @@
+"""RasterView-style disaggregation: weights at a coarser resolution
+consumed on the value grid (reference raster.h:327-395)."""
+
+import numpy as np
+import pytest
+
+from exactextract_spark.extract import exact_extract
+from exactextract_spark.io import tiles_from_array
+from exactextract_spark.regrid import regrid_to
+
+SQ = "POLYGON ((0.5 0.5, 7.5 0.5, 7.5 7.5, 0.5 7.5, 0.5 0.5))"
+OPS = ["weighted_mean", "weighted_sum", "weighted_count"]
+
+
+def test_coarse_weights_match_manual_disaggregation(spark):
+    vals = np.arange(64, dtype=np.float64).reshape(8, 8)
+    wc = np.array([[1, 2], [3, 4]], dtype=np.float64)  # 2x2 @ dx=4
+    tiles = tiles_from_array(spark, vals)
+    grid = dict(grid_xmin=0.0, grid_ymax=8.0, dx=1.0, dy=1.0,
+                grid_nrows=8, grid_ncols=8, tile=64)
+    coarse = tiles_from_array(spark, wc, dx=4.0, dy=4.0, ymax=8.0)
+    fine_w = regrid_to(coarse, grid)
+    zones = spark.createDataFrame([("z0", SQ)], ["zone_id", "geometry"])
+    got = exact_extract(zones, tiles, OPS, weight_tiles=fine_w, grid=grid).collect()[0]
+
+    manual = tiles_from_array(spark, np.repeat(np.repeat(wc, 4, 0), 4, 1))
+    want = exact_extract(zones, tiles, OPS, weight_tiles=manual, grid=grid).collect()[0]
+    for k in OPS:
+        assert got[k] == pytest.approx(want[k])
+
+
+def test_regrid_across_tile_borders(spark):
+    """Fine grid spanning multiple tiles, factor 2: the per-tile join +
+    RasterView index arithmetic must agree with global np.repeat."""
+    rng = np.random.default_rng(3)
+    wc = rng.uniform(0, 10, (50, 50))
+    grid = dict(grid_xmin=0.0, grid_ymax=100.0, dx=1.0, dy=1.0,
+                grid_nrows=100, grid_ncols=100, tile=64)
+    coarse = tiles_from_array(spark, wc, dx=2.0, dy=2.0, ymax=100.0)
+    fine = regrid_to(coarse, grid)
+    from exactextract_spark.io import decode_tile
+    want = np.repeat(np.repeat(wc, 2, 0), 2, 1)
+    for r in fine.collect():
+        block = decode_tile(bytes(r["values"]), "float64", r["nrows"], r["ncols"])
+        exp = want[r["row0"]:r["row0"] + r["nrows"], r["col0"]:r["col0"] + r["ncols"]]
+        np.testing.assert_array_equal(block, exp)
+
+
+def test_incompatible_grids_rejected(spark):
+    wc = np.ones((3, 3))
+    coarse = tiles_from_array(spark, wc, dx=1.5, dy=1.5, ymax=4.5)
+    grid = dict(grid_xmin=0.0, grid_ymax=8.0, dx=1.0, dy=1.0,
+                grid_nrows=8, grid_ncols=8, tile=64)
+    with pytest.raises(ValueError, match="integer"):
+        regrid_to(coarse, grid)
