@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Dump the physical plans of the headline queries to BENCH/PLANS.md
+with commentary — the ".explain and iterate" evidence: broadcast joins
+where expected, partial aggregation before the exchange, no payload
+shuffle, pushed filters on the parquet path."""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+HERE = Path(__file__).resolve().parent
+sys.path.insert(0, str(HERE.parent))
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from exactextract_spark import io as eio
+    from exactextract_spark.extract import ZonalExtractor
+    from exactextract_spark.fixtures import SynthConfig, build_docs
+    from exactextract_spark.session import get_spark
+
+    spark = get_spark(app="plans", cores=8)
+    cfg = SynthConfig(G=256, Z=200)
+    docs = build_docs(spark, cfg)
+    zones = eio.zones_from_docs(docs)
+    meta = {r["raster_id"]: r.asDict()
+            for r in eio.raster_meta_from_docs(docs).collect()}
+    tiles = eio.tiles_from_docs(docs, "r0", meta["r0"])
+    grid = cfg.grid_dict()
+    grid["dtype"] = "float64"
+    ext = ZonalExtractor(zones, tiles, grid=grid, strategy="broadcast")
+
+    sections = []
+
+    q = ext.extract(["count", "sum", "mean", "min", "max"])
+    sections.append((
+        "q_basic — scalar zonal stats",
+        "Expected and observed: BroadcastHashJoin of the per-tile "
+        "zone-list onto the tile scan (payloads never shuffle); "
+        "HashAggregate(partial) directly above the Python kernel, "
+        "Exchange only carries the tiny partial rows; final "
+        "HashAggregate(merge) then a small join back to zones.",
+        plan_of(q)))
+
+    qh = ext.extract(["variety", "majority", "median"])
+    sections.append((
+        "q_hist — histogram stats",
+        "Histogram arrays explode to (zone, value) rows, partial-agg "
+        "before each exchange; exact quantile runs as a scalar pandas "
+        "UDF over the per-zone sorted histogram (bounded by variety).",
+        plan_of(qh)))
+
+    # parquet scan pushdown check
+    pq = "/root/testdata/sf0.01/documents.parquet"
+    d = spark.read.parquet(pq).where(F.col("lang") == "en").select("doc_id", "n_chars")
+    sections.append((
+        "parquet scan — pushdown/pruning sanity",
+        "PushedFilters and a pruned ReadSchema must appear on the scan: "
+        "filters and column selection reach the source.",
+        plan_of(d)))
+
+    md = ["# BENCH/PLANS.md — physical plans of the headline queries\n"]
+    for title, note, plan in sections:
+        md.append(f"## {title}\n\n{note}\n\n```\n{plan}\n```\n")
+    (HERE / "PLANS.md").write_text("\n".join(md))
+    print("wrote BENCH/PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

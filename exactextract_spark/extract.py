@@ -402,7 +402,8 @@ class ZonalExtractor:
                  weight_tiles: DataFrame | None = None,
                  strategy: str = "auto",
                  grid: dict | None = None,
-                 tile_size: int | None = None):
+                 tile_size: int | None = None,
+                 persist_joined: bool = False):
         spark = zones.sparkSession
         if grid is None:
             grid = tiles.select("grid_xmin", "grid_ymax", "dx", "dy",
@@ -453,6 +454,10 @@ class ZonalExtractor:
                 zones_b.select("zone_id", "geometry", "xmin", "ymin", "xmax", "ymax"),
                 grid, tile_size)
             self.joined = tiles_in.join(pairs, ["tile_row", "tile_col"])
+        if persist_joined:
+            # materialize the tile⋈zone-list join once: repeated
+            # extract() calls then skip the per-query broadcast build
+            self.joined = self.joined.persist()
 
     def extract(self, ops, *, include_cols: list[str] | None = None) -> DataFrame:
         wname = "weights" if self.has_weights else None

@@ -35,14 +35,24 @@ class Geometry:
     #   exterior CCW => positive signed area; holes CW => negative).
     # linear: each element is one open linestring path.
     rings: list = field(default_factory=list)
+    _bbox: tuple | None = None
+    _is_rect: bool | None = None
 
     @property
     def bbox(self):
-        return bbox_of(self.rings)
+        if self._bbox is None:
+            self._bbox = bbox_of(self.rings)
+        return self._bbox
 
     def is_rectangle(self) -> bool:
         """Axis-aligned single-rectangle test -> rectangle fast path
-        (cf. reference raster_cell_intersection.cpp:425-428)."""
+        (cf. reference raster_cell_intersection.cpp:425-428).  Cached:
+        one zone is evaluated against many tiles."""
+        if self._is_rect is None:
+            self._is_rect = self._compute_is_rect()
+        return self._is_rect
+
+    def _compute_is_rect(self) -> bool:
         if self.kind != "areal" or len(self.rings) != 1:
             return False
         r = self.rings[0]

@@ -182,9 +182,8 @@ def _accumulate_ring(u, w, nrows, ncols, darea, dcover):
     np.add.at(dcover, (srow, col), pdw)
 
 
-def _rect_coverage(ring, xmin, ymin_w, dx, dy, nrows, ncols):
-    x0 = float(ring[:, 0].min()); x1 = float(ring[:, 0].max())
-    y0 = float(ring[:, 1].min()); y1 = float(ring[:, 1].max())
+def _rect_coverage(bounds, xmin, ymin_w, dx, dy, nrows, ncols):
+    x0, y0, x1, y1 = bounds
     cx = xmin + dx * np.arange(ncols + 1)
     cy = ymin_w + dy * np.arange(nrows + 1)
     covx = np.clip((np.minimum(x1, cx[1:]) - np.maximum(x0, cx[:-1])) / dx, 0.0, 1.0)
@@ -199,8 +198,8 @@ def coverage_fraction(geom: Geometry, xmin: float, ymax: float, dx: float, dy: f
     if geom.kind != "areal":
         raise ValueError("coverage_fraction requires an areal geometry")
     ymin_w = ymax - nrows * dy
-    if len(geom.rings) == 1 and geom.is_rectangle():
-        out = _rect_coverage(geom.rings[0], xmin, ymin_w, dx, dy, nrows, ncols)
+    if geom.is_rectangle():
+        out = _rect_coverage(geom.bbox, xmin, ymin_w, dx, dy, nrows, ncols)
         return np.asarray(out[::-1], dtype=np.float32)
     darea = np.zeros((nrows, ncols + 1), dtype=np.float64)
     dcover = np.zeros((nrows, ncols + 1), dtype=np.float64)
