@@ -61,6 +61,29 @@ def _frac_post(res: DataFrame) -> DataFrame:
                        F.col("e.weighted_frac").alias("weighted_frac")))
 
 
+def _zonal_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
+    return exact_extract(zones, tiles, ["cell_id", "values", "coverage"],
+                         grid=grid, strategy="broadcast")
+
+
+def _zonal_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exactextract_spark.fixtures import build_line_docs
+
+    cfg = SynthConfig.from_sf_dir(sf_dir)
+    docs = build_line_docs(spark, cfg)
+    zones = eio.zones_from_docs(docs)
+    # reuse the raster docs from the standard fixture
+    rdocs = build_docs(spark, cfg)
+    meta = {r["raster_id"]: r.asDict()
+            for r in eio.raster_meta_from_docs(rdocs).collect()}
+    tiles = eio.tiles_from_docs(rdocs, "r0", meta["r0"])
+    grid = cfg.grid_dict()
+    grid["dtype"] = "float64"
+    return exact_extract(zones, tiles, ["count", "mean", "min", "max"],
+                         grid=grid, strategy="broadcast")
+
+
 def _tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
     pairs = zone_tile_pairs(attach_bbox(zones), grid, cfg.tile)
@@ -92,6 +115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_mixed_args": _zq(["count", "count_mc=count(min_coverage_frac=0.25)",
                                  "weighted_mean"], weighted=True),
         "tile_assignment": _tile_assignment,
+        "zonal_arrays": _zonal_arrays,
+        "zonal_linear": _zonal_linear,
         # training-data pipeline operators (documents / embeddings)
         "text_stats": ptext.text_stats,
         "lang_guess": ptext.lang_guess,

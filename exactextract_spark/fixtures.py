@@ -115,6 +115,46 @@ def build_docs(spark: SparkSession, cfg: SynthConfig) -> DataFrame:
 # DuckDB oracle SQL builders (no engine code involved)
 # ---------------------------------------------------------------------------
 
+def build_line_docs(spark: SparkSession, cfg: SynthConfig) -> DataFrame:
+    """Linear-geometry zone docs: horizontal polylines at eighth-cell y
+    offsets (never on a cell boundary), quarter-aligned x — exact
+    per-cell traversal lengths, SQL-expressible."""
+    G = cfg.G
+    L = max(20, cfg.Z // 2)
+    y = f"(((214013*id + 12347) % {4 * G}) * 2 + 1) / 8.0"
+    x0 = f"((1103515245*id + 54321) % {4 * G - WQ}) / 4.0"
+    x1 = f"({x0} + (1 + (69069*id + 13) % {WQ}) / 4.0)"
+    wkt = f"concat('LINESTRING (', {x0}, ' ', {y}, ', ', {x1}, ' ', {y}, ')')"
+    zdocs = spark.range(L).select(
+        F.concat(F.lit("l"), F.col("id")).alias("doc_id"),
+        F.expr(
+            "array(named_struct('kind','text','text', concat('zone:l', id), 'media_ref','', 'offset', 0),"
+            f"      named_struct('kind','text','text', {wkt}, 'media_ref','', 'offset', 1))"
+        ).alias("spans"))
+    return zdocs
+
+
+def lines_sql(cfg: SynthConfig) -> str:
+    G = cfg.G
+    L = max(20, cfg.Z // 2)
+    y = f"(((214013*k + 12347) % {4 * G}) * 2 + 1) / 8.0"
+    x0 = f"((1103515245*k + 54321) % {4 * G - WQ}) / 4.0"
+    x1 = f"({x0} + (1 + (69069*k + 13) % {WQ}) / 4.0)"
+    return f"""
+lines AS (
+  SELECT 'l' || k AS zone_id, {y} AS ly, {x0} AS lx0, {x1} AS lx1
+  FROM (SELECT range AS k FROM range({L}))
+),
+{cells_sql(cfg)},
+lpairs AS (
+  SELECT l.zone_id, c.val,
+         LEAST(l.lx1, c.cx1) - GREATEST(l.lx0, c.cx0) AS cov
+  FROM lines l
+  JOIN cells c
+    ON c.cy0 <= l.ly AND l.ly < c.cy1 AND c.cx1 > l.lx0 AND c.cx0 < l.lx1
+)"""
+
+
 def cells_sql(cfg: SynthConfig) -> str:
     G = cfg.G
     return f"""

@@ -8,7 +8,7 @@ oracle agree bit-for-bit, not just to tolerance."""
 
 from __future__ import annotations
 
-from .fixtures import SynthConfig, pairs_sql
+from .fixtures import SynthConfig, lines_sql, pairs_sql
 
 D = "FILTER (val IS NOT NULL)"
 
@@ -173,7 +173,30 @@ def zonal_mixed_args(cfg):
        THEN (SUM(val*(cov*wgt)) {D}) / (SUM(cov*wgt) {D}) END AS weighted_mean""")
 
 
+def zonal_arrays(cfg):
+    """Stored-array ops in global row-major (cell_id) order."""
+    return f"""WITH {pairs_sql(cfg)}
+SELECT zone_id,
+  list(cell_id ORDER BY cell_id) AS cell_id,
+  list(val ORDER BY cell_id) AS values,
+  list(cov ORDER BY cell_id) AS coverage
+FROM pairs WHERE val IS NOT NULL GROUP BY zone_id"""
+
+
+def zonal_linear(cfg):
+    """Linear geometries: per-cell traversal length as coverage."""
+    return f"""WITH {lines_sql(cfg)}
+SELECT zone_id,
+  COALESCE(SUM(cov) FILTER (val IS NOT NULL), 0.0) AS count,
+  CASE WHEN SUM(cov) FILTER (val IS NOT NULL) > 0
+       THEN (SUM(val*cov) FILTER (val IS NOT NULL)) / (SUM(cov) FILTER (val IS NOT NULL)) END AS mean,
+  MIN(val) AS min, MAX(val) AS max
+FROM lpairs GROUP BY zone_id"""
+
+
 ZONAL_ORACLES = {
+    "zonal_arrays": zonal_arrays,
+    "zonal_linear": zonal_linear,
     "zonal_basic": zonal_basic,
     "zonal_weighted": zonal_weighted,
     "zonal_variance": zonal_variance,

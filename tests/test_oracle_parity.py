@@ -17,9 +17,17 @@ SF_DIR = "/root/testdata/sf0.01"
 CFG = SynthConfig.from_sf_dir(SF_DIR)
 
 
+def _tupleize(df):
+    for c in df.columns:
+        if df[c].dtype == object and len(df) and \
+                isinstance(df[c].iloc[0], (list, np.ndarray)):
+            df[c] = df[c].map(lambda v: tuple(v) if v is not None else None)
+    return df
+
+
 def _compare(name, spark):
-    eng = entry_mod.queries()[name](spark, SF_DIR).toPandas()
-    ora = duckdb.sql(ZONAL_ORACLES[name](CFG)).df()
+    eng = _tupleize(entry_mod.queries()[name](spark, SF_DIR).toPandas())
+    ora = _tupleize(duckdb.sql(ZONAL_ORACLES[name](CFG)).df())
     sort_cols = [c for c in ("zone_id", "value", "tile_row", "tile_col") if c in eng.columns]
     eng = eng.sort_values(sort_cols).reset_index(drop=True)[sorted(eng.columns)]
     ora = ora.sort_values(sort_cols).reset_index(drop=True)[sorted(ora.columns)]
