@@ -1,0 +1,98 @@
+"""Structured-Streaming ingest: zonal statistics over a stream of
+interleaved-document batches.
+
+The reference is strictly batch (SURVEY.md §2.4); this engine adds the
+streaming shape a 100 TB pipeline actually uses: raster-tile documents
+land continuously (new acquisitions), and per-zone statistics must stay
+queryable.  Because every scalar/histogram state is
+associative-commutative (accumulate.py), streaming ingest is just the
+checkpoint machinery driven by a stream:
+
+    docs readStream → foreachBatch:
+        parse tile docs → kernel partials → append partials+lineage
+    snapshot() → aggregate all committed partials (exact merge)
+
+Each micro-batch commit corresponds to one Iceberg snapshot append in
+production; ``snapshot()`` at any time equals a batch run over the
+tiles ingested so far (tested in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import io as eio
+from .extract import aggregate_partials, attach_bbox, run_kernel, zone_tile_pairs
+from .ops import group_ops_by_key, parse_ops
+
+__all__ = ["StreamingZonalWriter", "stream_zonal_from_dir"]
+
+
+class StreamingZonalWriter:
+    """foreachBatch sink: incremental per-tile partial states."""
+
+    def __init__(self, zones: DataFrame, grid: dict, ops, path: str,
+                 raster_id: str, meta: dict, tile_size: int | None = None):
+        self.spark = zones.sparkSession
+        self.grid = grid
+        self.tile_size = tile_size or grid.get("tile") or 64
+        self.keygroups = group_ops_by_key(parse_ops(ops))
+        self.path = path.rstrip("/")
+        self.raster_id = raster_id
+        self.meta = meta
+        zones_b = attach_bbox(zones).persist()
+        self.zones_b = zones_b
+        geoms = {r["zone_id"]: r["geometry"]
+                 for r in zones_b.select("zone_id", "geometry").collect()}
+        self.geom_lookup = self.spark.sparkContext.broadcast(geoms)
+        self.pairs = zone_tile_pairs(
+            zones_b.select("zone_id", "xmin", "ymin", "xmax", "ymax"),
+            grid, self.tile_size)
+        self.pairs_agg = (self.pairs.groupBy("tile_row", "tile_col")
+                          .agg(F.collect_list("zone_id").alias("zone_ids"))).persist()
+
+    def process_batch(self, docs_batch: DataFrame, batch_id: int) -> None:
+        tiles = eio.tiles_from_docs(docs_batch, self.raster_id, self.meta)
+        joined = tiles.join(F.broadcast(self.pairs_agg), ["tile_row", "tile_col"])
+        partials = run_kernel(joined, self.keygroups,
+                              geom_lookup=self.geom_lookup, has_weights=False,
+                              passthrough=("tile_row", "tile_col")).persist()
+        partials.write.mode("append").parquet(f"{self.path}/partials")
+        lineage = (partials.groupBy("tile_row", "tile_col")
+                   .agg(F.count("*").alias("n_partial_rows"))
+                   .withColumn("batch_id", F.lit(str(batch_id)))
+                   .withColumn("ts", F.lit(time.time())))
+        lineage.write.mode("append").parquet(f"{self.path}/lineage")
+        partials.unpersist()
+
+    def snapshot(self) -> DataFrame:
+        """Current per-zone statistics over everything ingested so far."""
+        stored = self.spark.read.parquet(f"{self.path}/partials") \
+            .drop("tile_row", "tile_col")
+        return aggregate_partials(self.zones_b, stored, self.keygroups)
+
+    def metrics(self) -> dict:
+        try:
+            lin = self.spark.read.parquet(f"{self.path}/lineage")
+        except Exception:
+            return {"tiles_done": 0, "batches": 0}
+        r = lin.agg(F.count("*").alias("t"),
+                    F.countDistinct("batch_id").alias("b")).first()
+        return {"tiles_done": r["t"], "batches": r["b"]}
+
+
+def stream_zonal_from_dir(spark: SparkSession, input_dir: str,
+                          writer: StreamingZonalWriter,
+                          checkpoint_dir: str):
+    """File-source stream over a directory of docs parquet; processes
+    everything available, then stops (availableNow trigger)."""
+    stream = (spark.readStream.schema(eio.DOCS_SCHEMA).parquet(input_dir))
+    q = (stream.writeStream
+         .foreachBatch(writer.process_batch)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q

@@ -1,0 +1,58 @@
+"""Streaming ingest: tiles arriving across micro-batches must yield the
+same statistics as one batch run; restart resumes from the stream
+checkpoint without reprocessing."""
+
+import pytest
+
+from exactextract_spark import io as eio
+from exactextract_spark.extract import exact_extract
+from exactextract_spark.fixtures import SynthConfig, build_docs
+from exactextract_spark.streaming import StreamingZonalWriter, stream_zonal_from_dir
+
+OPS = ["count", "sum", "mean", "min", "max", "variance"]
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    cfg = SynthConfig(G=128, Z=40)
+    docs = build_docs(spark, cfg).cache()
+    zones = eio.zones_from_docs(docs)
+    meta = {r["raster_id"]: r.asDict()
+            for r in eio.raster_meta_from_docs(docs).collect()}
+    grid = cfg.grid_dict()
+    grid["dtype"] = "float64"
+
+    # batch reference result
+    tiles = eio.tiles_from_docs(docs, "r0", meta["r0"])
+    want = {r["zone_id"]: r.asDict()
+            for r in exact_extract(zones, tiles, OPS, grid=grid).collect()}
+
+    # split the raster docs into two "arrival" files
+    rdocs = docs.where(~docs.doc_id.startswith("z") & docs.doc_id.startswith("r0"))
+    n = rdocs.count()
+    indir = tmp_path / "in"
+    indir.mkdir()
+    a = rdocs.limit(n // 2)
+    b = rdocs.subtract(a)
+    a.write.parquet(str(indir / "f1.parquet"))
+
+    writer = StreamingZonalWriter(zones, grid, OPS, str(tmp_path / "state"),
+                                  "r0", meta["r0"])
+    stream_zonal_from_dir(spark, str(indir) + "/*", writer, str(tmp_path / "ck1"))
+    m1 = writer.metrics()
+    assert m1["tiles_done"] > 0
+
+    b.write.parquet(str(indir / "f2.parquet"))
+    stream_zonal_from_dir(spark, str(indir) + "/*", writer, str(tmp_path / "ck1"))
+    m2 = writer.metrics()
+    assert m2["tiles_done"] >= m1["tiles_done"]
+
+    got = {r["zone_id"]: r.asDict() for r in writer.snapshot().collect()}
+    assert set(got) == set(want)
+    for z, row in want.items():
+        for k, v in row.items():
+            if k == "zone_id":
+                continue
+            if v is None:
+                assert got[z][k] is None, (z, k)
+            else:
+                assert got[z][k] == pytest.approx(v), (z, k)
