@@ -84,6 +84,23 @@ def _zonal_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                          grid=grid, strategy="broadcast")
 
 
+def _point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exactextract_spark.fixtures import build_points
+    from exactextract_spark.spatial import point_in_polygon
+
+    cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
+    return point_in_polygon(build_points(spark, cfg), zones)
+
+
+def _knn_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exactextract_spark.fixtures import build_points
+    from exactextract_spark.spatial import knn_tiles
+
+    cfg = SynthConfig.from_sf_dir(sf_dir)
+    grid = cfg.grid_dict()
+    return knn_tiles(build_points(spark, cfg), grid, k=4)
+
+
 def _tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
     pairs = zone_tile_pairs(attach_bbox(zones), grid, cfg.tile)
@@ -102,6 +119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_weighted": _zq(["weighted_count", "weighted_sum", "weighted_mean"],
                               weighted=True),
         "zonal_variance": _zq(["variance", "stdev"]),
+        "zonal_weighted_variance": _zq(["weighted_variance", "weighted_stdev"],
+                                       weighted=True),
+        "zonal_cv": _zq(["coefficient_of_variation"]),
         "zonal_histogram": _zq(["variety", "majority", "minority"]),
         "zonal_frac": _zq(["unique", "frac", "weighted_frac"], weighted=True,
                           post=_frac_post),
@@ -117,6 +137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assignment": _tile_assignment,
         "zonal_arrays": _zonal_arrays,
         "zonal_linear": _zonal_linear,
+        "point_in_polygon": _point_in_polygon,
+        "knn_tiles": _knn_tiles,
         # training-data pipeline operators (documents / embeddings)
         "text_stats": ptext.text_stats,
         "lang_guess": ptext.lang_guess,

@@ -155,6 +155,32 @@ lpairs AS (
 )"""
 
 
+def point_exprs(cfg: SynthConfig, k: str):
+    """Deterministic query points at 1/64-cell offsets (never on any
+    cell/zone boundary).  Same formula in Spark exprs and SQL."""
+    G = cfg.G
+    px = (f"(CAST((69069*{k} + 11) % {32 * G} AS DOUBLE) / CAST(32 AS DOUBLE)"
+          f" + CAST(1 AS DOUBLE) / CAST(64 AS DOUBLE))")
+    py = (f"(CAST((214013*{k} + 17) % {32 * G} AS DOUBLE) / CAST(32 AS DOUBLE)"
+          f" + CAST(1 AS DOUBLE) / CAST(64 AS DOUBLE))")
+    return px, py
+
+
+def build_points(spark: SparkSession, cfg: SynthConfig) -> DataFrame:
+    px, py = point_exprs(cfg, "id")
+    return spark.range(cfg.Z).selectExpr(
+        "id AS point_id", f"{px} AS x", f"{py} AS y")
+
+
+def points_sql(cfg: SynthConfig) -> str:
+    px, py = point_exprs(cfg, "k")
+    return f"""
+points AS (
+  SELECT k AS point_id, {px} AS x, {py} AS y
+  FROM (SELECT range AS k FROM range({cfg.Z}))
+)"""
+
+
 def cells_sql(cfg: SynthConfig) -> str:
     G = cfg.G
     return f"""

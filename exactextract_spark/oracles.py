@@ -8,7 +8,7 @@ oracle agree bit-for-bit, not just to tolerance."""
 
 from __future__ import annotations
 
-from .fixtures import SynthConfig, lines_sql, pairs_sql
+from .fixtures import SynthConfig, lines_sql, pairs_sql, points_sql, zone_sql
 
 D = "FILTER (val IS NOT NULL)"
 
@@ -51,6 +51,39 @@ SELECT zone_id,
        THEN GREATEST(sum_cx2/sum_c - (sum_cx/sum_c)*(sum_cx/sum_c), 0.0) END AS variance,
   CASE WHEN sum_c > 0
        THEN SQRT(GREATEST(sum_cx2/sum_c - (sum_cx/sum_c)*(sum_cx/sum_c), 0.0)) END AS stdev
+FROM s"""
+
+
+def zonal_weighted_variance(cfg):
+    # same operation order as extract: wvar = greatest(sum_cx2w/sum_cw -
+    # wmean*wmean, 0), wmean = sum_cxw/sum_cw
+    return f"""WITH {pairs_sql(cfg)},
+s AS (
+  SELECT zone_id,
+         SUM(cov*wgt) {D} AS sum_cw,
+         SUM(val*(cov*wgt)) {D} AS sum_cxw,
+         SUM((val*val)*(cov*wgt)) {D} AS sum_cx2w
+  FROM pairs GROUP BY zone_id)
+SELECT zone_id,
+  CASE WHEN sum_cw <> 0
+       THEN GREATEST(sum_cx2w/sum_cw - (sum_cxw/sum_cw)*(sum_cxw/sum_cw), 0.0) END AS weighted_variance,
+  CASE WHEN sum_cw <> 0
+       THEN SQRT(GREATEST(sum_cx2w/sum_cw - (sum_cxw/sum_cw)*(sum_cxw/sum_cw), 0.0)) END AS weighted_stdev
+FROM s"""
+
+
+def zonal_cv(cfg):
+    return f"""WITH {pairs_sql(cfg)},
+s AS (
+  SELECT zone_id,
+         SUM(cov) {D} AS sum_c,
+         SUM(val*cov) {D} AS sum_cx,
+         SUM((val*val)*cov) {D} AS sum_cx2
+  FROM pairs GROUP BY zone_id)
+SELECT zone_id,
+  CASE WHEN sum_c > 0
+       THEN SQRT(GREATEST(sum_cx2/sum_c - (sum_cx/sum_c)*(sum_cx/sum_c), 0.0))
+            / (sum_cx/sum_c) END AS coefficient_of_variation
 FROM s"""
 
 
@@ -194,9 +227,43 @@ SELECT zone_id,
 FROM lpairs GROUP BY zone_id"""
 
 
+def point_in_polygon(cfg):
+    """Strict-interior PIP (fixture points never touch boundaries)."""
+    return f"""WITH {zone_sql(cfg)},
+{points_sql(cfg)}
+SELECT p.point_id, z.zone_id
+FROM points p JOIN zones z
+  ON p.x > z.zx0 AND p.x < z.zx1 AND p.y > z.zy0 AND p.y < z.zy1"""
+
+
+def knn_tiles(cfg):
+    T, G = cfg.tile, cfg.G
+    nt = (G + T - 1) // T
+    K = 4
+    return f"""WITH {points_sql(cfg)},
+tiles AS (
+  SELECT i // {nt} AS tile_row, i % {nt} AS tile_col
+  FROM (SELECT range AS i FROM range({nt * nt}))),
+d AS (
+  SELECT p.point_id, t.tile_row, t.tile_col,
+         (p.x - (t.tile_col + 0.5) * {float(T)}) * (p.x - (t.tile_col + 0.5) * {float(T)})
+       + (p.y - ({float(G)} - (t.tile_row + 0.5) * {float(T)}))
+       * (p.y - ({float(G)} - (t.tile_row + 0.5) * {float(T)})) AS dist2
+  FROM points p CROSS JOIN tiles t)
+SELECT point_id, CAST(tile_row AS INT) AS tile_row, CAST(tile_col AS INT) AS tile_col,
+       CAST(rank AS INT) AS rank, dist2
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY point_id
+        ORDER BY dist2 ASC, tile_row ASC, tile_col ASC) AS rank FROM d)
+WHERE rank <= {K}"""
+
+
 ZONAL_ORACLES = {
+    "point_in_polygon": point_in_polygon,
+    "knn_tiles": knn_tiles,
     "zonal_arrays": zonal_arrays,
     "zonal_linear": zonal_linear,
+    "zonal_weighted_variance": zonal_weighted_variance,
+    "zonal_cv": zonal_cv,
     "zonal_basic": zonal_basic,
     "zonal_weighted": zonal_weighted,
     "zonal_variance": zonal_variance,

@@ -28,7 +28,10 @@ def _tupleize(df):
 def _compare(name, spark):
     eng = _tupleize(entry_mod.queries()[name](spark, SF_DIR).toPandas())
     ora = _tupleize(duckdb.sql(ZONAL_ORACLES[name](CFG)).df())
-    sort_cols = [c for c in ("zone_id", "value", "tile_row", "tile_col") if c in eng.columns]
+    keyish = [c for c in ("zone_id", "point_id", "value", "tile_row", "tile_col", "rank")
+              if c in eng.columns]
+    sort_cols = keyish + [c for c in eng.columns
+                          if c not in keyish and eng[c].dtype != object]
     eng = eng.sort_values(sort_cols).reset_index(drop=True)[sorted(eng.columns)]
     ora = ora.sort_values(sort_cols).reset_index(drop=True)[sorted(ora.columns)]
     assert list(eng.columns) == list(ora.columns), (list(eng.columns), list(ora.columns))
