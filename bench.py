@@ -42,6 +42,26 @@ def big_zones(spark, cfg, n=8):
     return spark.createDataFrame(rows, ["zone_id", "geometry"])
 
 
+def star_zones(spark, cfg, n=2000, verts=12):
+    """Irregular (non-rectangle) polygon zones — exercises the general
+    scanline path, not the rectangle fast path."""
+    import numpy as np
+
+    G = cfg.G
+    rng = np.random.default_rng(123)
+    rows = []
+    for i in range(n):
+        m = verts
+        ang = (np.arange(m) + rng.uniform(0.05, 0.95, m)) * (2 * np.pi / m)
+        rad = rng.uniform(2.0, 14.0, m)
+        cx, cy = rng.uniform(16, G - 16, 2)
+        xs = np.clip(cx + rad * np.cos(ang), 0, G)
+        ys = np.clip(cy + rad * np.sin(ang), 0, G)
+        pts = ", ".join(f"{x:.4f} {y:.4f}" for x, y in zip(xs, ys))
+        rows.append((f"p{i}", f"POLYGON (({pts}, {xs[0]:.4f} {ys[0]:.4f}))"))
+    return spark.createDataFrame(rows, ["zone_id", "geometry"])
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -101,6 +121,11 @@ def main():
         bench("q_tile_assignment",
               lambda: zone_tile_pairs(attach_bbox(zones_all), grid, cfg.tile)
               .select("zone_id", "tile_row", "tile_col"))
+
+        stars = star_zones(spark, cfg)
+        ext_p = ZonalExtractor(stars, tiles, grid=grid, strategy="broadcast")
+        bench("q_polygons", lambda: ext_p.extract(
+            ["count", "sum", "mean", "min", "max"]))
 
         total = round(sum(timings.values()), 3)
         out = {
