@@ -507,10 +507,18 @@ def aggregate_partials(zones_b, partials, keygroups, *, int_values=False,
         partials = partials.persist()
 
     # --- scalar aggregation (partial+final merge; RasterStats::combine
-    # analog, raster_stats.h:107-155) ---
+    # analog, raster_stats.h:107-155).  Only the state the requested ops
+    # actually read is aggregated — pure-histogram/array queries skip
+    # the scalar branch (and its shuffle) entirely. ---
+    _SCALAR_STATS = {"count", "sum", "mean", "variance", "stdev",
+                     "coefficient_of_variation", "weighted_count", "weighted_sum",
+                     "weighted_mean", "weighted_variance", "weighted_stdev"}
     aggs = []
-    for i, (_, req, _) in enumerate(keygroups):
+    for i, (_, req, ops_in_key) in enumerate(keygroups):
         p = f"k{i}_"
+        needs_scalar = any(o.stat in _SCALAR_STATS for o in ops_in_key)
+        if not (needs_scalar or req.minmax):
+            continue
         aggs += [F.sum(p + "n").alias(p + "n"),
                  F.sum(p + "sum_c").alias(p + "sum_c"),
                  F.sum(p + "sum_cx").alias(p + "sum_cx")]
@@ -534,9 +542,10 @@ def aggregate_partials(zones_b, partials, keygroups, *, int_values=False,
             aggs.append(F.max(F.when(F.col(p + "max_v").isNotNull(), F.struct(
                 F.col(p + "max_v").alias("v"), (-F.col(p + "max_cell")).alias("negcell"),
                 *xy_max))).alias(p + "maxs"))
-    scalar = partials.groupBy("zone_id").agg(*aggs)
-
-    result = zones_b.select("zone_id", *(include_cols or [])).join(scalar, "zone_id", "left")
+    result = zones_b.select("zone_id", *(include_cols or []))
+    if aggs:
+        scalar = partials.groupBy("zone_id").agg(*aggs)
+        result = result.join(scalar, "zone_id", "left")
 
     # --- histogram branch: explode → re-aggregate (mergeable histogram;
     # raster_stats.h:752-757 merged key-wise as in combine()) ---
