@@ -43,12 +43,12 @@ def _setup(spark: SparkSession, sf_dir: str):
     return cfg, zones, tiles, wtiles, grid
 
 
-def _zq(ops, weighted=False, post=None):
+def _zq(ops, weighted=False, post=None, strategy="broadcast"):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
         res = exact_extract(zones, tiles, ops,
                             weight_tiles=wtiles if weighted else None,
-                            grid=grid, strategy="broadcast")
+                            grid=grid, strategy=strategy)
         return post(res) if post else res
     return run
 
@@ -116,6 +116,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "zonal_basic": _zq(["count", "sum", "mean", "min", "max"]),
+        # same stats through the shuffle join strategy (payloads move
+        # once; AQE skew-join) — must match the same oracle
+        "zonal_basic_shuffle": _zq(["count", "sum", "mean", "min", "max"],
+                                   strategy="shuffle"),
         "zonal_weighted": _zq(["weighted_count", "weighted_sum", "weighted_mean"],
                               weighted=True),
         "zonal_variance": _zq(["variance", "stdev"]),

@@ -153,12 +153,15 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
     reference feature_sequential_processor.cpp:85-113).  ``passthrough``
     columns (e.g. tile ids for checkpoint lineage) are copied onto every
     partial row."""
+    from .fastpath import accumulate_rect_batch, rect_batch_eligible
+
     schema = _partial_schema(keygroups, passthrough)
     key_specs = [(i, req, dict(
         min_coverage_frac=key[2], coverage_weight=key[3],
         default_value=key[4], default_weight=key[5]))
         for i, (key, req, _) in enumerate(keygroups)]
     col_names = [f.name for f in schema.fields]
+    use_fast = rect_batch_eligible(keygroups) and not passthrough
 
     def kernel(batches):
         geom_cache: dict = {}
@@ -179,6 +182,8 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
             if has_weights:
                 wbuf_a, wdt_a, wnd_a = g("w_values"), g("w_dtype"), pdf["w_nodata"]
             out_rows = []
+            rect_pairs = []
+            tile_buf: dict = {}
             for j in range(n_rows):
                 nr, nc = int(nr_a[j]), int(nc_a[j])
                 row0, col0 = int(r0_a[j]), int(c0_a[j])
@@ -206,6 +211,20 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                     c1z = min(max(int(math.ceil((bx1 - xmin) / dx)), c0z + 1), nc)
                     r0z = min(max(int(math.floor((ymax - by1) / dy)), 0), nr - 1)
                     r1z = min(max(int(math.ceil((ymax - by0) / dy)), r0z + 1), nr)
+                    if use_fast and geom.is_rectangle():
+                        if j not in tile_buf:
+                            tv = decode_tile(buf_a[j], dt_a[j], nr, nc)
+                            tw = None
+                            if has_weights and wbuf_a[j] is not None:
+                                tw = decode_tile(wbuf_a[j], wdt_a[j], nr, nc)
+                            tile_buf[j] = (tv, tw)
+                        wn0 = None
+                        if has_weights:
+                            wn = wnd_a.iloc[j]
+                            wn0 = None if wn is None or pd.isna(wn) else float(wn)
+                        rect_pairs.append((zid, j, r0z, r1z, c0z, c1z,
+                                           (bx0, by0, bx1, by1), row0, col0, nd, wn0))
+                        continue
                     nrw, ncw = r1z - r0z, c1z - c0z
                     cov = coverage_for_window(geom, xmin + c0z * dx, ymax - r0z * dy,
                                               dx, dy, nrw, ncw)
@@ -238,6 +257,14 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                             rec[f"k{i}_{k}"] = v
                     if any_key:
                         out_rows.append(rec)
+            if rect_pairs:
+                pad = int(max(nr_a.max(), nc_a.max()))
+                accumulate_rect_batch(
+                    rect_pairs, tile_buf, key_specs,
+                    has_weights=has_weights, out_rows=out_rows,
+                    grid_ncols=int(gnc_a[0]), grid_xmin=float(gx_a[0]),
+                    grid_ymax=float(gy_a[0]), dx=float(dx_a[0]), dy=float(dy_a[0]),
+                    tile_size=pad)
             yield pd.DataFrame(out_rows, columns=col_names) if out_rows \
                 else pd.DataFrame(columns=col_names)
 

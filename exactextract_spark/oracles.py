@@ -260,6 +260,7 @@ WHERE rank <= {K}"""
 ZONAL_ORACLES = {
     "point_in_polygon": point_in_polygon,
     "knn_tiles": knn_tiles,
+    "zonal_basic_shuffle": zonal_basic,  # same semantics, shuffle plan
     "zonal_arrays": zonal_arrays,
     "zonal_linear": zonal_linear,
     "zonal_weighted_variance": zonal_weighted_variance,
