@@ -153,6 +153,7 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
     reference feature_sequential_processor.cpp:85-113).  ``passthrough``
     columns (e.g. tile ids for checkpoint lineage) are copied onto every
     partial row."""
+    from .fastpath import FAST_MAX_CELLS as _FAST_MAX_CELLS
     from .fastpath import accumulate_rect_batch, rect_batch_eligible
 
     schema = _partial_schema(keygroups, passthrough)
@@ -211,7 +212,8 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                     c1z = min(max(int(math.ceil((bx1 - xmin) / dx)), c0z + 1), nc)
                     r0z = min(max(int(math.floor((ymax - by1) / dy)), 0), nr - 1)
                     r1z = min(max(int(math.ceil((ymax - by0) / dy)), r0z + 1), nr)
-                    if use_fast and geom.is_rectangle():
+                    if use_fast and geom.is_rectangle() and \
+                            (r1z - r0z) * (c1z - c0z) <= _FAST_MAX_CELLS:
                         if j not in tile_buf:
                             tv = decode_tile(buf_a[j], dt_a[j], nr, nc)
                             tw = None

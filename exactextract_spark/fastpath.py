@@ -27,7 +27,19 @@ import numpy as np
 
 __all__ = ["rect_batch_eligible", "accumulate_rect_batch", "CHUNK_CELLS"]
 
-CHUNK_CELLS = 2_000_000  # flat working-set cap per vectorized chunk
+import os
+
+CHUNK_CELLS = int(os.environ.get("EXACTEXTRACT_FAST_CHUNK", "400000"))
+# Windows larger than FAST_MAX_CELLS stay on the per-pair path.
+# Measured on this box (BENCH/scaling job, 1600-cell windows): the flat
+# stream is ~2x SLOWER than the per-pair kernel — the stacked-buffer
+# gather turns cache-resident window slices into main-memory traffic —
+# and on the sf0.1 bench (150-cell windows) the difference is inside
+# the fixed-cost noise.  Default 0 therefore DISABLES the flat path;
+# it remains available (set EXACTEXTRACT_FAST_MAX_CELLS) for workloads
+# with very small windows at extreme pair counts, and stays covered by
+# an equality test.
+FAST_MAX_CELLS = int(os.environ.get("EXACTEXTRACT_FAST_MAX_CELLS", "0"))
 
 
 def rect_batch_eligible(keygroups) -> bool:
