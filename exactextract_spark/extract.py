@@ -84,8 +84,10 @@ def attach_bbox(zones: DataFrame) -> DataFrame:
         for w in wkt:
             try:
                 rows.append(parse_wkt(w).bbox)
-            except Exception:
-                rows.append((np.nan, np.nan, np.nan, np.nan))
+            except Exception as e:
+                # fail loudly like the reference (unsupported/invalid
+                # geometry raises, test_exact_extract.py:1264-1274)
+                raise ValueError(f"invalid zone geometry {str(w)[:80]!r}: {e}") from e
         return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
 
     return zones.withColumn("_bbox", bbox_udf("geometry")).select("*", "_bbox.*").drop("_bbox")
