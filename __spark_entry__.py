@@ -156,7 +156,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": psim.ann_topk,
         "ann_lsh_buckets": psim.lsh_buckets,
         "embedding_neardup": psim.embedding_neardup,
+        "label_centroids": psim.label_centroids,
         "media_metadata": pmm.media_metadata,
+        "media_frames": pmm.frame_samples,
     }
     return q
 
@@ -174,7 +176,9 @@ PIPELINE_ORACLES = {
     "ann_topk": psim.ann_topk_oracle,
     "ann_lsh_buckets": psim.lsh_buckets_oracle,
     "embedding_neardup": psim.embedding_neardup_oracle,
+    "label_centroids": psim.label_centroids_oracle,
     "media_metadata": pmm.media_metadata_oracle,
+    "media_frames": pmm.frame_samples_oracle,
 }
 
 

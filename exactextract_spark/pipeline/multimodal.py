@@ -60,6 +60,59 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, schema=META_SCHEMA)
 
 
+N_FRAMES = 3
+
+
+def frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: slice N_FRAMES
+    evenly-spaced byte windows per payload and fingerprint each —
+    the decode itself is the stub; batching/schema/partitioning real."""
+    docs = binary_docs(spark, sf_dir)
+
+    def run(batches):
+        import hashlib
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_off": [],
+                   "frame_len": [], "frame_md5": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                flen = max(len(b) // (N_FRAMES + 1), 1)
+                for i in range(N_FRAMES):
+                    off = i * (len(b) // N_FRAMES) if len(b) >= N_FRAMES else 0
+                    chunk = b[off:off + flen]
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(i)
+                    out["frame_off"].append(off)
+                    out["frame_len"].append(len(chunk))
+                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out).astype(
+                {"frame_idx": np.int32, "frame_off": np.int32, "frame_len": np.int32})
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_off", T.IntegerType()),
+        T.StructField("frame_len", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ])
+    return docs.mapInPandas(run, schema=schema)
+
+
+def frame_samples_oracle() -> str:
+    # documents are ASCII: byte offsets == char offsets; same integer
+    # arithmetic as the stub
+    return f"""WITH f AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         GREATEST(octet_length(encode(text)) // {N_FRAMES + 1}, 1) AS flen
+  FROM documents),
+idx AS (SELECT range AS i FROM range({N_FRAMES}))
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+  CAST(CASE WHEN n >= {N_FRAMES} THEN i * (n // {N_FRAMES}) ELSE 0 END AS INT) AS frame_off,
+  CAST(LEAST(flen, n - (CASE WHEN n >= {N_FRAMES} THEN i * (n // {N_FRAMES}) ELSE 0 END)) AS INT) AS frame_len,
+  md5(substr(text, 1 + CASE WHEN n >= {N_FRAMES} THEN i * (n // {N_FRAMES}) ELSE 0 END, flen)) AS frame_md5
+FROM f CROSS JOIN idx"""
+
+
 def media_metadata_oracle() -> str:
     # documents are ASCII, so codepoint == first UTF-8 byte
     return """SELECT doc_id,

@@ -67,6 +67,34 @@ WHERE rank <= {TOP_K}"""
 
 # deterministic pseudo-hyperplane component for plane p, dim i:
 # integer formula -> centered small int
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (classic class-prototype op):
+    posexplode → groupBy (label, pos) mean → re-assemble ordered array.
+    Scale shape: one shuffle keyed by (label, dim) — never collects a
+    vector to the driver."""
+    e = _emb(spark, sf_dir)
+    # values quantized to 1/2^20 before summing so the aggregation is
+    # integer-exact and order-independent — bit-identical across engines
+    # regardless of partitioning (float sums are not associative)
+    q = F.floor(F.col("v").cast("double") * F.lit(1048576.0)).cast("long")
+    per_dim = (e.select("label", F.posexplode("embedding").alias("pos", "v"))
+                .groupBy("label", "pos")
+                .agg((F.sum(q).cast("double") / F.count("*")).alias("m")))
+    return (per_dim.groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s"))
+            .selectExpr("label", "transform(s, x -> x.m / 1048576.0) AS centroid"))
+
+
+def label_centroids_oracle() -> str:
+    return """WITH d AS (
+  SELECT label, i AS pos,
+         CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
+  FROM embeddings, (SELECT range AS i FROM range(64))),
+m AS (
+  SELECT label, pos, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m FROM d GROUP BY label, pos)
+SELECT label, list(m / 1048576.0 ORDER BY pos) AS centroid FROM m GROUP BY label"""
+
+
 _PLANE = "((({i} * 37 + {p} * 101) % 13) - 6)"
 
 _PROJ_SPARK = ("aggregate(zip_with(sequence(0, size({e}) - 1), {e},"

@@ -20,11 +20,19 @@ def _duck():
     return con
 
 
+def _tupleize(df):
+    for c in df.columns:
+        if df[c].dtype == object and len(df) and \
+                isinstance(df[c].iloc[0], (list, np.ndarray)):
+            df[c] = df[c].map(lambda v: tuple(v) if v is not None else None)
+    return df
+
+
 @pytest.mark.parametrize("name", PIPELINE_NAMES)
 def test_pipeline_parity(name, spark):
-    eng = entry_mod.queries()[name](spark, SF_DIR).toPandas()
+    eng = _tupleize(entry_mod.queries()[name](spark, SF_DIR).toPandas())
     with _duck() as con:
-        ora = con.sql(entry_mod.PIPELINE_ORACLES[name]()).df()
+        ora = _tupleize(con.sql(entry_mod.PIPELINE_ORACLES[name]()).df())
     key_cols = [c for c in eng.columns if eng[c].dtype.kind in "iuO"][:3] or list(eng.columns[:1])
     eng = eng.sort_values(list(eng.columns)).reset_index(drop=True)[sorted(eng.columns)]
     ora = ora.sort_values(list(ora.columns)).reset_index(drop=True)[sorted(ora.columns)]
