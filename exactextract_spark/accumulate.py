@@ -105,6 +105,15 @@ def accumulate_pair(cov: np.ndarray, values: np.ndarray, *,
     out["sum_cx"] = float((cvals * ccov).sum())
     if req.variance:
         out["sum_cx2"] = float((cvals * cvals * ccov).sum())
+    if req.stable_variance:
+        # per-pair West state (variance.h:20-72 semantics computed in
+        # one vectorized pass); Chan-merged across pairs at agg time
+        wsum = float(ccov.sum())
+        mean = float((cvals * ccov).sum()) / wsum
+        d = cvals - mean
+        out["var_w"] = wsum
+        out["var_mean"] = mean
+        out["var_m2"] = float((d * d * ccov).sum())
 
     w = None
     if req.weighted or req.cells_weights:

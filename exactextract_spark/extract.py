@@ -128,6 +128,10 @@ def _partial_schema(keygroups, passthrough=()) -> T.StructType:
                    T.StructField(p + "sum_cx", T.DoubleType())]
         if req.variance:
             fields.append(T.StructField(p + "sum_cx2", T.DoubleType()))
+        if req.stable_variance:
+            fields += [T.StructField(p + "var_w", T.DoubleType()),
+                       T.StructField(p + "var_mean", T.DoubleType()),
+                       T.StructField(p + "var_m2", T.DoubleType())]
         if req.weighted:
             fields += [T.StructField(p + "sum_cw", T.DoubleType()),
                        T.StructField(p + "sum_cxw", T.DoubleType())]
@@ -364,13 +368,23 @@ def _finalize_exprs(i: int, ops_in_key: list[Op], int_values: bool = False) -> l
         elif s == "max_center_y":
             e = F.col(p + "maxs.y")
         elif s in ("variance", "stdev", "coefficient_of_variation"):
-            var = F.greatest(F.col(p + "sum_cx2") / sum_c - mean * mean, F.lit(0.0))
-            if s == "variance":
-                e = F.when(sum_c > 0, var)
-            elif s == "stdev":
-                e = F.when(sum_c > 0, F.sqrt(var))
+            if op.stable:
+                svw = F.col(p + "svar_w")
+                var = F.greatest(F.col(p + "svar_m2") / svw, F.lit(0.0))
+                if s == "variance":
+                    e = F.when(svw > 0, var)
+                elif s == "stdev":
+                    e = F.when(svw > 0, F.sqrt(var))
+                else:
+                    e = F.when(svw > 0, F.sqrt(var) / F.col(p + "svar_mean"))
             else:
-                e = F.when(sum_c > 0, F.sqrt(var) / mean)
+                var = F.greatest(F.col(p + "sum_cx2") / sum_c - mean * mean, F.lit(0.0))
+                if s == "variance":
+                    e = F.when(sum_c > 0, var)
+                elif s == "stdev":
+                    e = F.when(sum_c > 0, F.sqrt(var))
+                else:
+                    e = F.when(sum_c > 0, F.sqrt(var) / mean)
         elif s == "weighted_count":
             e = F.coalesce(F.col(p + "sum_cw"), F.lit(0.0))
         elif s == "weighted_sum":
@@ -577,6 +591,32 @@ def aggregate_partials(zones_b, partials, keygroups, *, int_values=False,
     if aggs:
         scalar = partials.groupBy("zone_id").agg(*aggs)
         result = result.join(scalar, "zone_id", "left")
+
+    # --- stable-variance branch: Chan merge of per-pair West states ---
+    for i, (_, req, _) in enumerate(keygroups):
+        p = f"k{i}_"
+        if req.stable_variance:
+            def _chan(pdf: pd.DataFrame) -> pd.DataFrame:
+                W = M = M2 = 0.0
+                for w, m, m2 in zip(pdf.iloc[:, 1], pdf.iloc[:, 2], pdf.iloc[:, 3]):
+                    if w is None or pd.isna(w):
+                        continue
+                    d = m - M
+                    Wn = W + w
+                    M = M + d * (w / Wn)
+                    M2 = M2 + m2 + d * d * W * (w / Wn)
+                    W = Wn
+                return pd.DataFrame({"zone_id": [pdf.iloc[0, 0]],
+                                     "w": [W], "mean": [M], "m2": [M2]})
+
+            sv = (partials.select("zone_id", p + "var_w", p + "var_mean", p + "var_m2")
+                  .where(F.col(p + "var_w").isNotNull())
+                  .groupBy("zone_id")
+                  .applyInPandas(_chan, schema="zone_id string, w double, mean double, m2 double")
+                  .select("zone_id", F.col("w").alias(p + "svar_w"),
+                          F.col("mean").alias(p + "svar_mean"),
+                          F.col("m2").alias(p + "svar_m2")))
+            result = result.join(sv, "zone_id", "left")
 
     # --- histogram branch: explode → re-aggregate (mergeable histogram;
     # raster_stats.h:752-757 merged key-wise as in combine()) ---

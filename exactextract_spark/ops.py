@@ -58,6 +58,11 @@ class Op:
     # python/src/pybindings/operation_bindings.cpp:29-131)
     fn: object = None              # callable(values, cov[, weights])
     result_type: str = "double"
+    # numerically-stable variance (per-pair West accumulation + Chan
+    # merge) — matches the reference's sequential West results on
+    # pathological data (huge mean, tiny variance); the default
+    # algebraic form is kept because it is bit-reproducible in ANSI SQL
+    stable: bool = False
 
     @property
     def key(self):
@@ -79,6 +84,7 @@ class StatRequirements:
     weighted: bool = False   # sum_cw, sum_cxw
     variance: bool = False   # sum_cx2
     weighted_variance: bool = False  # sum_cx2w
+    stable_variance: bool = False  # per-pair West state (w, mean, M2)
     minmax: bool = False
     store_xy: bool = False   # argmin/argmax locations
     histogram: bool = False
@@ -97,6 +103,8 @@ class StatRequirements:
             self.weighted = True
         if s in _NEEDS_VARIANCE:
             self.variance = True
+            if op.stable and s in ("variance", "stdev", "coefficient_of_variation"):
+                self.stable_variance = True
         if s in ("weighted_stdev", "weighted_variance"):
             self.weighted_variance = True
             self.weighted = True
@@ -148,6 +156,8 @@ def parse_op(desc: str, *, values: str = "values", weights: str | None = None) -
                 kwargs["default_value"] = float(v)
             elif k == "default_weight":
                 kwargs["default_weight"] = float(v)
+            elif k == "stable":
+                kwargs["stable"] = v.lower() in ("1", "true", "yes")
             else:
                 raise ValueError(f"unknown stat argument {k!r} in {desc!r}")
     if stat == "quantile":
