@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_guess": ptext.lang_guess,
         "doc_fingerprint": ptext.fingerprint,
         "token_histogram": ptext.token_histogram,
+        "quality_filter": ptext.quality_filter,
         "dedup_exact": pdedup.exact_dedup,
         "dedup_minhash_sig": pdedup.minhash_signature,
         "dedup_minhash_pairs": pdedup.minhash_pairs,
@@ -168,6 +169,7 @@ PIPELINE_ORACLES = {
     "lang_guess": ptext.lang_guess_oracle,
     "doc_fingerprint": ptext.fingerprint_oracle,
     "token_histogram": ptext.token_histogram_oracle,
+    "quality_filter": ptext.quality_filter_oracle,
     "dedup_exact": pdedup.exact_dedup_oracle,
     "dedup_minhash_sig": pdedup.minhash_signature_oracle,
     "dedup_minhash_pairs": pdedup.minhash_pairs_oracle,

@@ -105,6 +105,23 @@ def fingerprint_oracle() -> str:
 FROM documents"""
 
 
+_QUALITY_KEEP = ("(n_tokens >= 10 AND n_chars >= 60 AND avg_token_len >= 2.5 "
+                 "AND avg_token_len <= 12.0 AND stopword_ratio <= 0.6)")
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation decision per document (the classic
+    pre-training quality gate), built on text_stats."""
+    s = text_stats(spark, sf_dir)
+    return s.selectExpr("doc_id", "n_tokens", "n_chars",
+                        f"{_QUALITY_KEEP} AS keep")
+
+
+def quality_filter_oracle() -> str:
+    return f"""WITH s AS ({text_stats_oracle()})
+SELECT doc_id, n_tokens, n_chars, {_QUALITY_KEEP} AS keep FROM s"""
+
+
 def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level token frequency (explode + groupBy — the classic
     wordcount shape, fully JVM-side)."""
