@@ -1,10 +1,31 @@
-"""SparkSession builder with scale-appropriate defaults."""
+"""SparkSession builder with scale-appropriate defaults, plus a
+progress helper (the reference's progress callback analog,
+processor.h:124-136 / exact_extract.py:465-491)."""
 
 from __future__ import annotations
 
 import os
 
 from pyspark.sql import SparkSession
+
+
+def job_progress(spark: SparkSession) -> dict:
+    """Snapshot of active-job progress: {job_id: (completed, total)}.
+    Poll from a monitoring thread while an action runs."""
+    st = spark.sparkContext.statusTracker()
+    out = {}
+    for jid in st.getActiveJobsIds():
+        info = st.getJobInfo(jid)
+        if info is None:
+            continue
+        done = total = 0
+        for sid in info.stageIds:
+            s = st.getStageInfo(sid)
+            if s is not None:
+                done += s.numCompletedTasks
+                total += s.numTasks
+        out[jid] = (done, total)
+    return out
 
 
 def get_spark(app: str = "exactextract-spark", cores: int | None = None,
