@@ -86,6 +86,26 @@ def test_translation_invariance():
     np.testing.assert_allclose(c1, c2, atol=1e-7)
 
 
+def test_gh_178_regression():
+    """Transcribed from the reference's real-world regression
+    (test_exact_extract.py:1666-1709): jagged lat/lon polygon on a
+    ~9e-5-degree grid at large coordinate offsets — the float-roundoff
+    class the reference's grid snap-fudging exists for.  Expected count
+    (sum of coverage) from the reference: 95.1929023920793."""
+    wkt = ("POLYGON ((117.103213 4.271759,117.102853 4.271848,117.102853 4.272028,"
+           "117.102314 4.272028,117.102224 4.272208,117.102045 4.272208,"
+           "117.102045 4.271759,117.101775 4.271759,117.101775 4.271669,"
+           "117.102045 4.271399,117.102045 4.271489,117.102314 4.271489,"
+           "117.102224 4.271669,117.102404 4.271759,117.102404 4.27122,"
+           "117.102584 4.27122,117.10265 4.271154,117.103074 4.271366,"
+           "117.103033 4.271489,117.103123 4.271489,117.103213 4.271759))")
+    g = parse_wkt(wkt)
+    c = coverage_fraction(g, 117.09683458943421, 4.273195975028152,
+                          8.983152841204135e-05, 8.983152841195037e-05,
+                          34, 72).astype(np.float64)
+    assert c.sum() == pytest.approx(95.1929023920793)
+
+
 def test_many_holes():
     holes = ",".join(
         f"({x}.2 {y}.2, {x}.8 {y}.2, {x}.8 {y}.8, {x}.2 {y}.8, {x}.2 {y}.2)"
