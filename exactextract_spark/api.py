@@ -35,6 +35,37 @@ def exact_extract_multi(zones: DataFrame, rasters: dict[str, DataFrame], ops, *,
     return out
 
 
+def exact_extract_fused(zones: DataFrame, rasters: dict[str, DataFrame], ops, *,
+                        include_cols: list[str] | None = None) -> DataFrame:
+    """Single-pass multi-raster extraction: all rasters' tiles union into
+    ONE scan; the kernel routes each tile row to the op keys of its own
+    raster (the op key's first component is the raster name).  At scale
+    this reads the tile store once instead of once per raster —
+    the reference's read-once dedup (feature_sequential_processor.cpp:
+    85-113) lifted across rasters.
+
+    Requires all rasters on one grid/tiling (reference common_grid
+    constraint, grid.h:278-305).  Columns auto-name ``{src}_{stat}``."""
+    from functools import reduce
+
+    from .ops import parse_op
+
+    names = list(rasters)
+    grids = [t.select("grid_xmin", "grid_ymax", "dx", "dy", "grid_nrows",
+                      "grid_ncols").first().asDict() for t in rasters.values()]
+    if any(g != grids[0] for g in grids[1:]):
+        raise ValueError("fused extraction requires all rasters on one grid; "
+                         "regrid first (regrid.regrid_to)")
+    tiles = reduce(lambda a, b: a.unionByName(b), rasters.values())
+    op_list = []
+    for name in names:
+        for d in ops:
+            o = parse_op(d, values=name)
+            op_list.append(o.__class__(**{**o.__dict__, "name": f"{name}_{o.name}"}))
+    ext = ZonalExtractor(zones, tiles, grid=grids[0])
+    return ext.extract(op_list, include_cols=include_cols)
+
+
 def unnest_arrays(df: DataFrame, array_cols: list[str],
                   keep_cols: list[str] | None = None) -> DataFrame:
     """Explode parallel array result columns into one output row per

@@ -163,12 +163,18 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
     from .fastpath import accumulate_rect_batch, rect_batch_eligible
 
     schema = _partial_schema(keygroups, passthrough)
-    key_specs = [(i, req, dict(
+    # key[0] is the logical raster name; when the joined rows carry a
+    # raster_id column (fused multi-raster scan) each key only consumes
+    # rows of its own raster
+    key_specs = [(i, req, key[0], dict(
         min_coverage_frac=key[2], coverage_weight=key[3],
         default_value=key[4], default_weight=key[5]))
         for i, (key, req, _) in enumerate(keygroups)]
+    multi_raster = len({k[0] for k, _, _ in keygroups}) > 1
     col_names = [f.name for f in schema.fields]
-    use_fast = rect_batch_eligible(keygroups) and not passthrough
+    _arr_cols = [f.name for f in schema.fields
+                 if isinstance(f.dataType, T.ArrayType)]
+    use_fast = rect_batch_eligible(keygroups) and not passthrough and not multi_raster
 
     def kernel(batches):
         geom_cache: dict = {}
@@ -186,6 +192,7 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
             dx_a, dy_a = g("dx"), g("dy")
             gnc_a = g("grid_ncols")
             buf_a, dt_a, nd_a = g("values"), g("dtype"), pdf["nodata"]
+            rid_a = g("raster_id") if multi_raster else None
             if has_weights:
                 wbuf_a, wdt_a, wnd_a = g("w_values"), g("w_dtype"), pdf["w_nodata"]
             out_rows = []
@@ -202,6 +209,7 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                 w_nodata = None
                 nd = nd_a.iloc[j]
                 nd = None if nd is None or pd.isna(nd) else float(nd)
+                rid_row = rid_a[j] if multi_raster else None
                 for zid in (zid_a[j] if grouped else (zid_a[j],)):
                     cached = geom_cache.get(zid)
                     if cached is None:
@@ -249,7 +257,9 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                             w_nodata = None if wn is None or pd.isna(wn) else float(wn)
                     rec = {"zone_id": zid, **pt}
                     any_key = False
-                    for i, req, kwargs in key_specs:
+                    for i, req, vname, kwargs in key_specs:
+                        if multi_raster and vname != rid_row:
+                            continue
                         part = accumulate_pair(
                             cov, vals[r0z:r1z, c0z:c1z], req=req, nodata=nd,
                             weights=None if wvals is None else wvals[r0z:r1z, c0z:c1z],
@@ -273,8 +283,16 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                     grid_ncols=int(gnc_a[0]), grid_xmin=float(gx_a[0]),
                     grid_ymax=float(gy_a[0]), dx=float(dx_a[0]), dy=float(dy_a[0]),
                     tile_size=pad)
-            yield pd.DataFrame(out_rows, columns=col_names) if out_rows \
-                else pd.DataFrame(columns=col_names)
+            if not out_rows:
+                yield pd.DataFrame(columns=col_names)
+                continue
+            out = pd.DataFrame(out_rows, columns=col_names)
+            # rows that carry only some keys' fields leave the other
+            # keys' array columns as NaN floats — Arrow needs None
+            for c in _arr_cols:
+                if c in out.columns:
+                    out[c] = [v if isinstance(v, list) else None for v in out[c]]
+            yield out
 
     return joined.mapInPandas(kernel, schema=schema)
 

@@ -151,7 +151,7 @@ def _chunk(sel, areas, widths, tile_idx, r0, c0, row0g, col0g,
     cell_id = gr * grid_ncols + gc
     P_all = pcount
 
-    for i, req, kwargs in key_specs:
+    for i, req, _vname, kwargs in key_specs:
         min_cov = np.float32(kwargs["min_coverage_frac"])
         cw = kwargs["coverage_weight"]
         dv = kwargs["default_value"]

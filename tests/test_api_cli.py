@@ -21,6 +21,34 @@ def test_multi_raster_naming(spark):
     assert r["a_count"] == r["b_count"] == pytest.approx(4.0)
 
 
+def test_fused_multi_raster_single_pass(spark):
+    """Fused scan == per-raster loop, including histogram stats and
+    per-raster nodata."""
+    from exactextract_spark.api import exact_extract_fused, exact_extract_multi
+    from exactextract_spark.io import tiles_from_array
+
+    a = ARANGE9.copy()
+    b = 3 * ARANGE9
+    b[0, 0] = -1
+    rasters = {"a": tiles_from_array(spark, a, raster_id="a"),
+               "b": tiles_from_array(spark, b, raster_id="b", nodata=-1)}
+    zones = spark.createDataFrame(
+        [("z0", SQ), ("z1", "POLYGON ((0 0, 1.5 0, 1.5 1.5, 0 1.5, 0 0))")],
+        ["zone_id", "geometry"])
+    ops = ["count", "mean", "variety", "median", "min", "max"]
+    fused = {r["zone_id"]: r.asDict()
+             for r in exact_extract_fused(zones, rasters, ops).collect()}
+    loop = {r["zone_id"]: r.asDict()
+            for r in exact_extract_multi(zones, rasters, ops).collect()}
+    assert set(fused) == set(loop)
+    for z in loop:
+        for k, v in loop[z].items():
+            if v is None:
+                assert fused[z][k] is None, (z, k)
+            else:
+                assert fused[z][k] == pytest.approx(v), (z, k)
+
+
 def test_unnest_arrays(spark):
     from exactextract_spark.api import unnest_arrays
     from exactextract_spark.extract import exact_extract
