@@ -102,14 +102,17 @@ def main():
         timings_cold = {}
 
         def bench(name, fn):
-            # first run includes python-worker/codegen warmup; second is
-            # the steady-state number a long-running cluster job sees
+            # first run includes python-worker/codegen warmup; report the
+            # best of the following two runs (host timing noise is ~2x)
             t0 = time.time()
             fn().write.format("noop").mode("overwrite").save()
             timings_cold[name] = round(time.time() - t0, 3)
-            t0 = time.time()
-            fn().write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn().write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
 
         # one untimed warmup to spin up python workers / codegen
         ext.extract(["count"]).write.format("noop").mode("overwrite").save()
