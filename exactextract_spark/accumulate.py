@@ -59,6 +59,7 @@ def accumulate_pair(cov: np.ndarray, values: np.ndarray, *,
                     coverage_weight: str = "fraction",
                     default_value: float | None = None,
                     default_weight: float | None = None,
+                    bin_width: float | None = None,
                     row0: int = 0, col0: int = 0,
                     grid_ncols: int = 0,
                     grid_xmin: float = 0.0, grid_ymax: float = 0.0,
@@ -147,7 +148,8 @@ def accumulate_pair(cov: np.ndarray, values: np.ndarray, *,
             out["max_y"] = grid_ymax - (int(rr[imax]) + row0 + 0.5) * dy
 
     if req.histogram:
-        uniq, inv = np.unique(cvals, return_inverse=True)
+        hvals = cvals if bin_width is None else np.floor(cvals / bin_width) * bin_width
+        uniq, inv = np.unique(hvals, return_inverse=True)
         hci = np.bincount(inv, weights=ccov)
         if req.weighted and w is not None:
             hciw = np.bincount(inv, weights=ccov * w)

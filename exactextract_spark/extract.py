@@ -168,7 +168,7 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
     # rows of its own raster
     key_specs = [(i, req, key[0], dict(
         min_coverage_frac=key[2], coverage_weight=key[3],
-        default_value=key[4], default_weight=key[5]))
+        default_value=key[4], default_weight=key[5], bin_width=key[6]))
         for i, (key, req, _) in enumerate(keygroups)]
     multi_raster = len({k[0] for k, _, _ in keygroups}) > 1
     col_names = [f.name for f in schema.fields]

@@ -63,13 +63,20 @@ class Op:
     # pathological data (huge mean, tiny variance); the default
     # algebraic form is kept because it is bit-reproducible in ANSI SQL
     stable: bool = False
+    # histogram value quantization (engine extension beyond the
+    # reference): floor(v / bin_width) * bin_width before the histogram,
+    # bounding per-zone state for continuous rasters — the scale path
+    # for median/quantile/mode at 100 TB (state ∝ range/bin_width, not
+    # cell count).  None = exact distinct values (reference behavior).
+    bin_width: float | None = None
 
     @property
     def key(self):
         """Accumulator-sharing key (operation.cpp:454-465): ops with the
         same key read one shared state."""
         return (self.values, self.weights, self.min_coverage_frac,
-                self.coverage_weight, self.default_value, self.default_weight)
+                self.coverage_weight, self.default_value, self.default_weight,
+                self.bin_width)
 
     @property
     def weighted(self) -> bool:
@@ -158,6 +165,11 @@ def parse_op(desc: str, *, values: str = "values", weights: str | None = None) -
                 kwargs["default_weight"] = float(v)
             elif k == "stable":
                 kwargs["stable"] = v.lower() in ("1", "true", "yes")
+            elif k == "bin_width":
+                bw = float(v)
+                if bw <= 0:
+                    raise ValueError("bin_width must be positive")
+                kwargs["bin_width"] = bw
             else:
                 raise ValueError(f"unknown stat argument {k!r} in {desc!r}")
     if stat == "quantile":

@@ -46,3 +46,18 @@ def test_stable_matches_algebraic_on_normal_data(spark):
     r = exact_extract(zones, tiles,
                       ["v_alg=variance", "v_st=variance(stable=true)"]).collect()[0]
     assert r["v_st"] == pytest.approx(r["v_alg"], rel=1e-12)
+
+
+def test_bin_width_bounded_histogram(spark):
+    """bin_width quantization: bounded state for continuous rasters;
+    median within one bin of the exact median, variety == #bins."""
+    rng = np.random.default_rng(1)
+    data = rng.uniform(0, 100, (20, 20))
+    zones = spark.createDataFrame([("z0", SQ)], ["zone_id", "geometry"])
+    tiles = tiles_from_array(spark, data, tile=7)
+    r = exact_extract(zones, tiles, [
+        "med_exact=median", "med_b=median(bin_width=5)",
+        "var_exact=variety", "var_b=variety(bin_width=5)"]).collect()[0]
+    assert r["var_exact"] > 300          # ~every interior cell distinct
+    assert r["var_b"] <= 20              # 100/5 bins
+    assert abs(r["med_b"] - r["med_exact"]) <= 5.0
