@@ -92,7 +92,8 @@ class CheckpointedExtraction:
         partials = run_kernel(todo, self.keygroups,
                               geom_lookup=self.ext.geom_lookup,
                               has_weights=self.ext.has_weights,
-                              passthrough=("tile_row", "tile_col")).persist()
+                              passthrough=("tile_row", "tile_col")) \
+            .withColumn("batch_id", F.lit(batch)).persist()
         partials.write.mode("append").parquet(f"{self.path}/partials")
         lineage = (partials.groupBy("tile_row", "tile_col")
                    .agg(F.count("*").alias("n_partial_rows"))
@@ -113,12 +114,15 @@ class CheckpointedExtraction:
 
     def finalize(self) -> DataFrame:
         """Merge ALL committed partials into the final statistics.  Only
-        partials whose tile has a lineage row are visible."""
+        partials whose (tile, batch) has a lineage row are visible —
+        orphan partials from a crash between the two appends are
+        excluded, so a re-done tile is counted exactly once."""
         lin = self._lineage()
         stored = self.spark.read.parquet(f"{self.path}/partials")
-        stored = stored.join(lin.select("tile_row", "tile_col").distinct(),
-                             ["tile_row", "tile_col"])
-        stored = stored.drop("tile_row", "tile_col")
+        stored = stored.join(
+            lin.select("tile_row", "tile_col", "batch_id").distinct(),
+            ["tile_row", "tile_col", "batch_id"])
+        stored = stored.drop("tile_row", "tile_col", "batch_id")
         return aggregate_partials(self.ext.zones_b, stored, self.keygroups,
                                   int_values=self.ext.int_values)
 

@@ -54,11 +54,22 @@ class StreamingZonalWriter:
                           .agg(F.collect_list("zone_id").alias("zone_ids"))).persist()
 
     def process_batch(self, docs_batch: DataFrame, batch_id: int) -> None:
+        # idempotent under foreachBatch replay: a batch_id already in the
+        # lineage was fully committed — skip it (snapshot() only reads
+        # lineage-committed (tile, batch) pairs, so a crash between the
+        # two appends leaves invisible orphans, not double counts)
+        try:
+            lin = self.spark.read.parquet(f"{self.path}/lineage")
+            if lin.where(F.col("batch_id") == str(batch_id)).take(1):
+                return
+        except Exception:
+            pass
         tiles = eio.tiles_from_docs(docs_batch, self.raster_id, self.meta)
         joined = tiles.join(F.broadcast(self.pairs_agg), ["tile_row", "tile_col"])
         partials = run_kernel(joined, self.keygroups,
                               geom_lookup=self.geom_lookup, has_weights=False,
-                              passthrough=("tile_row", "tile_col")).persist()
+                              passthrough=("tile_row", "tile_col")) \
+            .withColumn("batch_id", F.lit(str(batch_id))).persist()
         partials.write.mode("append").parquet(f"{self.path}/partials")
         lineage = (partials.groupBy("tile_row", "tile_col")
                    .agg(F.count("*").alias("n_partial_rows"))
@@ -68,9 +79,14 @@ class StreamingZonalWriter:
         partials.unpersist()
 
     def snapshot(self) -> DataFrame:
-        """Current per-zone statistics over everything ingested so far."""
-        stored = self.spark.read.parquet(f"{self.path}/partials") \
-            .drop("tile_row", "tile_col")
+        """Current per-zone statistics over everything ingested so far
+        (only lineage-committed (tile, batch) partials are visible)."""
+        lin = self.spark.read.parquet(f"{self.path}/lineage")
+        stored = self.spark.read.parquet(f"{self.path}/partials")
+        stored = stored.join(
+            lin.select("tile_row", "tile_col", "batch_id").distinct(),
+            ["tile_row", "tile_col", "batch_id"]) \
+            .drop("tile_row", "tile_col", "batch_id")
         return aggregate_partials(self.zones_b, stored, self.keygroups)
 
     def metrics(self) -> dict:

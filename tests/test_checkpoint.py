@@ -70,3 +70,27 @@ def test_array_ops_rejected(setup, tmp_path):
     ext = ZonalExtractor(zones, tiles)
     with pytest.raises(ValueError, match="not checkpoint-mergeable"):
         CheckpointedExtraction(ext, ["values"], str(tmp_path / "ck"))
+
+
+def test_orphan_partials_excluded(setup, spark, tmp_path):
+    """Crash between the partials append and the lineage append leaves
+    orphan partial rows; the redone tile must be counted exactly once."""
+    from pyspark.sql import functions as F
+
+    zones, tiles = setup
+    direct = _rows(exact_extract(zones, tiles, OPS))
+    ext = ZonalExtractor(zones, tiles)
+    ck = CheckpointedExtraction(ext, OPS, str(tmp_path / "ck"))
+    ck.step()
+    # simulate the orphan: re-append a copy of all partials under a
+    # batch id that has NO lineage row (as a crashed step would)
+    stored = spark.read.parquet(str(tmp_path / "ck/partials"))
+    stored.withColumn("batch_id", F.lit("deadbeef0000")) \
+          .write.mode("append").parquet(str(tmp_path / "ck/partials"))
+    resumed = _rows(ck.finalize())
+    for z in direct:
+        for k, v in direct[z].items():
+            if v is None:
+                assert resumed[z][k] is None, (z, k)
+            else:
+                assert resumed[z][k] == pytest.approx(v), (z, k)

@@ -56,3 +56,26 @@ def test_streaming_matches_batch(spark, tmp_path):
                 assert got[z][k] is None, (z, k)
             else:
                 assert got[z][k] == pytest.approx(v), (z, k)
+
+
+def test_batch_replay_idempotent(spark, tmp_path):
+    """foreachBatch may replay a batch after failure: same batch_id must
+    not double-count."""
+    from exactextract_spark import io as eio
+    from exactextract_spark.fixtures import SynthConfig, build_docs
+
+    cfg = SynthConfig(G=64, Z=20)
+    docs = build_docs(spark, cfg).cache()
+    zones = eio.zones_from_docs(docs)
+    meta = {r["raster_id"]: r.asDict()
+            for r in eio.raster_meta_from_docs(docs).collect()}
+    grid = cfg.grid_dict()
+    grid["dtype"] = "float64"
+    rdocs = docs.where(docs.doc_id.startswith("r0"))
+    w = StreamingZonalWriter(zones, grid, ["count", "sum"],
+                             str(tmp_path / "st"), "r0", meta["r0"])
+    w.process_batch(rdocs, 7)
+    once = {r["zone_id"]: (r["count"], r["sum"]) for r in w.snapshot().collect()}
+    w.process_batch(rdocs, 7)  # replay
+    twice = {r["zone_id"]: (r["count"], r["sum"]) for r in w.snapshot().collect()}
+    assert once == twice
