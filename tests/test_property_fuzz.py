@@ -24,8 +24,10 @@ def test_wkt_polygon_roundtrip_bbox(pts, pad):
     ys = [p[1] for p in pts]
     assert g.bbox == (min(xs), min(ys), max(xs), max(ys))
     assert g.kind == "areal"
-    # exterior normalized CCW
-    assert ring_signed_area(g.rings[0]) >= 0
+    # exterior normalized CCW — up to float noise for degenerate
+    # (zero-area) rings, where the shoelace sign is not stable
+    scale = max(1.0, max(abs(v) for p in pts for v in p)) ** 2
+    assert ring_signed_area(g.rings[0]) >= -1e-12 * scale
 
 
 @given(st.floats(0.001, 1000), st.floats(0.001, 1000),
