@@ -66,17 +66,26 @@ def once():
     ext.extract(['count', 'sum', 'mean', 'min', 'max']).write \
        .format('noop').mode('overwrite').save()
 
+def once_hist():
+    ext.extract(['variety', 'majority', 'median']).write \
+       .format('noop').mode('overwrite').save()
+
 once()  # warmup
 times = []
 for _ in range(2):
     t0 = time.time(); once(); times.append(time.time() - t0)
+once_hist()  # warmup for the shuffle-heavy histogram path
+htimes = []
+for _ in range(2):
+    t0 = time.time(); once_hist(); htimes.append(time.time() - t0)
 
 pairs = zone_tile_pairs(ext.zones_b, grid, cfg.tile)
 px = tiles.join(F.broadcast(pairs.select('zone_id', 'tile_row', 'tile_col')),
                 ['tile_row', 'tile_col']) \
           .select(F.sum(F.col('nrows') * F.col('ncols'))).first()[0]
 print("RESULT " + json.dumps({{"cores": cores, "best_sec": min(times),
-                              "times": times, "pixels": int(px), "zones": Z}}))
+                              "times": times, "hist_best_sec": min(htimes),
+                              "pixels": int(px), "zones": Z}}))
 spark.stop()
 """.format(repo=str(REPO))
 
@@ -115,19 +124,32 @@ def main():
     G = int(os.environ.get("SPARK_GRAFT_SCALE_G", "6144"))
     Z = int(os.environ.get("SPARK_GRAFT_SCALE_Z", "150000"))
     ceiling = hardware_ceiling(N, N4)
-    n = run_level(N, G, Z)
-    n4 = run_level(N4, G, Z)
+    # the host's absolute throughput drifts ±25% over minutes, so the
+    # two levels are measured in interleaved trials and the best run of
+    # each level is compared (classic noisy-host methodology)
+    trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
+    n = n4 = None
+    for _ in range(trials):
+        r = run_level(N, G, Z)
+        n = r if n is None or r["best_sec"] < n["best_sec"] else n
+        r4 = run_level(N4, G, Z)
+        n4 = r4 if n4 is None or r4["best_sec"] < n4["best_sec"] else n4
     thr_n = n["pixels"] / n["best_sec"]
     thr_4n = n4["pixels"] / n4["best_sec"]
     speedup = thr_4n / thr_n
     eff = speedup / 4.0
     eff_norm = speedup / ceiling
+    hist_speedup = n["hist_best_sec"] / n4["hist_best_sec"]
     result = {
         "metric": "scaling efficiency N->4N (local[%d] vs local[%d])" % (N, N4),
         "value": round(eff, 3),
         "unit": "ratio",
         "hardware_ceiling_speedup": round(ceiling, 3),
         "ceiling_normalized_efficiency": round(eff_norm, 3),
+        "hist_query": {"n_sec": round(n["hist_best_sec"], 3),
+                       "4n_sec": round(n4["hist_best_sec"], 3),
+                       "speedup": round(hist_speedup, 3),
+                       "efficiency": round(hist_speedup / 4.0, 3)},
         "n": {"cores": N, "sec": round(n["best_sec"], 3),
               "pixels_per_sec": round(thr_n, 1),
               "polygons_per_sec": round(n["zones"] / n["best_sec"], 1)},
@@ -160,6 +182,11 @@ local[{N4}] (4N).
   {eff_norm:.3f}** — this is the number a real N→4N *machine* scale-up
   measures, since separate executors do not share clocks or memory
   bandwidth.
+
+The shuffle-heavy histogram path (variety/majority/median — explode +
+two extra exchanges + quantile UDF) scales alongside:
+N {n['hist_best_sec']:.2f}s → 4N {n4['hist_best_sec']:.2f}s
+(speedup {hist_speedup:.2f}x, efficiency {hist_speedup / 4:.3f}).
 
 Job: q_basic (count/sum/mean/min/max) over a {G}x{G} grid
 ({G * G:,} cells), {n['zones']:,} rectangle zones of 32–128 cells per

@@ -43,7 +43,12 @@ def points_in_geom(geom: Geometry, xs: np.ndarray, ys: np.ndarray) -> np.ndarray
 
 def point_in_polygon(points: DataFrame, zones: DataFrame) -> DataFrame:
     """(point_id, x, y) ⋈ zones(zone_id, geometry WKT) → one row per
-    containing (point, zone) pair."""
+    containing (point, zone) pair.
+
+    Scale shape: zones (bbox + geometry) broadcast; points stream.  For
+    zone tables beyond broadcast size, pre-bucket both sides on the
+    quadkey of the containing tile (tiling.quadkey) and equi-join on it
+    before the exact test — same pattern as the zonal tile join."""
     spark = zones.sparkSession
     zb = attach_bbox(zones)
     geoms = {r["zone_id"]: r["geometry"]
