@@ -109,3 +109,17 @@ def test_cli_docs_input(spark, tmp_path):
     assert rc == 0
     rows = spark.read.parquet(str(tmp_path / "out.parquet")).collect()
     assert len(rows) == 10
+
+
+def test_multi_band_naming(spark):
+    # bands: {src}_band_{b}_{stat} (reference exact_extract.py:28-38)
+    from exactextract_spark.api import exact_extract_multi
+    from exactextract_spark.io import tiles_from_array
+
+    b0 = tiles_from_array(spark, ARANGE9, raster_id="m", band=0)
+    b1 = tiles_from_array(spark, 10 * ARANGE9, raster_id="m", band=1)
+    tiles = b0.unionByName(b1)
+    zones = spark.createDataFrame([("z0", SQ)], ["zone_id", "geometry"])
+    r = exact_extract_multi(zones, {"m": tiles}, ["mean"]).collect()[0]
+    assert r["m_band_0_mean"] == pytest.approx(5.0)
+    assert r["m_band_1_mean"] == pytest.approx(50.0)
