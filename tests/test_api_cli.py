@@ -123,3 +123,23 @@ def test_multi_band_naming(spark):
     r = exact_extract_multi(zones, {"m": tiles}, ["mean"]).collect()[0]
     assert r["m_band_0_mean"] == pytest.approx(5.0)
     assert r["m_band_1_mean"] == pytest.approx(50.0)
+
+
+def test_cli_weights_path(spark, tmp_path):
+    from exactextract_spark.cli import main
+    from exactextract_spark.io import tiles_from_array
+
+    zones = spark.createDataFrame([("z0", SQ)], ["zone_id", "geometry"])
+    zones.write.parquet(str(tmp_path / "z.parquet"))
+    tiles_from_array(spark, ARANGE9).write.parquet(str(tmp_path / "t.parquet"))
+    w = np.array([[0, 0, 0], [0, 0, 0], [1, 1, 1]], dtype=np.float64)
+    tiles_from_array(spark, w, raster_id="w").write.parquet(str(tmp_path / "w.parquet"))
+    rc = main(["--polygons", str(tmp_path / "z.parquet"),
+               "--raster", f"v={tmp_path}/t.parquet",
+               "--weights", f"w={tmp_path}/w.parquet",
+               "--stat", "weighted_mean", "--stat", "weighted_sum",
+               "--output", str(tmp_path / "o.parquet"), "--cores", "8"])
+    assert rc == 0
+    r = spark.read.parquet(str(tmp_path / "o.parquet")).collect()[0]
+    assert r["weighted_mean"] == pytest.approx(8.0)
+    assert r["weighted_sum"] == pytest.approx(8.0)
