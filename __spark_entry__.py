@@ -63,8 +63,18 @@ def _frac_post(res: DataFrame) -> DataFrame:
 
 def _zonal_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
-    return exact_extract(zones, tiles, ["cell_id", "values", "coverage"],
-                         grid=grid, strategy="broadcast")
+    res = exact_extract(zones, tiles, ["cell_id", "values", "coverage"],
+                        grid=grid, strategy="broadcast")
+    # posexplode to scalar rows: the driver's canonicalizer cannot sort
+    # list columns; `pos` additionally verifies the arrays are stored in
+    # global row-major (cell_id) order
+    return (res.select(
+                "zone_id",
+                F.posexplode(F.arrays_zip("cell_id", "values", "coverage")).alias("pos", "e"))
+            .select("zone_id", F.col("pos").cast("int").alias("pos"),
+                    F.col("e.cell_id").alias("cell_id"),
+                    F.col("e.values").alias("value"),
+                    F.col("e.coverage").alias("coverage")))
 
 
 def _zonal_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,7 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": psim.ann_topk,
         "ann_lsh_buckets": psim.lsh_buckets,
         "embedding_neardup": psim.embedding_neardup,
-        "label_centroids": psim.label_centroids,
+        "label_centroids": psim.label_centroids_rows,
         "media_metadata": pmm.media_metadata,
         "media_frames": pmm.frame_samples,
     }

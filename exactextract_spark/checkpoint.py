@@ -118,6 +118,10 @@ class CheckpointedExtraction:
         orphan partials from a crash between the two appends are
         excluded, so a re-done tile is counted exactly once."""
         lin = self._lineage()
+        if lin is None:
+            raise ValueError(
+                f"no checkpoint lineage found under {self.path!r}; "
+                "call step() (or run()) before finalize()")
         stored = self.spark.read.parquet(f"{self.path}/partials")
         stored = stored.join(
             lin.select("tile_row", "tile_col", "batch_id").distinct(),

@@ -472,7 +472,15 @@ class ZonalExtractor:
             grid = tiles.select("grid_xmin", "grid_ymax", "dx", "dy",
                                 "grid_nrows", "grid_ncols").first().asDict()
         if tile_size is None:
-            tile_size = grid.get("tile") or tiles.select(F.max("nrows")).first()[0]
+            # infer the tile stride as max(greatest(nrows, ncols)): any
+            # dimension with more than one tile contains a full-stride
+            # tile; when BOTH dimensions fit a single tile, every zone
+            # maps to tile (0,0) under any stride >= the grid extent, so
+            # the inferred value is still correct.  (max(nrows) alone
+            # under-infers for short-and-wide grids, silently dropping
+            # tiles from the zone->tile join.)
+            tile_size = grid.get("tile") or tiles.select(
+                F.max(F.greatest("nrows", "ncols"))).first()[0]
         values_dtype = grid.get("dtype")
         if values_dtype is None:
             values_dtype = tiles.select("dtype").first()[0]
@@ -500,6 +508,7 @@ class ZonalExtractor:
         self.strategy = strategy
 
         self.geom_lookup = None
+        self._pairs_agg = None
         if strategy == "broadcast":
             geoms = {r["zone_id"]: r["geometry"]
                      for r in zones_b.select("zone_id", "geometry").collect()}
@@ -511,12 +520,14 @@ class ZonalExtractor:
             # analog, raster_parallel_processor.cpp:142-162) to the tile row
             pairs_agg = (pairs.groupBy("tile_row", "tile_col")
                          .agg(F.collect_list("zone_id").alias("zone_ids"))).persist()
+            self._pairs_agg = pairs_agg
             self.joined = tiles_in.join(F.broadcast(pairs_agg), ["tile_row", "tile_col"])
         else:
             pairs = zone_tile_pairs(
                 zones_b.select("zone_id", "geometry", "xmin", "ymin", "xmax", "ymax"),
                 grid, tile_size)
             self.joined = tiles_in.join(pairs, ["tile_row", "tile_col"])
+        self._joined_persisted = persist_joined
         if persist_joined:
             # materialize the tile⋈zone-list join once: repeated
             # extract() calls then skip the per-query broadcast build
@@ -530,6 +541,26 @@ class ZonalExtractor:
         return _assemble(self.zones_b, self.joined, keygroups,
                          geom_lookup=self.geom_lookup, has_weights=self.has_weights,
                          int_values=self.int_values, include_cols=include_cols)
+
+    def close(self) -> None:
+        """Release cached state (zone bboxes, pair join, geometry
+        broadcast).  Long-lived sessions that build many extractors
+        should call this (or use the context manager) once the last
+        result derived from this extractor has been materialized."""
+        self.zones_b.unpersist()
+        if self._pairs_agg is not None:
+            self._pairs_agg.unpersist()
+        if self._joined_persisted:
+            self.joined.unpersist()
+        if self.geom_lookup is not None:
+            self.geom_lookup.unpersist()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
 
 def exact_extract(zones: DataFrame, tiles: DataFrame, ops, *,

@@ -85,7 +85,9 @@ def zones_from_docs(docs: DataFrame) -> DataFrame:
     props = F.expr(
         "map_from_entries(transform("
         "  filter(slice(spans, 3, size(spans)), s -> s.kind = 'text' AND instr(s.text, '=') > 0),"
-        "  s -> struct(split(s.text, '=')[0] AS key, split(s.text, '=')[1] AS value)))"
+        # split limit 2: a property value may itself contain '='
+        # (e.g. 'url=a=b' must yield value 'a=b', not 'a')
+        "  s -> struct(split(s.text, '=', 2)[0] AS key, split(s.text, '=', 2)[1] AS value)))"
     )
     return z.select(
         F.substring(F.col("spans")[0]["text"], 6, 2 ** 30).alias("zone_id"),

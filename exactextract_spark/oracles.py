@@ -207,13 +207,14 @@ def zonal_mixed_args(cfg):
 
 
 def zonal_arrays(cfg):
-    """Stored-array ops in global row-major (cell_id) order."""
+    """Stored-array ops, exploded to scalar rows (the driver's
+    canonicalizer cannot sort list columns); ``pos`` checks the
+    cell_id-sorted array order."""
     return f"""WITH {pairs_sql(cfg)}
 SELECT zone_id,
-  list(cell_id ORDER BY cell_id) AS cell_id,
-  list(val ORDER BY cell_id) AS values,
-  list(cov ORDER BY cell_id) AS coverage
-FROM pairs WHERE val IS NOT NULL GROUP BY zone_id"""
+  CAST(ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY cell_id) - 1 AS INT) AS pos,
+  cell_id, val AS value, cov AS coverage
+FROM pairs WHERE val IS NOT NULL"""
 
 
 def zonal_linear(cfg):

@@ -123,21 +123,27 @@ def minhash_pairs_oracle() -> str:
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash over token codes (bit-majority of code bits)."""
+    """16-bit SimHash over token codes (bit-majority of code bits).
+    Tokenization is hoisted into its own projection so Catalyst
+    evaluates it once per row, not once per bit (CollapseProject keeps
+    multi-referenced non-cheap aliases in their own stage)."""
     return _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_TC_ARR_SPARK} AS tc").selectExpr(
         "doc_id",
         f"aggregate(sequence(0, {SIMHASH_BITS - 1}), CAST(0 AS BIGINT), (acc, b) -> acc + "
-        f"  CASE WHEN aggregate({_TC_ARR_SPARK}, CAST(0 AS BIGINT),"
+        f"  CASE WHEN aggregate(tc, CAST(0 AS BIGINT),"
         f"       (a, c) -> a + CASE WHEN (c >> b) % 2 = 1 THEN 1 ELSE -1 END) > 0"
         f"  THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END) AS simhash")
 
 
 def simhash_oracle() -> str:
+    # CAST: DuckDB's list_sum returns a float-typed column; the engine
+    # column is BIGINT and the driver's value hash is type-sensitive
     return f"""SELECT doc_id,
-  list_sum(list_transform(range(0, {SIMHASH_BITS}), b ->
+  CAST(list_sum(list_transform(range(0, {SIMHASH_BITS}), b ->
     CASE WHEN list_sum(list_transform({_TC_ARR_DUCK},
       c -> CASE WHEN (c >> b) % 2 = 1 THEN 1 ELSE -1 END)) > 0
-    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS simhash
+    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
 FROM documents"""
 
 

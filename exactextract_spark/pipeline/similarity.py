@@ -85,6 +85,16 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             .selectExpr("label", "transform(s, x -> x.m / 1048576.0) AS centroid"))
 
 
+def label_centroids_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing shape: the assembled centroid array posexploded to
+    (label, pos, m) scalar rows — the driver's canonicalizer cannot sort
+    list columns.  Goes through the full array-assembly path so the
+    ordering of the packed centroid is what gets verified."""
+    return (label_centroids(spark, sf_dir)
+            .select("label", F.posexplode("centroid").alias("pos", "m"))
+            .select("label", F.col("pos").cast("int").alias("pos"), "m"))
+
+
 def label_centroids_oracle() -> str:
     return """WITH d AS (
   SELECT label, i AS pos,
@@ -92,7 +102,7 @@ def label_centroids_oracle() -> str:
   FROM embeddings, (SELECT range AS i FROM range(64))),
 m AS (
   SELECT label, pos, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m FROM d GROUP BY label, pos)
-SELECT label, list(m / 1048576.0 ORDER BY pos) AS centroid FROM m GROUP BY label"""
+SELECT label, CAST(pos AS INT) AS pos, m / 1048576.0 AS m FROM m"""
 
 
 _PLANE = "((({i} * 37 + {p} * 101) % 13) - 6)"

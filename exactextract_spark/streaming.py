@@ -20,6 +20,7 @@ tiles ingested so far (tested in tests/test_streaming.py).
 from __future__ import annotations
 
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -54,39 +55,47 @@ class StreamingZonalWriter:
                           .agg(F.collect_list("zone_id").alias("zone_ids"))).persist()
 
     def process_batch(self, docs_batch: DataFrame, batch_id: int) -> None:
-        # idempotent under foreachBatch replay: a batch_id already in the
-        # lineage was fully committed — skip it (snapshot() only reads
-        # lineage-committed (tile, batch) pairs, so a crash between the
-        # two appends leaves invisible orphans, not double counts)
+        # Exactly-once under foreachBatch replay: partials are stamped
+        # with a fresh per-ATTEMPT uuid; the lineage row records both the
+        # stream's batch_id (for the replay-skip check) and the attempt
+        # uuid (what snapshot() joins on).  A crash between the two
+        # appends leaves partials whose attempt uuid never reaches the
+        # lineage — the replay writes a second copy under a NEW uuid and
+        # commits that one, so the orphans never join (the stream's
+        # batch_id alone is NOT unique across replay attempts).
         try:
             lin = self.spark.read.parquet(f"{self.path}/lineage")
             if lin.where(F.col("batch_id") == str(batch_id)).take(1):
                 return
         except Exception:
             pass
+        attempt = uuid.uuid4().hex[:12]
         tiles = eio.tiles_from_docs(docs_batch, self.raster_id, self.meta)
         joined = tiles.join(F.broadcast(self.pairs_agg), ["tile_row", "tile_col"])
         partials = run_kernel(joined, self.keygroups,
                               geom_lookup=self.geom_lookup, has_weights=False,
                               passthrough=("tile_row", "tile_col")) \
-            .withColumn("batch_id", F.lit(str(batch_id))).persist()
+            .withColumn("batch_id", F.lit(str(batch_id))) \
+            .withColumn("attempt_id", F.lit(attempt)).persist()
         partials.write.mode("append").parquet(f"{self.path}/partials")
         lineage = (partials.groupBy("tile_row", "tile_col")
                    .agg(F.count("*").alias("n_partial_rows"))
                    .withColumn("batch_id", F.lit(str(batch_id)))
+                   .withColumn("attempt_id", F.lit(attempt))
                    .withColumn("ts", F.lit(time.time())))
         lineage.write.mode("append").parquet(f"{self.path}/lineage")
         partials.unpersist()
 
     def snapshot(self) -> DataFrame:
         """Current per-zone statistics over everything ingested so far
-        (only lineage-committed (tile, batch) partials are visible)."""
+        (only partials whose (tile, attempt) is lineage-committed are
+        visible — orphans from failed attempts are excluded)."""
         lin = self.spark.read.parquet(f"{self.path}/lineage")
         stored = self.spark.read.parquet(f"{self.path}/partials")
         stored = stored.join(
-            lin.select("tile_row", "tile_col", "batch_id").distinct(),
-            ["tile_row", "tile_col", "batch_id"]) \
-            .drop("tile_row", "tile_col", "batch_id")
+            lin.select("tile_row", "tile_col", "attempt_id").distinct(),
+            ["tile_row", "tile_col", "attempt_id"]) \
+            .drop("tile_row", "tile_col", "batch_id", "attempt_id")
         return aggregate_partials(self.zones_b, stored, self.keygroups)
 
     def metrics(self) -> dict:

@@ -53,9 +53,14 @@ def salted_sum(df: DataFrame, key: str, agg_exprs: list, *, n_salt: int = 16) ->
     Note: Spark's map-side partial aggregation already gives this
     effect for hash aggregates; salted_sum exists for the cases where
     the partial agg is defeated (e.g. high-cardinality side channels)
-    and as the explicit skew story required at 10^12-row scale."""
-    salt = (F.crc32(F.concat_ws("_", F.col(key), F.monotonically_increasing_id()))
-            % n_salt).alias("_salt")
+    and as the explicit skew story required at 10^12-row scale.
+
+    The salt is derived from the full row content (deterministic):
+    nondeterministic salts (monotonically_increasing_id / rand) can
+    assign a recomputed row a different salt under task retry or
+    speculative execution, losing or double-counting it across the
+    shuffle boundary."""
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salt)).alias("_salt")
     stage1 = df.withColumn("_salt", salt).groupBy(key, "_salt").agg(*agg_exprs)
     merged = [F.sum(c).alias(c) for c in stage1.columns if c not in (key, "_salt")]
     return stage1.groupBy(key).agg(*merged)

@@ -60,3 +60,73 @@ def test_multipolygon_zone(spark):
     r = exact_extract(zones, tiles, ["count", "sum"]).collect()[0]
     assert r["count"] == pytest.approx(2.0)
     assert r["sum"] == pytest.approx(7.0 + 3.0)  # cells value 7 (r2c0) and 3 (r0c2)
+
+
+def test_tile_stride_inference_wide_grid(spark):
+    """Regression (ADVICE r1): a grid with fewer rows than the tile
+    stride (60x200, tile=64) must still infer stride 64 — max(nrows)
+    alone would infer 60 and silently drop tiles from the join."""
+    arr = np.arange(60 * 200, dtype=np.float64).reshape(60, 200)
+    tiles = tiles_from_array(spark, arr, tile=64)
+    # a zone sitting entirely in the second tile column (cols 64..164)
+    zones = spark.createDataFrame(
+        [("z0", "POLYGON ((100 10, 110 10, 110 20, 100 20, 100 10))")],
+        ["zone_id", "geometry"])
+    r = exact_extract(zones, tiles, ["count", "sum"]).collect()[0]
+    assert r["count"] == pytest.approx(100.0)
+    rows = np.arange(40, 50)  # y 10..20 -> rows 40..50 (ymax=60)
+    cols = np.arange(100, 110)
+    assert r["sum"] == pytest.approx(float(arr[np.ix_(rows, cols)].sum()))
+
+
+def test_tile_stride_inference_tall_grid(spark):
+    """Transposed variant: 200x60 grid, tile=64."""
+    arr = np.arange(200 * 60, dtype=np.float64).reshape(200, 60)
+    tiles = tiles_from_array(spark, arr, tile=64)
+    zones = spark.createDataFrame(
+        [("z0", "POLYGON ((10 100, 20 100, 20 110, 10 110, 10 100))")],
+        ["zone_id", "geometry"])
+    r = exact_extract(zones, tiles, ["count", "sum"]).collect()[0]
+    assert r["count"] == pytest.approx(100.0)
+    rows = np.arange(90, 100)  # y 100..110 -> rows 90..100 (ymax=200)
+    cols = np.arange(10, 20)
+    assert r["sum"] == pytest.approx(float(arr[np.ix_(rows, cols)].sum()))
+
+
+def test_zone_props_value_with_equals(spark):
+    """Regression (ADVICE r1): property values containing '=' must not
+    be truncated by the span parser."""
+    from exactextract_spark.io import zones_from_docs
+
+    docs = spark.createDataFrame(
+        [("d0", [("text", "zone:z0", "", 0),
+                 ("text", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", "", 1),
+                 ("text", "url=https://x/?a=b&c=d", "", 2)])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+    props = zones_from_docs(docs).collect()[0]["props"]
+    assert props["url"] == "https://x/?a=b&c=d"
+
+
+def test_checkpoint_finalize_before_step_raises(spark, tmp_path):
+    from exactextract_spark.checkpoint import CheckpointedExtraction
+    from exactextract_spark.extract import ZonalExtractor
+
+    tiles = tiles_from_array(spark, ARANGE9)
+    zones = spark.createDataFrame([("z0", SQ)], ["zone_id", "geometry"])
+    ck = CheckpointedExtraction(ZonalExtractor(zones, tiles), ["count"],
+                                str(tmp_path / "ck"))
+    with pytest.raises(ValueError, match="lineage"):
+        ck.finalize()
+
+
+def test_salted_sum_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from exactextract_spark.tiling import salted_sum
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v"))
+    out = {r["k"]: r["s"] for r in
+           salted_sum(df, "k", [F.sum("v").alias("s")]).collect()}
+    assert out == {0: sum(range(0, 1000, 3)), 1: sum(range(1, 1000, 3)),
+                   2: sum(range(2, 1000, 3))}

@@ -79,3 +79,44 @@ def test_batch_replay_idempotent(spark, tmp_path):
     w.process_batch(rdocs, 7)  # replay
     twice = {r["zone_id"]: (r["count"], r["sum"]) for r in w.snapshot().collect()}
     assert once == twice
+
+
+def test_replay_after_crash_between_appends(spark, tmp_path):
+    """Regression (ADVICE r1): a crash AFTER the partials append but
+    BEFORE the lineage append, followed by a foreachBatch replay of the
+    same batch_id, must not double-count — the replay's partials carry a
+    fresh attempt uuid and only lineage-committed attempts are visible."""
+    from unittest import mock
+
+    cfg = SynthConfig(G=64, Z=20)
+    docs = build_docs(spark, cfg).cache()
+    zones = eio.zones_from_docs(docs)
+    meta = {r["raster_id"]: r.asDict()
+            for r in eio.raster_meta_from_docs(docs).collect()}
+    grid = cfg.grid_dict()
+    grid["dtype"] = "float64"
+    rdocs = docs.where(docs.doc_id.startswith("r0"))
+
+    w = StreamingZonalWriter(zones, grid, ["count", "sum"],
+                             str(tmp_path / "st"), "r0", meta["r0"])
+
+    # attempt 1: crash right after the partials append (lineage missing)
+    real_writer = type(rdocs.write).parquet
+
+    def crashing_parquet(self, path, *a, **kw):
+        real_writer(self, path, *a, **kw)
+        if path.endswith("/partials"):
+            raise RuntimeError("simulated crash before lineage append")
+
+    with mock.patch.object(type(rdocs.write), "parquet", crashing_parquet):
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            w.process_batch(rdocs, 3)
+
+    # replay of the same stream batch_id commits cleanly
+    w.process_batch(rdocs, 3)
+    got = {r["zone_id"]: (r["count"], r["sum"]) for r in w.snapshot().collect()}
+
+    tiles = eio.tiles_from_docs(docs, "r0", meta["r0"])
+    want = {r["zone_id"]: (r["count"], r["sum"])
+            for r in exact_extract(zones, tiles, ["count", "sum"], grid=grid).collect()}
+    assert got == {z: (pytest.approx(c), pytest.approx(s)) for z, (c, s) in want.items()}
