@@ -158,9 +158,17 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
     every op-key's accumulator (read-once dedup of shared windows —
     reference feature_sequential_processor.cpp:85-113).  ``passthrough``
     columns (e.g. tile ids for checkpoint lineage) are copied onto every
-    partial row."""
-    from .fastpath import FAST_MAX_CELLS as _FAST_MAX_CELLS
-    from .fastpath import accumulate_rect_batch, rect_batch_eligible
+    partial row.
+
+    Areal pairs are routed through the batch-vectorized path
+    (batchkernel.py): coverage + statistics for the whole (zone × tile)
+    batch are computed with flat numpy streams, so Python dispatch cost
+    is per batch, not per pair.  Linear geometries, stored-cell arrays,
+    stable variance and area_* coverage weights fall back to the
+    per-pair path (kernel.py + accumulate.py)."""
+    from .batchkernel import (CHUNK_CELLS, RECT_BATCH_MAX_CELLS,
+                              accumulate_pairs_batch, batch_eligible,
+                              zone_segments)
 
     schema = _partial_schema(keygroups, passthrough)
     # key[0] is the logical raster name; when the joined rows carry a
@@ -174,16 +182,23 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
     col_names = [f.name for f in schema.fields]
     _arr_cols = [f.name for f in schema.fields
                  if isinstance(f.dataType, T.ArrayType)]
-    use_fast = rect_batch_eligible(keygroups) and not passthrough and not multi_raster
+    use_batch = batch_eligible(keygroups)
 
     def kernel(batches):
         geom_cache: dict = {}
+        seg_cache: dict = {}
         for pdf in batches:
             n_rows = len(pdf)
             if n_rows == 0:
                 continue
             grouped = "zone_ids" in pdf.columns  # one row per tile, zone list attached
             g = lambda c: pdf[c].to_numpy()
+            # the batch path evaluates grid constants once per batch;
+            # heterogeneous grids (not produced by any current source,
+            # but possible with hand-unioned tile tables) fall back
+            uniform = all(pdf[c].nunique() <= 1 for c in
+                          ("grid_xmin", "grid_ymax", "dx", "dy", "grid_ncols"))
+            use_batch_rows = use_batch and uniform
             zid_a = g("zone_ids") if grouped else g("zone_id")
             wkt_a = g("geometry") if geom_lookup is None and not grouped else None
             nr_a, nc_a = g("nrows"), g("ncols")
@@ -196,8 +211,37 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
             if has_weights:
                 wbuf_a, wdt_a, wnd_a = g("w_values"), g("w_dtype"), pdf["w_nodata"]
             out_rows = []
-            rect_pairs = []
+            batch_pairs: list = []
+            batch_cells = 0
             tile_buf: dict = {}
+
+            def decode_row(j):
+                got = tile_buf.get(j)
+                if got is None:
+                    tv = decode_tile(buf_a[j], dt_a[j], int(nr_a[j]), int(nc_a[j]))
+                    tw = None
+                    if has_weights and wbuf_a[j] is not None:
+                        tw = decode_tile(wbuf_a[j], wdt_a[j], int(nr_a[j]), int(nc_a[j]))
+                    got = tile_buf[j] = (tv, tw)
+                return got
+
+            def flush_batch():
+                nonlocal batch_pairs, batch_cells, tile_buf
+                if batch_pairs:
+                    frame = accumulate_pairs_batch(
+                        batch_pairs, tile_buf, key_specs,
+                        has_weights=has_weights, passthrough=passthrough,
+                        col_names=col_names, grid_ncols=int(gnc_a[0]),
+                        grid_xmin=float(gx_a[0]), grid_ymax=float(gy_a[0]),
+                        dx=float(dx_a[0]), dy=float(dy_a[0]),
+                        multi_raster=multi_raster, seg_cache=seg_cache)
+                else:
+                    frame = None
+                batch_pairs = []
+                batch_cells = 0
+                tile_buf = {}
+                return frame
+
             for j in range(n_rows):
                 nr, nc = int(nr_a[j]), int(nc_a[j])
                 row0, col0 = int(r0_a[j]), int(c0_a[j])
@@ -209,7 +253,12 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                 w_nodata = None
                 nd = nd_a.iloc[j]
                 nd = None if nd is None or pd.isna(nd) else float(nd)
+                wn0 = None
+                if has_weights:
+                    wn = wnd_a.iloc[j]
+                    wn0 = None if wn is None or pd.isna(wn) else float(wn)
                 rid_row = rid_a[j] if multi_raster else None
+                pt_tuple = tuple(int(pdf[c].iloc[j]) for c in passthrough)
                 for zid in (zid_a[j] if grouped else (zid_a[j],)):
                     cached = geom_cache.get(zid)
                     if cached is None:
@@ -217,6 +266,7 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                         geom = parse_wkt(wkt)
                         if len(geom_cache) > 65536:
                             geom_cache.clear()
+                            seg_cache.clear()
                         cached = geom_cache[zid] = (geom, geom.bbox)
                     geom, (bx0, by0, bx1, by1) = cached
                     # crop to the zone-bbox ∩ tile sub-window so kernel
@@ -226,20 +276,15 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                     c1z = min(max(int(math.ceil((bx1 - xmin) / dx)), c0z + 1), nc)
                     r0z = min(max(int(math.floor((ymax - by1) / dy)), 0), nr - 1)
                     r1z = min(max(int(math.ceil((ymax - by0) / dy)), r0z + 1), nr)
-                    if use_fast and geom.is_rectangle() and \
-                            (r1z - r0z) * (c1z - c0z) <= _FAST_MAX_CELLS:
-                        if j not in tile_buf:
-                            tv = decode_tile(buf_a[j], dt_a[j], nr, nc)
-                            tw = None
-                            if has_weights and wbuf_a[j] is not None:
-                                tw = decode_tile(wbuf_a[j], wdt_a[j], nr, nc)
-                            tile_buf[j] = (tv, tw)
-                        wn0 = None
-                        if has_weights:
-                            wn = wnd_a.iloc[j]
-                            wn0 = None if wn is None or pd.isna(wn) else float(wn)
-                        rect_pairs.append((zid, j, r0z, r1z, c0z, c1z,
-                                           (bx0, by0, bx1, by1), row0, col0, nd, wn0))
+                    if use_batch_rows and geom.kind == "areal" and (
+                            not geom.is_rectangle() or
+                            (r1z - r0z) * (c1z - c0z) <= RECT_BATCH_MAX_CELLS):
+                        decode_row(j)
+                        if not geom.is_rectangle() and zid not in seg_cache:
+                            seg_cache[zid] = zone_segments(geom)
+                        batch_pairs.append((zid, j, r0z, r1z, c0z, c1z, geom,
+                                            row0, col0, nd, wn0, rid_row, pt_tuple))
+                        batch_cells += (r1z - r0z) * (c1z - c0z)
                         continue
                     nrw, ncw = r1z - r0z, c1z - c0z
                     cov = coverage_for_window(geom, xmin + c0z * dx, ymax - r0z * dy,
@@ -250,11 +295,8 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                     if vals is None:
                         # decode once per tile row (read-once dedup,
                         # feature_sequential_processor.cpp:85-113)
-                        vals = decode_tile(buf_a[j], dt_a[j], nr, nc)
-                        if has_weights and wbuf_a[j] is not None:
-                            wvals = decode_tile(wbuf_a[j], wdt_a[j], nr, nc)
-                            wn = wnd_a.iloc[j]
-                            w_nodata = None if wn is None or pd.isna(wn) else float(wn)
+                        vals, wvals = decode_row(j)
+                        w_nodata = wn0
                     rec = {"zone_id": zid, **pt}
                     any_key = False
                     for i, req, vname, kwargs in key_specs:
@@ -275,14 +317,15 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                             rec[f"k{i}_{k}"] = v
                     if any_key:
                         out_rows.append(rec)
-            if rect_pairs:
-                pad = int(max(nr_a.max(), nc_a.max()))
-                accumulate_rect_batch(
-                    rect_pairs, tile_buf, key_specs,
-                    has_weights=has_weights, out_rows=out_rows,
-                    grid_ncols=int(gnc_a[0]), grid_xmin=float(gx_a[0]),
-                    grid_ymax=float(gy_a[0]), dx=float(dx_a[0]), dy=float(dy_a[0]),
-                    tile_size=pad)
+                # bound decoded-tile + stream memory: flush a full batch
+                # between tile rows (a tile's pairs stay in one batch)
+                if batch_cells >= CHUNK_CELLS:
+                    frame = flush_batch()
+                    if frame is not None and len(frame):
+                        yield frame
+            frame = flush_batch()
+            if frame is not None and len(frame):
+                yield frame
             if not out_rows:
                 yield pd.DataFrame(columns=col_names)
                 continue
