@@ -77,6 +77,54 @@ def _zonal_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("e.coverage").alias("coverage")))
 
 
+def _zonal_weighted_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weights on a 4x coarser grid, regridded transparently by
+    ZonalExtractor (reference common_grid + RasterView semantics)."""
+    cfg = SynthConfig.from_sf_dir(sf_dir)
+    docs = build_docs(spark, cfg)
+    zones = eio.zones_from_docs(docs)
+    meta = {r["raster_id"]: r.asDict()
+            for r in eio.raster_meta_from_docs(docs).collect()}
+    tiles = eio.tiles_from_docs(docs, "r0", meta["r0"])
+    wc_tiles = eio.tiles_from_docs(docs, "wc0", meta["wc0"])
+    grid = cfg.grid_dict()
+    grid["dtype"] = "float64"
+    return exact_extract(zones, tiles,
+                         ["weighted_count", "weighted_sum", "weighted_mean"],
+                         weight_tiles=wc_tiles, grid=grid, strategy="broadcast")
+
+
+def _zonal_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int16 raster with on-read scale/offset and a 0/1 mask band
+    (reference scale_and_offset + mask semantics)."""
+    cfg = SynthConfig.from_sf_dir(sf_dir)
+    docs = build_docs(spark, cfg)
+    zones = eio.zones_from_docs(docs)
+    meta = {r["raster_id"]: r.asDict()
+            for r in eio.raster_meta_from_docs(docs).collect()}
+    tiles = eio.tiles_from_docs(docs, "rs0", meta["rs0"])
+    grid = cfg.grid_dict()
+    return exact_extract(zones, tiles, ["count", "sum", "mean", "min", "max"],
+                         grid=grid, strategy="broadcast")
+
+
+def _zonal_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-band raster extracted in ONE fused tile scan with reference
+    column naming {src}_band_{b}_{stat}."""
+    from exactextract_spark.api import exact_extract_multiband
+
+    cfg = SynthConfig.from_sf_dir(sf_dir)
+    docs = build_docs(spark, cfg)
+    zones = eio.zones_from_docs(docs)
+    meta = {r["raster_id"]: r.asDict()
+            for r in eio.raster_meta_from_docs(docs).collect()}
+    tiles = eio.tiles_from_docs(docs, "mb0", meta["mb0"])
+    grid = cfg.grid_dict()
+    grid["dtype"] = "float64"
+    return exact_extract_multiband(zones, tiles, ["count", "sum", "mean"],
+                                   grid=grid, strategy="broadcast")
+
+
 def _zonal_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exactextract_spark.fixtures import build_line_docs
 
@@ -99,7 +147,7 @@ def _point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exactextract_spark.spatial import point_in_polygon
 
     cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
-    return point_in_polygon(build_points(spark, cfg), zones)
+    return point_in_polygon(build_points(spark, cfg), zones, grid=grid)
 
 
 def _knn_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,6 +180,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    strategy="shuffle"),
         "zonal_weighted": _zq(["weighted_count", "weighted_sum", "weighted_mean"],
                               weighted=True),
+        "zonal_weighted_regrid": _zonal_weighted_regrid,
+        "zonal_scaled": _zonal_scaled,
+        "zonal_multiband": _zonal_multiband,
         "zonal_variance": _zq(["variance", "stdev"]),
         "zonal_weighted_variance": _zq(["weighted_variance", "weighted_stdev"],
                                        weighted=True),

@@ -47,7 +47,7 @@ from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from .accumulate import accumulate_pair
 from .geom import parse_wkt
-from .io import decode_tile
+from .io import decode_tile, decode_value_tile
 from .kernel import coverage_for_window
 from .ops import Op, group_ops_by_key, parse_ops
 
@@ -207,6 +207,10 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
             dx_a, dy_a = g("dx"), g("dy")
             gnc_a = g("grid_ncols")
             buf_a, dt_a, nd_a = g("values"), g("dtype"), pdf["nodata"]
+            # optional on-read transform columns (scale/offset, mask band)
+            sc_a = g("scale") if "scale" in pdf.columns else None
+            of_a = g("offset") if "offset" in pdf.columns else None
+            mk_a = g("mask_values") if "mask_values" in pdf.columns else None
             rid_a = g("raster_id") if multi_raster else None
             if has_weights:
                 wbuf_a, wdt_a, wnd_a = g("w_values"), g("w_dtype"), pdf["w_nodata"]
@@ -215,10 +219,21 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
             batch_cells = 0
             tile_buf: dict = {}
 
-            def decode_row(j):
+            def row_transform(j, nd):
+                sc = float(sc_a[j]) if sc_a is not None and sc_a[j] is not None else 1.0
+                of = float(of_a[j]) if of_a is not None and of_a[j] is not None else 0.0
+                mk = mk_a[j] if mk_a is not None else None
+                transformed = sc != 1.0 or of != 0.0 or mk is not None
+                # a transformed tile is decoded to float64 with undefined
+                # cells already NaN, so downstream nodata is cleared
+                return sc, of, mk, (None if transformed else nd)
+
+            def decode_row(j, sc=1.0, of=0.0, mk=None, nd=None):
                 got = tile_buf.get(j)
                 if got is None:
-                    tv = decode_tile(buf_a[j], dt_a[j], int(nr_a[j]), int(nc_a[j]))
+                    tv = decode_value_tile(
+                        buf_a[j], dt_a[j], int(nr_a[j]), int(nc_a[j]),
+                        nodata=nd, scale=sc, offset=of, mask_buf=mk)
                     tw = None
                     if has_weights and wbuf_a[j] is not None:
                         tw = decode_tile(wbuf_a[j], wdt_a[j], int(nr_a[j]), int(nc_a[j]))
@@ -251,8 +266,9 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                 vals = None
                 wvals = None
                 w_nodata = None
-                nd = nd_a.iloc[j]
-                nd = None if nd is None or pd.isna(nd) else float(nd)
+                nd_raw = nd_a.iloc[j]
+                nd_raw = None if nd_raw is None or pd.isna(nd_raw) else float(nd_raw)
+                sc_j, of_j, mk_j, nd = row_transform(j, nd_raw)
                 wn0 = None
                 if has_weights:
                     wn = wnd_a.iloc[j]
@@ -279,7 +295,7 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                     if use_batch_rows and geom.kind == "areal" and (
                             not geom.is_rectangle() or
                             (r1z - r0z) * (c1z - c0z) <= RECT_BATCH_MAX_CELLS):
-                        decode_row(j)
+                        decode_row(j, sc_j, of_j, mk_j, nd_raw)
                         if not geom.is_rectangle() and zid not in seg_cache:
                             seg_cache[zid] = zone_segments(geom)
                         batch_pairs.append((zid, j, r0z, r1z, c0z, c1z, geom,
@@ -295,7 +311,7 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                     if vals is None:
                         # decode once per tile row (read-once dedup,
                         # feature_sequential_processor.cpp:85-113)
-                        vals, wvals = decode_row(j)
+                        vals, wvals = decode_row(j, sc_j, of_j, mk_j, nd_raw)
                         w_nodata = wn0
                     rec = {"zone_id": zid, **pt}
                     any_key = False
@@ -403,7 +419,8 @@ def _python_op_udf(fn, weighted: bool, result_type: str):
     return u
 
 
-def _finalize_exprs(i: int, ops_in_key: list[Op], int_values: bool = False) -> list[Column]:
+def _finalize_exprs(i: int, ops_in_key: list[Op], int_values: bool = False,
+                    store_xy: bool = False) -> list[Column]:
     p = f"k{i}_"
     sum_c, sum_cx = F.col(p + "sum_c"), F.col(p + "sum_cx")
     mean = sum_cx / sum_c
@@ -417,9 +434,9 @@ def _finalize_exprs(i: int, ops_in_key: list[Op], int_values: bool = False) -> l
         elif s == "mean":
             e = F.when(sum_c > 0, mean)
         elif s == "min":
-            e = F.col(p + "mins.v")
+            e = F.col(p + "mins.v") if store_xy else F.col(p + "min_v_agg")
         elif s == "max":
-            e = F.col(p + "maxs.v")
+            e = F.col(p + "maxs.v") if store_xy else F.col(p + "max_v_agg")
         elif s == "min_center_x":
             e = F.col(p + "mins.x")
         elif s == "min_center_y":
@@ -527,7 +544,10 @@ class ZonalExtractor:
         values_dtype = grid.get("dtype")
         if values_dtype is None:
             values_dtype = tiles.select("dtype").first()[0]
-        self.int_values = np.dtype(values_dtype).kind in "iu"
+        # scale/offset produce float values regardless of storage dtype,
+        # so integer-raster result semantics (quantile truncation) are off
+        self.int_values = np.dtype(values_dtype).kind in "iu" \
+            and "scale" not in tiles.columns
         self.has_weights = weight_tiles is not None
 
         # zone bbox parse is op-independent: cache it (used by the
@@ -537,6 +557,18 @@ class ZonalExtractor:
 
         tiles_in = tiles
         if self.has_weights:
+            # transparent common-grid handling (reference consumes a
+            # coarser weight raster lazily via common_grid + RasterView,
+            # grid.h:278-305, raster.h:327-395): a weight table on a
+            # different-resolution/offset grid is regridded onto the
+            # value grid automatically
+            from .regrid import grids_equal, regrid_to
+            wmeta = weight_tiles.select(
+                "grid_xmin", "grid_ymax", "dx", "dy",
+                "grid_nrows", "grid_ncols").first().asDict()
+            vgrid = {k: grid.get(k) for k in wmeta}
+            if None not in vgrid.values() and not grids_equal(wmeta, vgrid):
+                weight_tiles = regrid_to(weight_tiles, vgrid, tile=tile_size)
             w = weight_tiles.select(
                 F.col("tile_row").alias("w_tile_row"), F.col("tile_col").alias("w_tile_col"),
                 F.col("values").alias("w_values"), F.col("dtype").alias("w_dtype"),
@@ -666,11 +698,15 @@ def aggregate_partials(zones_b, partials, keygroups, *, int_values=False,
                      F.sum(p + "sum_cxw").alias(p + "sum_cxw")]
             if req.weighted_variance:
                 aggs.append(F.sum(p + "sum_cx2w").alias(p + "sum_cx2w"))
-        if req.minmax:
-            xy_min = [F.col(p + "min_x").alias("x"), F.col(p + "min_y").alias("y")] \
-                if req.store_xy else []
-            xy_max = [F.col(p + "max_x").alias("x"), F.col(p + "max_y").alias("y")] \
-                if req.store_xy else []
+        if req.minmax and not req.store_xy:
+            # plain min/max need no tie-break state — scalar min/max
+            # keeps the merge in whole-stage-codegen HashAggregate
+            # (struct-valued min/max forces SortAggregate)
+            aggs.append(F.min(p + "min_v").alias(p + "min_v_agg"))
+            aggs.append(F.max(p + "max_v").alias(p + "max_v_agg"))
+        elif req.minmax:
+            xy_min = [F.col(p + "min_x").alias("x"), F.col(p + "min_y").alias("y")]
+            xy_max = [F.col(p + "max_x").alias("x"), F.col(p + "max_y").alias("y")]
             # ties resolve to lowest cell_id = first-seen in row-major
             # scan order (raster_stats.h:299-311)
             aggs.append(F.min(F.when(F.col(p + "min_v").isNotNull(), F.struct(
@@ -734,6 +770,6 @@ def aggregate_partials(zones_b, partials, keygroups, *, int_values=False,
             result = result.join(cz, "zone_id", "left")
 
     final_cols = [F.col("zone_id"), *[F.col(c) for c in (include_cols or [])]]
-    for i, (_, _, ops_in_key) in enumerate(keygroups):
-        final_cols += _finalize_exprs(i, ops_in_key, int_values)
+    for i, (_, req, ops_in_key) in enumerate(keygroups):
+        final_cols += _finalize_exprs(i, ops_in_key, int_values, req.store_xy)
     return result.select(*final_cols)

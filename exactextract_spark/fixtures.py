@@ -37,6 +37,7 @@ _AY, _BY = 214013, 2531011
 _AW, _BW = 69069, 7
 _AH, _BH = 48271, 11
 WQ = 96  # max zone extent in quarter-cells (24 cells)
+REG_F = 4  # resolution factor of the coarse weight raster (wc0)
 
 
 @dataclass(frozen=True)
@@ -90,25 +91,44 @@ def build_docs(spark: SparkSession, cfg: SynthConfig) -> DataFrame:
             f"      named_struct('kind','text','text', {wkt}, 'media_ref','', 'offset', 1))"
         ).alias("spans"))
 
-    def raster_docs(rid: str, gen: str, nodata: str):
-        meta = (f'{{"xmin":0.0,"ymin":0.0,"xmax":{G}.0,"ymax":{G}.0,'
-                f'"dx":1.0,"dy":1.0,"nodata":{nodata},"dtype":"float64",'
-                f'"band_count":1,"tile":{tile},"generator":"{gen}"}}')
+    def raster_docs(rid: str, gen: str, nodata: str, *, dx: float = 1.0,
+                    cells: int | None = None, dtype: str = "float64",
+                    bands: int = 1, extra_meta: str = ""):
+        n = cells if cells is not None else G
+        ext = float(n) * dx
+        ntt = (n + tile - 1) // tile
+        meta = (f'{{"xmin":0.0,"ymin":{G - ext},"xmax":{ext},"ymax":{G}.0,'
+                f'"dx":{dx},"dy":{dx},"nodata":{nodata},"dtype":"{dtype}",'
+                f'"band_count":{bands},"tile":{tile},"generator":"{gen}"{extra_meta}}}')
         head = f"raster:{rid} {meta}"
-        return spark.range(nt * nt).select(
+        b = f"(id % {bands})"
+        t_id = f"(id div {bands})"
+        return spark.range(ntt * ntt * bands).select(
             F.concat(F.lit(f"{rid}:t"), F.col("id")).alias("doc_id"),
             F.expr(
                 f"array(named_struct('kind','text','text','{head}','media_ref','','offset',0),"
                 f"      named_struct('kind','text','text',"
-                f"        concat('{{\"tile_row\":', id div {nt}, ',\"tile_col\":', id % {nt}, '}}'),"
+                f"        concat('{{\"tile_row\":', {t_id} div {ntt}, ',\"tile_col\":', {t_id} % {ntt}, '}}'),"
                 f"        'media_ref','','offset',1),"
                 f"      named_struct('kind','media','text','',"
-                f"        'media_ref', concat('raster://{rid}/band/0/tile/', id div {nt}, '/', id % {nt}),"
+                f"        'media_ref', concat('raster://{rid}/band/', {b}, '/tile/', "
+                f"                            {t_id} div {ntt}, '/', {t_id} % {ntt}),"
                 f"        'offset',2))"
             ).alias("spans"))
 
+    # wc0: the same weight generator at 4x coarser resolution, anchored
+    # at the grid's top-left — exercises transparent common-grid
+    # handling (coarse cell (rc, cc) covers fine cells r//4==rc, c//4==cc)
+    gc = (G + REG_F - 1) // REG_F
     return zdocs.unionByName(raster_docs("r0", "arith-v1", "-1.0")) \
-                .unionByName(raster_docs("w0", "weight-v1", "null"))
+                .unionByName(raster_docs("w0", "weight-v1", "null")) \
+                .unionByName(raster_docs("wc0", "weight-v1", "null",
+                                         dx=float(REG_F), cells=gc)) \
+                .unionByName(raster_docs(
+                    "rs0", "arith-v1", "-1.0", dtype="int16",
+                    extra_meta=',"scale":0.5,"offset":10.0,'
+                               '"mask_generator":"mod5-v1"')) \
+                .unionByName(raster_docs("mb0", "arith-v1", "-1.0", bands=2))
 
 
 # ---------------------------------------------------------------------------

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 __all__ = [
     "SPAN_SCHEMA", "DOCS_SCHEMA", "GRID_META_SCHEMA",
     "zones_from_docs", "raster_meta_from_docs", "tiles_from_docs",
-    "decode_tile", "encode_tile", "spans_roundtrip",
+    "decode_tile", "decode_value_tile", "encode_tile", "spans_roundtrip",
 ]
 
 SPAN_SCHEMA = T.StructType([
@@ -65,6 +65,12 @@ GRID_META_SCHEMA = T.StructType([
     T.StructField("band_count", T.IntegerType()),
     T.StructField("tile", T.IntegerType()),
     T.StructField("generator", T.StringType()),
+    # on-read affine transform value = raw*scale + offset (reference
+    # python raster.py:102-127 scale_and_offset) and an optional 0/1
+    # validity mask band (src/raster.h:108-127)
+    T.StructField("scale", T.DoubleType()),
+    T.StructField("offset", T.DoubleType()),
+    T.StructField("mask_generator", T.StringType()),
 ])
 
 _MEDIA_REF_RE = r"raster://([^/]+)/band/(\d+)/tile/(\d+)/(\d+)"
@@ -72,6 +78,33 @@ _MEDIA_REF_RE = r"raster://([^/]+)/band/(\d+)/tile/(\d+)/(\d+)"
 
 def decode_tile(buf: bytes, dtype: str, nrows: int, ncols: int) -> np.ndarray:
     return np.frombuffer(buf, dtype=np.dtype(dtype)).reshape(nrows, ncols)
+
+
+def decode_value_tile(buf: bytes, dtype: str, nrows: int, ncols: int, *,
+                      nodata: float | None = None, scale: float = 1.0,
+                      offset: float = 0.0,
+                      mask_buf: bytes | None = None) -> np.ndarray:
+    """Decode a tile applying the reference's on-read semantics
+    (python raster.py:102-127; src/raster.h:108-127): nodata and the
+    0/1 mask band are evaluated on the RAW values, then
+    value = raw*scale + offset.  When any transform applies the result
+    is float64 with undefined cells as NaN (downstream nodata handling
+    then reduces to the NaN check); otherwise the raw array is returned
+    unchanged (zero-copy)."""
+    raw = decode_tile(buf, dtype, nrows, ncols)
+    transform = scale != 1.0 or offset != 0.0 or mask_buf is not None
+    if not transform:
+        return raw
+    vals = raw.astype(np.float64) * scale + offset
+    undef = np.zeros(raw.shape, dtype=bool)
+    if nodata is not None:
+        undef |= raw == nodata
+    undef |= raw != raw  # NaN in the raw data
+    if mask_buf is not None:
+        undef |= decode_tile(mask_buf, "uint8", nrows, ncols) == 0
+    if undef.any():
+        vals[undef] = np.nan
+    return vals
 
 
 def encode_tile(arr: np.ndarray) -> bytes:
@@ -140,20 +173,34 @@ def tiles_from_docs(docs: DataFrame, raster_id: str, meta_row) -> DataFrame:
 
     gen = m["generator"] or "hash-v1"
     dtype = m["dtype"] or "float64"
+    mask_gen = m.get("mask_generator")
 
     def _materialize(batches):
         import pandas as pd
         for pdf in batches:
             payloads = []
-            for row0, col0, nr, nc in zip(pdf["row0"], pdf["col0"], pdf["nrows"], pdf["ncols"]):
-                arr = generate_tile(gen, int(row0), int(col0), int(nr), int(nc))
+            masks = []
+            for row0, col0, nr, nc, band in zip(pdf["row0"], pdf["col0"],
+                                                pdf["nrows"], pdf["ncols"], pdf["band"]):
+                arr = generate_tile(gen, int(row0), int(col0), int(nr), int(nc),
+                                    band=int(band))
                 payloads.append(encode_tile(arr.astype(np.dtype(dtype))))
+                if mask_gen:
+                    masks.append(encode_tile(
+                        generate_mask(mask_gen, int(row0), int(col0), int(nr), int(nc))))
             out = pdf.copy()
             out["values"] = payloads
+            if mask_gen:
+                out["mask_values"] = masks
             yield out
 
-    schema = T.StructType(t.schema.fields + [T.StructField("values", T.BinaryType())])
-    t = t.mapInPandas(_materialize, schema=schema)
+    fields = t.schema.fields + [T.StructField("values", T.BinaryType())]
+    if mask_gen:
+        fields.append(T.StructField("mask_values", T.BinaryType()))
+    t = t.mapInPandas(_materialize, schema=T.StructType(fields))
+    if m.get("scale") is not None or m.get("offset") is not None:
+        t = t.withColumn("scale", F.lit(float(m.get("scale") or 1.0))) \
+             .withColumn("offset", F.lit(float(m.get("offset") or 0.0)))
     return (t.withColumn("raster_id", F.lit(raster_id))
              .withColumn("grid_xmin", F.lit(float(m["xmin"])))
              .withColumn("grid_ymax", F.lit(float(m["ymax"])))
@@ -171,11 +218,12 @@ def tiles_from_docs(docs: DataFrame, raster_id: str, meta_row) -> DataFrame:
 # a SQL oracle can reproduce the same values exactly.
 # ---------------------------------------------------------------------------
 
-def generate_tile(gen: str, row0: int, col0: int, nrows: int, ncols: int) -> np.ndarray:
+def generate_tile(gen: str, row0: int, col0: int, nrows: int, ncols: int,
+                  band: int = 0) -> np.ndarray:
     r = np.arange(row0, row0 + nrows, dtype=np.int64)[:, None]
     c = np.arange(col0, col0 + ncols, dtype=np.int64)[None, :]
     if gen == "arith-v1":
-        v = (r * 73 + c * 131 + ((r * c) % 7) * 19) % 97
+        v = (r * 73 + c * 131 + ((r * c) % 7) * 19 + band * 29) % 97
         v = v.astype(np.float64)
         v[((r * 31 + c * 17) % 23) == 0] = -1.0  # nodata sentinel
         return v
@@ -190,9 +238,20 @@ def generate_tile(gen: str, row0: int, col0: int, nrows: int, ncols: int) -> np.
     raise ValueError(f"unknown tile generator: {gen!r}")
 
 
+def generate_mask(gen: str, row0: int, col0: int, nrows: int, ncols: int) -> np.ndarray:
+    """Deterministic 0/1 validity mask band (uint8)."""
+    r = np.arange(row0, row0 + nrows, dtype=np.int64)[:, None]
+    c = np.arange(col0, col0 + ncols, dtype=np.int64)[None, :]
+    if gen == "mod5-v1":
+        return (((r + c) % 5) != 0).astype(np.uint8)
+    raise ValueError(f"unknown mask generator: {gen!r}")
+
+
 def tiles_from_array(spark, arr: np.ndarray, *, xmin: float = 0.0, ymax: float | None = None,
                      dx: float = 1.0, dy: float = 1.0, nodata: float | None = None,
-                     tile: int = 64, raster_id: str = "mem", band: int = 0) -> DataFrame:
+                     tile: int = 64, raster_id: str = "mem", band: int = 0,
+                     scale: float | None = None, offset: float | None = None,
+                     mask: np.ndarray | None = None) -> DataFrame:
     """Build a tile table from an in-memory numpy raster — the analog of
     the reference's NumPyRasterSource
     (/root/reference/python/src/exactextract/raster.py:135-200).
@@ -202,19 +261,29 @@ def tiles_from_array(spark, arr: np.ndarray, *, xmin: float = 0.0, ymax: float |
     nr, nc = arr.shape
     if ymax is None:
         ymax = float(nr) * dy
+    with_transform = scale is not None or offset is not None
     rows = []
     for tr in range((nr + tile - 1) // tile):
         for tc in range((nc + tile - 1) // tile):
             r0, c0 = tr * tile, tc * tile
             block = np.ascontiguousarray(arr[r0:min(r0 + tile, nr), c0:min(c0 + tile, nc)])
+            extra = {}
+            if with_transform:
+                extra = {"scale": float(scale if scale is not None else 1.0),
+                         "offset": float(offset if offset is not None else 0.0)}
+            if mask is not None:
+                mblock = np.ascontiguousarray(
+                    mask[r0:min(r0 + tile, nr), c0:min(c0 + tile, nc)].astype(np.uint8))
+                extra["mask_values"] = bytearray(encode_tile(mblock))
             rows.append(Row(
                 raster_id=raster_id, band=band, tile_row=tr, tile_col=tc,
                 row0=r0, col0=c0, nrows=block.shape[0], ncols=block.shape[1],
                 values=bytearray(encode_tile(block)),
                 grid_xmin=float(xmin), grid_ymax=float(ymax),
                 dx=float(dx), dy=float(dy), grid_nrows=nr, grid_ncols=nc,
-                dtype=str(arr.dtype), nodata=None if nodata is None else float(nodata)))
-    schema = T.StructType([
+                dtype=str(arr.dtype), nodata=None if nodata is None else float(nodata),
+                **extra))
+    fields = [
         T.StructField("raster_id", T.StringType()), T.StructField("band", T.IntegerType()),
         T.StructField("tile_row", T.IntegerType()), T.StructField("tile_col", T.IntegerType()),
         T.StructField("row0", T.IntegerType()), T.StructField("col0", T.IntegerType()),
@@ -224,8 +293,13 @@ def tiles_from_array(spark, arr: np.ndarray, *, xmin: float = 0.0, ymax: float |
         T.StructField("dx", T.DoubleType()), T.StructField("dy", T.DoubleType()),
         T.StructField("grid_nrows", T.IntegerType()), T.StructField("grid_ncols", T.IntegerType()),
         T.StructField("dtype", T.StringType()), T.StructField("nodata", T.DoubleType()),
-    ])
-    return spark.createDataFrame(rows, schema=schema)
+    ]
+    if with_transform:
+        fields += [T.StructField("scale", T.DoubleType()),
+                   T.StructField("offset", T.DoubleType())]
+    if mask is not None:
+        fields.append(T.StructField("mask_values", T.BinaryType()))
+    return spark.createDataFrame(rows, schema=T.StructType(fields))
 
 
 def spans_roundtrip(docs: DataFrame) -> DataFrame:

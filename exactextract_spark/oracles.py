@@ -36,6 +36,66 @@ def zonal_weighted(cfg):
        THEN (SUM(val*(cov*wgt)) {D}) / (SUM(cov*wgt) {D}) END AS weighted_mean""")
 
 
+def zonal_weighted_regrid(cfg):
+    """Weights from the COARSE raster wc0 (dx=4) consumed transparently
+    on the fine value grid: fine cell (r, c) reads coarse cell
+    (r//4, c//4) — the RasterView disaggregation semantics."""
+    from .fixtures import REG_F as f
+    return f"""WITH {pairs_sql(cfg)},
+p2 AS (
+  SELECT *, CAST(((r // {f})*13 + (c // {f})*7) % 11 AS DOUBLE) AS wgtc
+  FROM pairs)
+SELECT zone_id,
+  COALESCE(SUM(cov*wgtc) {D}, 0.0) AS weighted_count,
+  COALESCE(SUM(val*(cov*wgtc)) {D}, 0.0) AS weighted_sum,
+  CASE WHEN SUM(cov*wgtc) {D} <> 0
+       THEN (SUM(val*(cov*wgtc)) {D}) / (SUM(cov*wgtc) {D}) END AS weighted_mean
+FROM p2 GROUP BY zone_id"""
+
+
+def zonal_scaled(cfg):
+    """Raster rs0: int16 storage, on-read value = raw*0.5 + 10, 0/1
+    mask band zeroing cells with (r+c)%5 == 0 — reference
+    scale_and_offset + mask semantics (python raster.py:102-127,
+    src/raster.h:108-127)."""
+    return f"""WITH {pairs_sql(cfg)},
+p2 AS (
+  SELECT zone_id, cov,
+         CASE WHEN (r + c) % 5 <> 0 THEN val * 0.5 + 10.0 END AS sval
+  FROM pairs)
+SELECT zone_id,
+  COALESCE(SUM(cov) FILTER (sval IS NOT NULL), 0.0) AS count,
+  COALESCE(SUM(sval*cov) FILTER (sval IS NOT NULL), 0.0) AS sum,
+  CASE WHEN SUM(cov) FILTER (sval IS NOT NULL) > 0
+       THEN (SUM(sval*cov) FILTER (sval IS NOT NULL))
+            / (SUM(cov) FILTER (sval IS NOT NULL)) END AS mean,
+  MIN(sval) AS min, MAX(sval) AS max
+FROM p2 GROUP BY zone_id"""
+
+
+def zonal_multiband(cfg):
+    """Raster mb0, 2 bands in one fused scan: band b adds b*29 before
+    the mod-97 (generator arith-v1), same nodata pattern."""
+    return f"""WITH {pairs_sql(cfg)},
+p2 AS (
+  SELECT zone_id, cov, val AS v0,
+         CASE WHEN val IS NOT NULL
+              THEN CAST((CAST(val AS BIGINT) + 29) % 97 AS DOUBLE) END AS v1
+  FROM pairs)
+SELECT zone_id,
+  COALESCE(SUM(cov) FILTER (v0 IS NOT NULL), 0.0) AS mb0_band_0_count,
+  COALESCE(SUM(v0*cov) FILTER (v0 IS NOT NULL), 0.0) AS mb0_band_0_sum,
+  CASE WHEN SUM(cov) FILTER (v0 IS NOT NULL) > 0
+       THEN (SUM(v0*cov) FILTER (v0 IS NOT NULL))
+            / (SUM(cov) FILTER (v0 IS NOT NULL)) END AS mb0_band_0_mean,
+  COALESCE(SUM(cov) FILTER (v1 IS NOT NULL), 0.0) AS mb0_band_1_count,
+  COALESCE(SUM(v1*cov) FILTER (v1 IS NOT NULL), 0.0) AS mb0_band_1_sum,
+  CASE WHEN SUM(cov) FILTER (v1 IS NOT NULL) > 0
+       THEN (SUM(v1*cov) FILTER (v1 IS NOT NULL))
+            / (SUM(cov) FILTER (v1 IS NOT NULL)) END AS mb0_band_1_mean
+FROM p2 GROUP BY zone_id"""
+
+
 def zonal_variance(cfg):
     # identical operation order to extract._finalize_exprs: var =
     # greatest(sum_cx2/sum_c - mean*mean, 0), mean = sum_cx/sum_c
@@ -268,6 +328,9 @@ ZONAL_ORACLES = {
     "zonal_cv": zonal_cv,
     "zonal_basic": zonal_basic,
     "zonal_weighted": zonal_weighted,
+    "zonal_weighted_regrid": zonal_weighted_regrid,
+    "zonal_scaled": zonal_scaled,
+    "zonal_multiband": zonal_multiband,
     "zonal_variance": zonal_variance,
     "zonal_histogram": zonal_histogram,
     "zonal_frac": zonal_frac,

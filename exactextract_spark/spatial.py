@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
-from .extract import attach_bbox
+from .extract import attach_bbox, zone_tile_pairs
 from .geom import Geometry, parse_wkt
 
 __all__ = ["point_in_polygon", "knn_tiles", "points_in_geom"]
@@ -41,25 +41,70 @@ def points_in_geom(geom: Geometry, xs: np.ndarray, ys: np.ndarray) -> np.ndarray
     return inside
 
 
-def point_in_polygon(points: DataFrame, zones: DataFrame) -> DataFrame:
-    """(point_id, x, y) ⋈ zones(zone_id, geometry WKT) → one row per
-    containing (point, zone) pair.
+BROADCAST_ZONE_LIMIT = 200_000
 
-    Scale shape: zones (bbox + geometry) broadcast; points stream.  For
-    zone tables beyond broadcast size, pre-bucket both sides on the
-    quadkey of the containing tile (tiling.quadkey) and equi-join on it
-    before the exact test — same pattern as the zonal tile join."""
+
+def point_in_polygon(points: DataFrame, zones: DataFrame, *,
+                     grid: dict | None = None, tile: int | None = None,
+                     broadcast_limit: int = BROADCAST_ZONE_LIMIT) -> DataFrame:
+    """(point_id, x, y) ⋈ zones(zone_id, geometry WKT) → one row per
+    containing (point, zone) pair (strict-interior even-odd test).
+
+    Scale shape: candidate pruning is an EQUI-join on the containing
+    tile key — each point maps to exactly one tile, each zone bbox
+    explodes to its covered tile range (zone_tile_pairs), and Spark
+    hash-joins on (tile_row, tile_col); never a bbox range condition
+    (which would plan as BroadcastNestedLoopJoin, O(points × zones)).
+    Below ``broadcast_limit`` zones the exploded zone side is broadcast
+    and geometries ride a SparkContext broadcast dict; above it the
+    join shuffles both sides by tile key and geometry WKT travels in
+    the join (AQE handles skewed tiles).
+
+    ``grid``/``tile``: optional tile lattice (same dict shape as the
+    zonal grid); defaults to a ~sqrt(n_zones)-per-side lattice over the
+    zones' bounding box."""
+    import math
+
     spark = zones.sparkSession
     zb = attach_bbox(zones)
-    geoms = {r["zone_id"]: r["geometry"]
-             for r in zb.select("zone_id", "geometry").collect()}
-    lookup = spark.sparkContext.broadcast(geoms)
+    n_zones = zb.count()
+    if grid is not None:
+        t = int(tile or grid.get("tile") or 64)
+        gx, gy = float(grid["grid_xmin"]), float(grid["grid_ymax"])
+        tw, th = float(grid["dx"]) * t, float(grid["dy"]) * t
+        ntr = (int(grid["grid_nrows"]) + t - 1) // t
+        ntc = (int(grid["grid_ncols"]) + t - 1) // t
+    else:
+        b = zb.agg(F.min("xmin"), F.min("ymin"),
+                   F.max("xmax"), F.max("ymax")).first()
+        x0, y0, x1, y1 = (float(v) for v in b)
+        side = max(1, int(math.sqrt(max(n_zones, 1))))
+        tw = max((x1 - x0) / side, 1e-12)
+        th = max((y1 - y0) / side, 1e-12)
+        gx, gy, ntr, ntc = x0, y1, side, side
+    lattice = dict(grid_xmin=gx, grid_ymax=gy, dx=tw, dy=th,
+                   grid_nrows=ntr, grid_ncols=ntc)
 
-    cand = points.join(
-        F.broadcast(zb.select("zone_id", "xmin", "ymin", "xmax", "ymax")),
-        (F.col("x") >= F.col("xmin")) & (F.col("x") <= F.col("xmax")) &
-        (F.col("y") >= F.col("ymin")) & (F.col("y") <= F.col("ymax"))) \
-        .select("point_id", "x", "y", "zone_id")
+    broadcast_zones = n_zones <= broadcast_limit
+    cols = ["zone_id", "xmin", "ymin", "xmax", "ymax"] + \
+        ([] if broadcast_zones else ["geometry"])
+    zpairs = zone_tile_pairs(zb.select(*dict.fromkeys(cols + ["geometry"])),
+                             lattice, 1).select(*cols, "tile_row", "tile_col")
+    lookup = None
+    if broadcast_zones:
+        geoms = {r["zone_id"]: r["geometry"]
+                 for r in zb.select("zone_id", "geometry").collect()}
+        lookup = spark.sparkContext.broadcast(geoms)
+        zpairs = F.broadcast(zpairs)
+
+    p = points.withColumn(
+        "tile_row", F.floor((F.lit(gy) - F.col("y")) / th).cast("int")) \
+        .withColumn("tile_col", F.floor((F.col("x") - gx) / tw).cast("int"))
+    cand = p.join(zpairs, ["tile_row", "tile_col"]) \
+        .where((F.col("x") >= F.col("xmin")) & (F.col("x") <= F.col("xmax")) &
+               (F.col("y") >= F.col("ymin")) & (F.col("y") <= F.col("ymax"))) \
+        .select("point_id", "x", "y", "zone_id",
+                *([] if broadcast_zones else ["geometry"]))
 
     schema = T.StructType([
         T.StructField("point_id", T.LongType()),
@@ -75,7 +120,11 @@ def point_in_polygon(points: DataFrame, zones: DataFrame) -> DataFrame:
             for zid, grp in pdf.groupby("zone_id", sort=False):
                 geom = cache.get(zid)
                 if geom is None:
-                    geom = cache[zid] = parse_wkt(lookup.value[zid])
+                    wkt = lookup.value[zid] if lookup is not None \
+                        else grp["geometry"].iloc[0]
+                    if len(cache) > 65536:
+                        cache.clear()
+                    geom = cache[zid] = parse_wkt(wkt)
                 ins = points_in_geom(geom, grp["x"].to_numpy(), grp["y"].to_numpy())
                 out_pid.extend(grp["point_id"].to_numpy()[ins])
                 out_zid.extend([zid] * int(ins.sum()))

@@ -143,3 +143,40 @@ def test_cli_weights_path(spark, tmp_path):
     r = spark.read.parquet(str(tmp_path / "o.parquet")).collect()[0]
     assert r["weighted_mean"] == pytest.approx(8.0)
     assert r["weighted_sum"] == pytest.approx(8.0)
+
+
+def test_multiband_fused_single_scan(spark):
+    """exact_extract_multiband: one fused scan over all bands, results
+    equal to the per-band loop, reference column naming."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from exactextract_spark.api import exact_extract_multi, exact_extract_multiband
+    from exactextract_spark.io import tiles_from_array
+
+    b0 = np.arange(100, dtype=np.float64).reshape(10, 10)
+    b1 = (b0 * 3 + 1) % 17
+    t0 = tiles_from_array(spark, b0, raster_id="m", band=0)
+    t1 = tiles_from_array(spark, b1, raster_id="m", band=1)
+    tiles = t0.unionByName(t1)
+    zones = spark.createDataFrame(
+        [("z0", "POLYGON ((0.5 0.5, 6.5 0.5, 6.5 6.5, 0.5 6.5, 0.5 0.5))"),
+         ("z1", "POLYGON ((2 2, 9 2, 5 9, 2 2))")],
+        ["zone_id", "geometry"])
+
+    fused = exact_extract_multiband(zones, tiles, ["count", "sum", "mean"])
+    assert sorted(c for c in fused.columns if c != "zone_id") == sorted(
+        f"m_band_{b}_{s}" for b in (0, 1) for s in ("count", "sum", "mean"))
+    got = {r["zone_id"]: r.asDict() for r in fused.collect()}
+
+    want = {r["zone_id"]: r.asDict() for r in exact_extract_multi(
+        zones, {"m": tiles}, ["count", "sum", "mean"]).collect()}
+    for z in want:
+        for k, v in want[z].items():
+            assert got[z][k] == v, (z, k, got[z][k], v)
+
+    # exactly ONE kernel scan (one mapInPandas over the fused table);
+    # AQE prints the plan twice (final + initial), take the final part
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 1

@@ -130,3 +130,27 @@ def test_salted_sum_deterministic(spark):
            salted_sum(df, "k", [F.sum("v").alias("s")]).collect()}
     assert out == {0: sum(range(0, 1000, 3)), 1: sum(range(1, 1000, 3)),
                    2: sum(range(2, 1000, 3))}
+
+
+@pytest.mark.parametrize("batch", ["1", "0"])
+def test_scale_offset_mask(spark, monkeypatch, batch):
+    """On-read transform semantics (reference raster.py:102-127,
+    raster.h:108-127): nodata and mask evaluated on RAW values, then
+    value = raw*scale + offset.  Identical on both kernel routes."""
+    monkeypatch.setenv("EXACTEXTRACT_BATCH", batch)
+    raw = np.arange(16, dtype=np.int16).reshape(4, 4)
+    raw[1, 1] = -1                       # nodata in raw units
+    mask = np.ones((4, 4), dtype=np.uint8)
+    mask[2, 2] = 0                       # masked out
+    tiles = tiles_from_array(spark, raw, nodata=-1, scale=0.5, offset=10.0,
+                             mask=mask)
+    zones = spark.createDataFrame(
+        [("z", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")], ["zone_id", "geometry"])
+    r = exact_extract(zones, tiles, ["count", "sum", "mean", "min", "max"]).collect()[0]
+    vals = raw.astype(float) * 0.5 + 10.0
+    keep = np.ones((4, 4), dtype=bool)
+    keep[1, 1] = keep[2, 2] = False
+    assert r["count"] == pytest.approx(14.0)
+    assert r["sum"] == pytest.approx(float(vals[keep].sum()))
+    assert r["min"] == pytest.approx(float(vals[keep].min()))
+    assert r["max"] == pytest.approx(float(vals[keep].max()))

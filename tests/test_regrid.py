@@ -53,3 +53,73 @@ def test_incompatible_grids_rejected(spark):
                 grid_nrows=8, grid_ncols=8, tile=64)
     with pytest.raises(ValueError, match="integer"):
         regrid_to(coarse, grid)
+
+
+def test_regrid_with_origin_offset(spark):
+    """Coarse origin offset by integer multiples of the fine resolution
+    (reference raster.h:345-360 allows this)."""
+    wc = np.arange(16, dtype=np.float64).reshape(4, 4)
+    # coarse grid: dx=2, origin (2, top 9) -> offsets of 2 and 1 fine cells
+    coarse = tiles_from_array(spark, wc, dx=2.0, dy=2.0, xmin=2.0, ymax=9.0)
+    grid = dict(grid_xmin=0.0, grid_ymax=8.0, dx=1.0, dy=1.0,
+                grid_nrows=8, grid_ncols=8, tile=64)
+    fine = regrid_to(coarse, grid)
+    from exactextract_spark.io import decode_tile
+    r = fine.collect()[0]
+    block = decode_tile(bytes(r["values"]), "float64", r["nrows"], r["ncols"])
+    # expected: fine cell (r, c): src_row = (r + off_r)//2 with
+    # off_r = (9-8)/1 = 1... computed directly:
+    for rr in range(8):
+        for cc in range(8):
+            sr = (rr + 1) // 2          # off_r = (9 - 8) / 1 = 1
+            sc = (cc + (0 - 2)) // 2    # off_c = (0 - 2) / 1 = -2
+            if 0 <= sr < 4 and 0 <= sc < 4:
+                assert block[rr, cc] == wc[sr, sc], (rr, cc)
+            else:
+                assert np.isnan(block[rr, cc]), (rr, cc)
+
+
+def test_regrid_crossing_coarse_tile_borders(spark):
+    """Coarse tiles SMALLER than one fine tile's source window: a fine
+    tile reads from up to 4 coarse tiles (tile sizes are independent)."""
+    rng = np.random.default_rng(5)
+    wc = rng.uniform(0, 10, (30, 30))
+    coarse = tiles_from_array(spark, wc, dx=3.0, dy=3.0, ymax=90.0, tile=8)
+    grid = dict(grid_xmin=0.0, grid_ymax=90.0, dx=1.0, dy=1.0,
+                grid_nrows=90, grid_ncols=90, tile=64)
+    fine = regrid_to(coarse, grid, tile=64)
+    from exactextract_spark.io import decode_tile
+    want = np.repeat(np.repeat(wc, 3, 0), 3, 1)
+    rows = fine.collect()
+    assert len(rows) == 4  # 90/64 -> 2x2 fine tiles
+    for r in rows:
+        block = decode_tile(bytes(r["values"]), "float64", r["nrows"], r["ncols"])
+        exp = want[r["row0"]:r["row0"] + r["nrows"], r["col0"]:r["col0"] + r["ncols"]]
+        np.testing.assert_array_equal(block, exp)
+
+
+def test_transparent_weight_regrid_in_extractor(spark):
+    """ZonalExtractor must regrid a coarser weight table automatically —
+    the reference's implicit common_grid path (grid.h:278-305)."""
+    vals = np.arange(64, dtype=np.float64).reshape(8, 8)
+    wc = np.array([[1, 2], [3, 4]], dtype=np.float64)
+    tiles = tiles_from_array(spark, vals)
+    grid = dict(grid_xmin=0.0, grid_ymax=8.0, dx=1.0, dy=1.0,
+                grid_nrows=8, grid_ncols=8, tile=64)
+    coarse = tiles_from_array(spark, wc, dx=4.0, dy=4.0, ymax=8.0)
+    zones = spark.createDataFrame([("z0", SQ)], ["zone_id", "geometry"])
+    # pass the COARSE table directly — no manual regrid_to
+    got = exact_extract(zones, tiles, OPS, weight_tiles=coarse, grid=grid).collect()[0]
+    manual = tiles_from_array(spark, np.repeat(np.repeat(wc, 4, 0), 4, 1))
+    want = exact_extract(zones, tiles, OPS, weight_tiles=manual, grid=grid).collect()[0]
+    for k in OPS:
+        assert got[k] == pytest.approx(want[k])
+
+
+def test_regrid_int_raster_without_nodata_out_of_extent_raises(spark):
+    wc = np.ones((2, 2), dtype=np.int32)
+    coarse = tiles_from_array(spark, wc, dx=2.0, dy=2.0, ymax=4.0)
+    grid = dict(grid_xmin=0.0, grid_ymax=8.0, dx=1.0, dy=1.0,
+                grid_nrows=8, grid_ncols=8, tile=64)
+    with pytest.raises(Exception, match="nodata"):
+        regrid_to(coarse, grid).collect()
