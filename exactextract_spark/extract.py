@@ -153,7 +153,7 @@ def _partial_schema(keygroups, passthrough=()) -> T.StructType:
 
 
 def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
-               has_weights: bool, passthrough=()) -> DataFrame:
+               has_weights: bool, passthrough=(), progress_acc=None) -> DataFrame:
     """mapInPandas kernel: decode tile, compute coverage once, update
     every op-key's accumulator (read-once dedup of shared windows —
     reference feature_sequential_processor.cpp:85-113).  ``passthrough``
@@ -342,6 +342,8 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
             frame = flush_batch()
             if frame is not None and len(frame):
                 yield frame
+            if progress_acc is not None:
+                progress_acc.add(n_rows)
             if not out_rows:
                 yield pd.DataFrame(columns=col_names)
                 continue
@@ -420,7 +422,13 @@ def _python_op_udf(fn, weighted: bool, result_type: str):
 
 
 def _finalize_exprs(i: int, ops_in_key: list[Op], int_values: bool = False,
-                    store_xy: bool = False) -> list[Column]:
+                    store_xy: bool = False,
+                    dtype_results: bool = False) -> list[Column]:
+    """dtype_results: cast cell-valued results (min/max/mode/minority/
+    unique/values/median/quantile) to the integer cell dtype — the
+    reference's result typing for integer rasters
+    (operation.cpp:115-206).  Default float64 keeps ANSI-SQL-comparable
+    output."""
     p = f"k{i}_"
     sum_c, sum_cx = F.col(p + "sum_c"), F.col(p + "sum_cx")
     mean = sum_cx / sum_c
@@ -511,6 +519,12 @@ def _finalize_exprs(i: int, ops_in_key: list[Op], int_values: bool = False,
                 F.col(p + "cells_sorted"))
         else:
             raise ValueError(f"unhandled stat {s}")
+        if dtype_results:
+            if s in ("min", "max", "majority", "mode", "minority",
+                     "median", "quantile"):
+                e = e.cast("long")
+            elif s in ("unique", "values"):
+                e = F.transform(e, lambda x: x.cast("long"))
         exprs.append(e.alias(op.name))
     return exprs
 
@@ -608,14 +622,95 @@ class ZonalExtractor:
             # extract() calls then skip the per-query broadcast build
             self.joined = self.joined.persist()
 
-    def extract(self, ops, *, include_cols: list[str] | None = None) -> DataFrame:
+    def extract(self, ops, *, include_cols: list[str] | None = None,
+                frac_as_map: bool = False, undefined: str = "null",
+                dtype_results: bool = False, _progress_acc=None) -> DataFrame:
+        """Run an op list against the prepared join.
+
+        frac_as_map: return each frac/weighted_frac column as a
+          map<value, fraction> instead of parallel arrays, auto-adding
+          the hidden unique op the reference adds
+          (exact_extract.py:251-265).
+        undefined: "null" (SQL-native, default) or "nan" — the
+          reference writes NaN for undefined scalar statistics
+          (test_exact_extract.py NaN expectations).
+        dtype_results: return min/max/mode/minority/unique/values/
+          median/quantile in the CELL dtype for integer rasters
+          (operation.cpp:115-206) instead of float64."""
+        import dataclasses
+
         wname = "weights" if self.has_weights else None
         op_list = parse_ops(ops, weights=wname) \
             if not all(isinstance(o, Op) for o in ops) else list(ops)
+        frac_ops = [o for o in op_list if o.stat in ("frac", "weighted_frac")]
+        uniq_of: dict = {}
+        if frac_as_map and frac_ops:
+            for o in op_list:
+                if o.stat == "unique":
+                    uniq_of[o.key] = o.name
+            hidden = []
+            for n, key in enumerate({o.key for o in frac_ops}):
+                if key not in uniq_of:
+                    proto = next(o for o in frac_ops if o.key == key)
+                    h = dataclasses.replace(proto, stat="unique",
+                                            name=f"__unique_{n}")
+                    hidden.append(h)
+                    uniq_of[key] = h.name
+            op_list = op_list + hidden
         keygroups = group_ops_by_key(op_list)
-        return _assemble(self.zones_b, self.joined, keygroups,
-                         geom_lookup=self.geom_lookup, has_weights=self.has_weights,
-                         int_values=self.int_values, include_cols=include_cols)
+        res = _assemble(self.zones_b, self.joined, keygroups,
+                        geom_lookup=self.geom_lookup, has_weights=self.has_weights,
+                        int_values=self.int_values, include_cols=include_cols,
+                        dtype_results=self.int_values and dtype_results,
+                        progress_acc=_progress_acc)
+        if frac_as_map and frac_ops:
+            for o in frac_ops:
+                res = res.withColumn(o.name, F.map_from_arrays(
+                    F.col(uniq_of[o.key]), F.col(o.name)))
+            res = res.drop(*[n for n in uniq_of.values()
+                             if n.startswith("__unique_")])
+        if undefined == "nan":
+            # the reference writes NaN (not null) for undefined scalars
+            for f in res.schema.fields:
+                if isinstance(f.dataType, T.DoubleType):
+                    res = res.withColumn(
+                        f.name, F.coalesce(F.col(f.name), F.lit(float("nan"))))
+        return res
+
+    def extract_collect(self, ops, *, progress=None, poll_interval: float = 0.5,
+                        **kw) -> list:
+        """Materialize results with a driver-side progress callback —
+        the reference's progress reporting for plain (non-checkpointed)
+        extraction (processor.h:124-136).  ``progress(fraction,
+        message)`` is invoked from a monitor thread as tile rows
+        complete; fraction reaches 1.0 when the action finishes."""
+        if progress is None:
+            return self.extract(ops, **kw).collect()
+        import threading
+
+        spark = self.zones_b.sparkSession
+        acc = spark.sparkContext.accumulator(0)
+        total = max(self.joined.count(), 1)
+        df = self.extract(ops, _progress_acc=acc, **kw)
+        done = threading.Event()
+
+        def monitor():
+            last = -1
+            while not done.wait(poll_interval):
+                v = min(acc.value, total)
+                if v != last:
+                    progress(v / total, f"{v}/{total} tiles")
+                    last = v
+
+        t = threading.Thread(target=monitor, daemon=True)
+        t.start()
+        try:
+            rows = df.collect()
+        finally:
+            done.set()
+            t.join(timeout=2 * poll_interval)
+        progress(1.0, f"{total}/{total} tiles")
+        return rows
 
     def close(self) -> None:
         """Release cached state (zone bboxes, pair join, geometry
@@ -643,7 +738,10 @@ def exact_extract(zones: DataFrame, tiles: DataFrame, ops, *,
                   include_cols: list[str] | None = None,
                   strategy: str = "auto",
                   grid: dict | None = None,
-                  tile_size: int | None = None) -> DataFrame:
+                  tile_size: int | None = None,
+                  frac_as_map: bool = False,
+                  undefined: str = "null",
+                  dtype_results: bool = False) -> DataFrame:
     """Compute zonal statistics — the engine's primary entry point
     (reference: python exact_extract,
     /root/reference/python/src/exactextract/exact_extract.py:363-502).
@@ -651,22 +749,25 @@ def exact_extract(zones: DataFrame, tiles: DataFrame, ops, *,
     zones: (zone_id string, geometry WKT string, ...)
     tiles: tile table from io.tiles_from_docs (or equivalent schema)
     ops:   list of stat descriptors / Op objects (ops.parse_ops)
+    frac_as_map / undefined / dtype_results: see ZonalExtractor.extract
     """
     return ZonalExtractor(zones, tiles, weight_tiles=weight_tiles,
                           strategy=strategy, grid=grid, tile_size=tile_size) \
-        .extract(ops, include_cols=include_cols)
+        .extract(ops, include_cols=include_cols, frac_as_map=frac_as_map,
+                 undefined=undefined, dtype_results=dtype_results)
 
 
 def _assemble(zones_b, joined, keygroups, *, geom_lookup, has_weights,
-              int_values, include_cols):
+              int_values, include_cols, dtype_results=False, progress_acc=None):
     partials = run_kernel(joined, keygroups, geom_lookup=geom_lookup,
-                          has_weights=has_weights)
+                          has_weights=has_weights, progress_acc=progress_acc)
     return aggregate_partials(zones_b, partials, keygroups,
-                              int_values=int_values, include_cols=include_cols)
+                              int_values=int_values, include_cols=include_cols,
+                              dtype_results=dtype_results)
 
 
 def aggregate_partials(zones_b, partials, keygroups, *, int_values=False,
-                       include_cols=None):
+                       include_cols=None, dtype_results=False):
     """Merge partial states into final per-zone statistics.  Separated
     from the kernel so checkpoint/resume can merge stored partials
     (checkpoint.py) — the RasterStats::combine stage."""
@@ -771,5 +872,6 @@ def aggregate_partials(zones_b, partials, keygroups, *, int_values=False,
 
     final_cols = [F.col("zone_id"), *[F.col(c) for c in (include_cols or [])]]
     for i, (_, req, ops_in_key) in enumerate(keygroups):
-        final_cols += _finalize_exprs(i, ops_in_key, int_values, req.store_xy)
+        final_cols += _finalize_exprs(i, ops_in_key, int_values, req.store_xy,
+                                      dtype_results)
     return result.select(*final_cols)

@@ -180,3 +180,87 @@ def test_multiband_fused_single_scan(spark):
     plan = fused._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("MapInPandas") == 1
+
+
+def test_frac_as_map_auto_unique(spark):
+    """frac_as_map must not require the caller to request unique
+    (reference exact_extract.py:251-265 adds the hidden op)."""
+    import numpy as np
+
+    from exactextract_spark.extract import exact_extract
+    from exactextract_spark.io import tiles_from_array
+
+    data = np.array([[1, 1, 2], [2, 2, 3], [3, 3, 3]], dtype=np.float64)
+    tiles = tiles_from_array(spark, data)
+    zones = spark.createDataFrame(
+        [("z", "POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))")], ["zone_id", "geometry"])
+    r = exact_extract(zones, tiles, ["frac"], frac_as_map=True).collect()[0]
+    assert set(r.asDict()) == {"zone_id", "frac"}
+    m = r["frac"]
+    assert m[1.0] == pytest.approx(2 / 9)
+    assert m[2.0] == pytest.approx(3 / 9)
+    assert m[3.0] == pytest.approx(4 / 9)
+
+
+def test_undefined_nan_option(spark):
+    import math
+
+    import numpy as np
+
+    from exactextract_spark.extract import exact_extract
+    from exactextract_spark.io import tiles_from_array
+
+    tiles = tiles_from_array(spark, np.ones((4, 4)))
+    zones = spark.createDataFrame(
+        [("out", "POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))")],
+        ["zone_id", "geometry"])
+    r0 = exact_extract(zones, tiles, ["mean"]).collect()[0]
+    assert r0["mean"] is None
+    r1 = exact_extract(zones, tiles, ["mean"], undefined="nan").collect()[0]
+    assert r1["mean"] is not None and math.isnan(r1["mean"])
+
+
+def test_dtype_results_integer_raster(spark):
+    """operation.cpp:115-206: cell-valued results come back in the cell
+    dtype for integer rasters when dtype_results is on."""
+    import numpy as np
+
+    from exactextract_spark.extract import exact_extract
+    from exactextract_spark.io import tiles_from_array
+
+    data = np.arange(16, dtype=np.int32).reshape(4, 4)
+    tiles = tiles_from_array(spark, data)
+    zones = spark.createDataFrame(
+        [("z", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")], ["zone_id", "geometry"])
+    df = exact_extract(zones, tiles, ["min", "max", "majority", "median", "unique"],
+                       dtype_results=True)
+    types = dict(df.dtypes)
+    assert types["min"] == "bigint" and types["max"] == "bigint"
+    assert types["majority"] == "bigint" and types["median"] == "bigint"
+    assert types["unique"] == "array<bigint>"
+    r = df.collect()[0]
+    assert r["min"] == 0 and r["max"] == 15
+    # float raster: flag is a no-op
+    ftiles = tiles_from_array(spark, data.astype(np.float64))
+    fdf = exact_extract(zones, ftiles, ["min"], dtype_results=True)
+    assert dict(fdf.dtypes)["min"] == "double"
+
+
+def test_extract_collect_progress(spark):
+    import numpy as np
+
+    from exactextract_spark.extract import ZonalExtractor
+    from exactextract_spark.io import tiles_from_array
+
+    data = np.arange(900, dtype=np.float64).reshape(30, 30)
+    tiles = tiles_from_array(spark, data, tile=8)
+    zones = spark.createDataFrame(
+        [("z", "POLYGON ((1 1, 29 1, 29 29, 1 29, 1 1))")], ["zone_id", "geometry"])
+    ext = ZonalExtractor(zones, tiles)
+    seen = []
+    rows = ext.extract_collect(["count", "sum"],
+                               progress=lambda f, msg: seen.append(f),
+                               poll_interval=0.05)
+    assert len(rows) == 1 and rows[0]["count"] == pytest.approx(28.0 * 28.0)
+    assert seen and seen[-1] == 1.0
+    assert all(0.0 <= f <= 1.0 for f in seen)
