@@ -21,8 +21,10 @@ raster_stats.h:155-296 exactly:
   * cells with cov < min_coverage_frac are skipped (cov is float32, the
     comparison uses >=, default FLT_MIN i.e. "any positive coverage");
   * nodata/NaN values are skipped unless default_value is given;
-  * nodata weights become default_weight (NaN when unset -> weighted
-    sums propagate NaN, as in the reference);
+  * nodata weights become default_weight; with no default the weighted
+    sums are undefined — carried as an explicit ``w_undef`` flag so the
+    reference's NaN propagation survives the Arrow partial rows (pandas
+    NaN would become SQL NULL and silently drop out of sum());
   * coverage_weight: fraction (default) | none (c:=1 after threshold) |
     area_cartesian | area_spherical_m2 | area_spherical_km2 — the area
     multiply happens in float32 like the reference's
@@ -118,20 +120,35 @@ def accumulate_pair(cov: np.ndarray, values: np.ndarray, *,
 
     w = None
     if req.weighted or req.cells_weights:
+        # Undefined weights without a default make the weighted sums
+        # undefined (the reference's NaN propagation,
+        # raster_stats.h:252-296).  NaN cannot travel through the
+        # Arrow partial rows (pandas NaN becomes SQL NULL, which sum()
+        # would silently skip), so the partial carries an explicit
+        # w_undef flag and the finalize nulls the weighted stats when
+        # any merged partial has it set.
+        dw = np.nan if default_weight is None else float(default_weight)
         if weights is None:
-            w = np.full(cvals.shape, np.nan)
+            w = np.full(cvals.shape, dw)
         else:
             wv = weights.astype(np.float64, copy=False)[rr, cc]
             wdef = ~np.isnan(wv)
             if weight_nodata is not None:
                 wdef &= wv != weight_nodata
-            dw = np.nan if default_weight is None else float(default_weight)
             w = np.where(wdef, wv, dw)
-        ciwi = ccov * w
-        out["sum_cw"] = float(ciwi.sum())
-        out["sum_cxw"] = float((cvals * ciwi).sum())
-        if req.weighted_variance:
-            out["sum_cx2w"] = float((cvals * cvals * ciwi).sum())
+        if req.weighted:
+            undef = np.isnan(w)
+            w_undef = bool(undef.any())
+            # zero-fill ONLY the scalar sums; stored arrays and the
+            # histogram keep NaN (per-cell undefinedness is visible
+            # there, and NaN survives inside list/struct values)
+            ws = np.where(undef, 0.0, w) if w_undef else w
+            ciwi = ccov * ws
+            out["w_undef"] = w_undef
+            out["sum_cw"] = float(ciwi.sum())
+            out["sum_cxw"] = float((cvals * ciwi).sum())
+            if req.weighted_variance:
+                out["sum_cx2w"] = float((cvals * cvals * ciwi).sum())
 
     cell_ids = (rr + row0).astype(np.int64) * grid_ncols + (cc + col0)
     if req.minmax:

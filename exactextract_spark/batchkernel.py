@@ -382,9 +382,18 @@ def accumulate_pairs_batch(pairs, tile_vals, key_specs, *, has_weights,
             if wdef_s is None:
                 wdef_s = ~np.isnan(wv) & (wv != w_nodata[pid])
             wu = wv[used]
-            wres_used = np.where(wdef_s[used], wu,
-                                 np.nan if dwt is None else dwt)
-            ciwi_u = cu * wres_used
+            wdef_u = wdef_s[used]
+            wres_used = np.where(wdef_u, wu, np.nan if dwt is None else dwt)
+            # undefined weights (no default): flag per pair and zero-
+            # fill the scalar sums (see accumulate.accumulate_pair —
+            # NaN would become SQL NULL through Arrow)
+            if dwt is None:
+                res["w_undef"] = np.bincount(upid[~wdef_u], minlength=P) > 0
+                ws_u = np.where(wdef_u, wu, 0.0)
+            else:
+                res["w_undef"] = np.zeros(P, dtype=bool)
+                ws_u = wres_used
+            ciwi_u = cu * ws_u
             res["sum_cw"] = np.bincount(upid, weights=ciwi_u, minlength=P)
             res["sum_cxw"] = np.bincount(upid, weights=vu * ciwi_u, minlength=P)
             if req.weighted_variance:
@@ -459,6 +468,9 @@ def accumulate_pairs_batch(pairs, tile_vals, key_specs, *, has_weights,
         if req.weighted:
             out[pfx + "sum_cw"] = col(res["sum_cw"])
             out[pfx + "sum_cxw"] = col(res["sum_cxw"])
+            wu_col = np.full(rows.size, None, dtype=object)
+            wu_col[sel] = [bool(b) for b in res["w_undef"][rows][sel]]
+            out[pfx + "w_undef"] = wu_col
             if req.weighted_variance:
                 out[pfx + "sum_cx2w"] = col(res["sum_cx2w"])
         if req.minmax:

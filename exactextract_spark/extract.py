@@ -134,7 +134,8 @@ def _partial_schema(keygroups, passthrough=()) -> T.StructType:
                        T.StructField(p + "var_m2", T.DoubleType())]
         if req.weighted:
             fields += [T.StructField(p + "sum_cw", T.DoubleType()),
-                       T.StructField(p + "sum_cxw", T.DoubleType())]
+                       T.StructField(p + "sum_cxw", T.DoubleType()),
+                       T.StructField(p + "w_undef", T.BooleanType())]
             if req.weighted_variance:
                 fields.append(T.StructField(p + "sum_cx2w", T.DoubleType()))
         if req.minmax:
@@ -214,21 +215,25 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
             rid_a = g("raster_id") if multi_raster else None
             if has_weights:
                 wbuf_a, wdt_a, wnd_a = g("w_values"), g("w_dtype"), pdf["w_nodata"]
+                wsc_a = g("w_scale") if "w_scale" in pdf.columns else None
+                wof_a = g("w_offset") if "w_offset" in pdf.columns else None
+                wmk_a = g("w_mask_values") if "w_mask_values" in pdf.columns else None
             out_rows = []
             batch_pairs: list = []
             batch_cells = 0
             tile_buf: dict = {}
 
-            def row_transform(j, nd):
-                sc = float(sc_a[j]) if sc_a is not None and sc_a[j] is not None else 1.0
-                of = float(of_a[j]) if of_a is not None and of_a[j] is not None else 0.0
-                mk = mk_a[j] if mk_a is not None else None
+            def row_transform(j, nd, sa, oa, ma):
+                sc = float(sa[j]) if sa is not None and sa[j] is not None else 1.0
+                of = float(oa[j]) if oa is not None and oa[j] is not None else 0.0
+                mk = ma[j] if ma is not None else None
                 transformed = sc != 1.0 or of != 0.0 or mk is not None
                 # a transformed tile is decoded to float64 with undefined
                 # cells already NaN, so downstream nodata is cleared
                 return sc, of, mk, (None if transformed else nd)
 
-            def decode_row(j, sc=1.0, of=0.0, mk=None, nd=None):
+            def decode_row(j, sc=1.0, of=0.0, mk=None, nd=None,
+                           wt=(1.0, 0.0, None, None)):
                 got = tile_buf.get(j)
                 if got is None:
                     tv = decode_value_tile(
@@ -236,7 +241,10 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                         nodata=nd, scale=sc, offset=of, mask_buf=mk)
                     tw = None
                     if has_weights and wbuf_a[j] is not None:
-                        tw = decode_tile(wbuf_a[j], wdt_a[j], int(nr_a[j]), int(nc_a[j]))
+                        wsc, wof, wmk, wnd = wt
+                        tw = decode_value_tile(
+                            wbuf_a[j], wdt_a[j], int(nr_a[j]), int(nc_a[j]),
+                            nodata=wnd, scale=wsc, offset=wof, mask_buf=wmk)
                     got = tile_buf[j] = (tv, tw)
                 return got
 
@@ -268,11 +276,15 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                 w_nodata = None
                 nd_raw = nd_a.iloc[j]
                 nd_raw = None if nd_raw is None or pd.isna(nd_raw) else float(nd_raw)
-                sc_j, of_j, mk_j, nd = row_transform(j, nd_raw)
+                sc_j, of_j, mk_j, nd = row_transform(j, nd_raw, sc_a, of_a, mk_a)
                 wn0 = None
+                wt_j = (1.0, 0.0, None, None)
                 if has_weights:
                     wn = wnd_a.iloc[j]
-                    wn0 = None if wn is None or pd.isna(wn) else float(wn)
+                    wn_raw = None if wn is None or pd.isna(wn) else float(wn)
+                    wsc_j, wof_j, wmk_j, wn0 = row_transform(
+                        j, wn_raw, wsc_a, wof_a, wmk_a)
+                    wt_j = (wsc_j, wof_j, wmk_j, wn_raw)
                 rid_row = rid_a[j] if multi_raster else None
                 pt_tuple = tuple(int(pdf[c].iloc[j]) for c in passthrough)
                 for zid in (zid_a[j] if grouped else (zid_a[j],)):
@@ -295,7 +307,7 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                     if use_batch_rows and geom.kind == "areal" and (
                             not geom.is_rectangle() or
                             (r1z - r0z) * (c1z - c0z) <= RECT_BATCH_MAX_CELLS):
-                        decode_row(j, sc_j, of_j, mk_j, nd_raw)
+                        decode_row(j, sc_j, of_j, mk_j, nd_raw, wt_j)
                         if not geom.is_rectangle() and zid not in seg_cache:
                             seg_cache[zid] = zone_segments(geom)
                         batch_pairs.append((zid, j, r0z, r1z, c0z, c1z, geom,
@@ -311,7 +323,7 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                     if vals is None:
                         # decode once per tile row (read-once dedup,
                         # feature_sequential_processor.cpp:85-113)
-                        vals, wvals = decode_row(j, sc_j, of_j, mk_j, nd_raw)
+                        vals, wvals = decode_row(j, sc_j, of_j, mk_j, nd_raw, wt_j)
                         w_nodata = wn0
                     rec = {"zone_id": zid, **pt}
                     any_key = False
@@ -472,16 +484,24 @@ def _finalize_exprs(i: int, ops_in_key: list[Op], int_values: bool = False,
                 else:
                     e = F.when(sum_c > 0, F.sqrt(var) / mean)
         elif s == "weighted_count":
-            e = F.coalesce(F.col(p + "sum_cw"), F.lit(0.0))
+            # any merged partial with an undefined weight (no default)
+            # makes the weighted stats undefined (reference NaN
+            # propagation, raster_stats.h:252-296)
+            wok = ~F.coalesce(F.col(p + "w_undef"), F.lit(False))
+            e = F.when(wok, F.coalesce(F.col(p + "sum_cw"), F.lit(0.0)))
         elif s == "weighted_sum":
-            e = F.coalesce(F.col(p + "sum_cxw"), F.lit(0.0))
+            wok = ~F.coalesce(F.col(p + "w_undef"), F.lit(False))
+            e = F.when(wok, F.coalesce(F.col(p + "sum_cxw"), F.lit(0.0)))
         elif s == "weighted_mean":
-            e = F.when(F.col(p + "sum_cw") != 0, F.col(p + "sum_cxw") / F.col(p + "sum_cw"))
+            wok = ~F.coalesce(F.col(p + "w_undef"), F.lit(False))
+            e = F.when(wok & (F.col(p + "sum_cw") != 0),
+                       F.col(p + "sum_cxw") / F.col(p + "sum_cw"))
         elif s in ("weighted_variance", "weighted_stdev"):
+            wok = ~F.coalesce(F.col(p + "w_undef"), F.lit(False))
             wmean = F.col(p + "sum_cxw") / F.col(p + "sum_cw")
             wvar = F.greatest(F.col(p + "sum_cx2w") / F.col(p + "sum_cw") - wmean * wmean,
                               F.lit(0.0))
-            e = F.when(F.col(p + "sum_cw") != 0,
+            e = F.when(wok & (F.col(p + "sum_cw") != 0),
                        wvar if s == "weighted_variance" else F.sqrt(wvar))
         elif s == "variety":
             e = F.coalesce(F.col(p + "variety"), F.lit(0).cast("long"))
@@ -583,10 +603,13 @@ class ZonalExtractor:
             vgrid = {k: grid.get(k) for k in wmeta}
             if None not in vgrid.values() and not grids_equal(wmeta, vgrid):
                 weight_tiles = regrid_to(weight_tiles, vgrid, tile=tile_size)
+            wextra = [F.col(c).alias(f"w_{c}") for c in
+                      ("scale", "offset", "mask_values")
+                      if c in weight_tiles.columns]
             w = weight_tiles.select(
                 F.col("tile_row").alias("w_tile_row"), F.col("tile_col").alias("w_tile_col"),
                 F.col("values").alias("w_values"), F.col("dtype").alias("w_dtype"),
-                F.col("nodata").alias("w_nodata"))
+                F.col("nodata").alias("w_nodata"), *wextra)
             tiles_in = tiles.join(
                 w, (F.col("tile_row") == F.col("w_tile_row")) &
                    (F.col("tile_col") == F.col("w_tile_col")), "left") \
@@ -796,7 +819,8 @@ def aggregate_partials(zones_b, partials, keygroups, *, int_values=False,
             aggs.append(F.sum(p + "sum_cx2").alias(p + "sum_cx2"))
         if req.weighted:
             aggs += [F.sum(p + "sum_cw").alias(p + "sum_cw"),
-                     F.sum(p + "sum_cxw").alias(p + "sum_cxw")]
+                     F.sum(p + "sum_cxw").alias(p + "sum_cxw"),
+                     F.max(p + "w_undef").alias(p + "w_undef")]
             if req.weighted_variance:
                 aggs.append(F.sum(p + "sum_cx2w").alias(p + "sum_cx2w"))
         if req.minmax and not req.store_xy:

@@ -113,11 +113,13 @@ def regrid_to(coarse_tiles: DataFrame, fine_grid: dict, *,
          .withColumn("_wtc", F.explode(F.sequence("_wtc0", "_wtc1")))
          .drop("_wtr0", "_wtr1", "_wtc0", "_wtc1"))
 
+    has_mask = "mask_values" in coarse_tiles.columns
     src = coarse_tiles.select(
         F.col("tile_row").alias("_wtr"), F.col("tile_col").alias("_wtc"),
         F.col("row0").alias("_srow0"), F.col("col0").alias("_scol0"),
         F.col("nrows").alias("_snrows"), F.col("ncols").alias("_sncols"),
-        F.col("values").alias("_svalues"))
+        F.col("values").alias("_svalues"),
+        *([F.col("mask_values").alias("_smask")] if has_mask else []))
     j = t.join(src, ["_wtr", "_wtc"])
 
     dtype = meta["dtype"]
@@ -138,6 +140,8 @@ def regrid_to(coarse_tiles: DataFrame, fine_grid: dict, *,
             block = None  # allocate lazily; verify full coverage below
         else:
             block = np.full((nr, nc), fill, dtype=np.dtype(out_dtype))
+        # unmapped fine cells of a masked raster come out mask=0
+        mblock = np.zeros((nr, nc), dtype=np.uint8) if has_mask else None
         covered = np.zeros((nr, nc), dtype=bool)
         src_r = (np.arange(row0, row0 + nr) + off_r) // f_r
         src_c = (np.arange(col0, col0 + nc) + off_c) // f_c
@@ -151,21 +155,30 @@ def regrid_to(coarse_tiles: DataFrame, fine_grid: dict, *,
                 continue
             if block is None:
                 block = np.empty((nr, nc), dtype=np.dtype(out_dtype))
-            block[np.ix_(rsel, csel)] = cblock[np.ix_(src_r[rsel] - srow0,
-                                                      src_c[csel] - scol0)]
-            covered[np.ix_(rsel, csel)] = True
-        if fill is None and not covered.all():
+            ix = np.ix_(rsel, csel)
+            six = np.ix_(src_r[rsel] - srow0, src_c[csel] - scol0)
+            block[ix] = cblock[six]
+            if has_mask:
+                mblock[ix] = decode_tile(rec["_smask"], "uint8", snr, snc)[six]
+            covered[ix] = True
+        if fill is None and not covered.all() and not has_mask:
             raise ValueError(
                 "regrid_to: fine grid extends beyond the coarse raster and "
                 "the integer raster has no nodata value to fill with")
-        return pd.DataFrame([{
+        out_row = {
             "raster_id": "regrid", "band": 0,
             "tile_row": tr, "tile_col": tc, "row0": row0, "col0": col0,
             "nrows": nr, "ncols": nc,
             "values": encode_tile(block if block is not None
-                                  else np.full((nr, nc), fill,
-                                               dtype=np.dtype(out_dtype))),
-        }])
+                                  else np.zeros((nr, nc),
+                                                dtype=np.dtype(out_dtype))
+                                  if has_mask else
+                                  np.full((nr, nc), fill,
+                                          dtype=np.dtype(out_dtype))),
+        }
+        if has_mask:
+            out_row["mask_values"] = encode_tile(mblock)
+        return pd.DataFrame([out_row])
 
     schema = T.StructType([
         T.StructField("raster_id", T.StringType()), T.StructField("band", T.IntegerType()),
@@ -173,8 +186,14 @@ def regrid_to(coarse_tiles: DataFrame, fine_grid: dict, *,
         T.StructField("row0", T.IntegerType()), T.StructField("col0", T.IntegerType()),
         T.StructField("nrows", T.IntegerType()), T.StructField("ncols", T.IntegerType()),
         T.StructField("values", T.BinaryType()),
+        *([T.StructField("mask_values", T.BinaryType())] if has_mask else []),
     ])
     out = j.groupBy("tile_row", "tile_col").applyInPandas(assemble, schema=schema)
+    if "scale" in coarse_tiles.columns:
+        # the on-read transform is constant per raster — carry it through
+        so = coarse_tiles.select("scale", "offset").first()
+        out = out.withColumn("scale", F.lit(float(so["scale"]))) \
+                 .withColumn("offset", F.lit(float(so["offset"])))
     return (out.withColumn("grid_xmin", F.lit(float(fine_grid["grid_xmin"])))
                .withColumn("grid_ymax", F.lit(float(fine_grid["grid_ymax"])))
                .withColumn("dx", F.lit(fdx))

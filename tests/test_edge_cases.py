@@ -154,3 +154,38 @@ def test_scale_offset_mask(spark, monkeypatch, batch):
     assert r["sum"] == pytest.approx(float(vals[keep].sum()))
     assert r["min"] == pytest.approx(float(vals[keep].min()))
     assert r["max"] == pytest.approx(float(vals[keep].max()))
+
+
+@pytest.mark.parametrize("batch", ["1", "0"])
+def test_undefined_weight_nulls_weighted_stats(spark, monkeypatch, batch):
+    """A single undefined weight (no default_weight) makes the weighted
+    stats undefined for the zone — even when other TILES of the zone
+    have fully-defined weights (the reference's NaN propagation must
+    survive the partial-state merge)."""
+    monkeypatch.setenv("EXACTEXTRACT_BATCH", batch)
+    from exactextract_spark.io import tiles_from_array
+
+    vals = np.arange(64, dtype=np.float64).reshape(8, 8)
+    w = np.ones((8, 8))
+    w[1, 6] = -9  # weight nodata in the SECOND tile column (tile=4)
+    tiles = tiles_from_array(spark, vals, tile=4)
+    wt = tiles_from_array(spark, w, tile=4, raster_id="w", nodata=-9)
+    zones = spark.createDataFrame(
+        [("z", "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))"),
+         ("ok", "POLYGON ((0 4, 4 4, 4 8, 0 8, 0 4))")],  # defined-only area
+        ["zone_id", "geometry"])
+    from exactextract_spark.extract import exact_extract
+    got = {r["zone_id"]: r.asDict() for r in exact_extract(
+        zones, tiles, ["weighted_count", "weighted_sum", "weighted_mean",
+                       "weighted_variance"], weight_tiles=wt).collect()}
+    for k in ("weighted_count", "weighted_sum", "weighted_mean",
+              "weighted_variance"):
+        assert got["z"][k] is None, k
+    assert got["ok"]["weighted_count"] == pytest.approx(16.0)
+    assert got["ok"]["weighted_sum"] == pytest.approx(float(vals[:4, :4].sum()))
+
+    # default_weight restores definedness
+    got2 = exact_extract(zones, tiles, ["weighted_count=weighted_count(default_weight=2)"],
+                         weight_tiles=wt).collect()
+    got2 = {r["zone_id"]: r["weighted_count"] for r in got2}
+    assert got2["z"] == pytest.approx(63.0 + 2.0)

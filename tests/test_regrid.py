@@ -123,3 +123,52 @@ def test_regrid_int_raster_without_nodata_out_of_extent_raises(spark):
                 grid_nrows=8, grid_ncols=8, tile=64)
     with pytest.raises(Exception, match="nodata"):
         regrid_to(coarse, grid).collect()
+
+
+def test_regrid_carries_scale_offset_and_mask(spark):
+    """A coarse weight raster with on-read scale/offset and a mask band
+    disaggregates with the transform carried through and the mask
+    regridded alongside (unmapped fine cells become mask=0)."""
+    wc = np.array([[2, 4], [6, 8]], dtype=np.float64)
+    mask = np.array([[1, 1], [1, 0]], dtype=np.uint8)
+    coarse = tiles_from_array(spark, wc, dx=4.0, dy=4.0, ymax=8.0,
+                              scale=0.5, offset=1.0, mask=mask)
+    grid = dict(grid_xmin=0.0, grid_ymax=8.0, dx=1.0, dy=1.0,
+                grid_nrows=8, grid_ncols=8, tile=64)
+    fine = regrid_to(coarse, grid)
+    vals = np.arange(64, dtype=np.float64).reshape(8, 8)
+    tiles = tiles_from_array(spark, vals)
+    zones = spark.createDataFrame(
+        [("z", "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))")], ["zone_id", "geometry"])
+    got = exact_extract(zones, tiles, ["weighted_sum", "weighted_count"],
+                        weight_tiles=fine, grid=grid).collect()[0]
+
+    # manual: fine weights = (repeat(wc)*0.5 + 1), masked quadrant -> NaN
+    wf = np.repeat(np.repeat(wc, 4, 0), 4, 1) * 0.5 + 1.0
+    wf[4:, 4:] = np.nan
+    # undefined weights (no default) make the weighted stats undefined
+    # (reference: NaN; engine: NULL, or NaN with undefined="nan")
+    assert got["weighted_sum"] is None and got["weighted_count"] is None
+
+    # restrict to a zone inside the valid-mask area -> exact sums
+    zones2 = spark.createDataFrame(
+        [("z", "POLYGON ((0 4, 8 4, 8 8, 0 8, 0 4))")], ["zone_id", "geometry"])
+    got2 = exact_extract(zones2, tiles, ["weighted_sum"],
+                         weight_tiles=fine, grid=grid).collect()[0]
+    want = float((vals[:4, :] * wf[:4, :]).sum())  # top half: rows 0..3
+    assert got2["weighted_sum"] == pytest.approx(want)
+
+
+def test_weight_scale_offset_in_extractor(spark):
+    """Weight tiles with scale/offset on the SAME grid: transform applied
+    on read, equal to pre-scaled weights."""
+    vals = np.arange(64, dtype=np.float64).reshape(8, 8)
+    wraw = (np.arange(64, dtype=np.float64) % 7).reshape(8, 8)
+    tiles = tiles_from_array(spark, vals)
+    zones = spark.createDataFrame([("z0", SQ)], ["zone_id", "geometry"])
+    wt = tiles_from_array(spark, wraw, raster_id="w", scale=2.0, offset=0.5)
+    got = exact_extract(zones, tiles, OPS, weight_tiles=wt).collect()[0]
+    wman = tiles_from_array(spark, wraw * 2.0 + 0.5, raster_id="w")
+    want = exact_extract(zones, tiles, OPS, weight_tiles=wman).collect()[0]
+    for k in OPS:
+        assert got[k] == pytest.approx(want[k])
