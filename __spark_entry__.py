@@ -213,9 +213,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": pdedup.exact_dedup,
         "dedup_minhash_sig": pdedup.minhash_signature,
         "dedup_minhash_pairs": pdedup.minhash_pairs,
+        "dedup_verified_pairs": pdedup.minhash_verified_pairs,
         "dedup_simhash": pdedup.simhash,
         "dedup_ngram_jaccard": pdedup.ngram_jaccard,
         "ann_topk": psim.ann_topk,
+        "ann_ivf": psim.ann_ivf,
         "ann_lsh_buckets": psim.lsh_buckets,
         "embedding_neardup": psim.embedding_neardup,
         "label_centroids": psim.label_centroids_rows,
@@ -234,9 +236,11 @@ PIPELINE_ORACLES = {
     "dedup_exact": pdedup.exact_dedup_oracle,
     "dedup_minhash_sig": pdedup.minhash_signature_oracle,
     "dedup_minhash_pairs": pdedup.minhash_pairs_oracle,
+    "dedup_verified_pairs": pdedup.minhash_verified_pairs_oracle,
     "dedup_simhash": pdedup.simhash_oracle,
     "dedup_ngram_jaccard": pdedup.ngram_jaccard_oracle,
     "ann_topk": psim.ann_topk_oracle,
+    "ann_ivf": psim.ann_ivf_oracle,
     "ann_lsh_buckets": psim.lsh_buckets_oracle,
     "embedding_neardup": psim.embedding_neardup_oracle,
     "label_centroids": psim.label_centroids_oracle,

@@ -34,6 +34,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--id-type", help="cast the id column (e.g. bigint)")
     p.add_argument("--strategy", default="auto",
                    choices=["auto", "broadcast", "shuffle"])
+    p.add_argument("--frac-as-map", action="store_true",
+                   help="return frac/weighted_frac as map<value,fraction>")
+    p.add_argument("--undefined", default="null", choices=["null", "nan"],
+                   help="representation of undefined scalar stats")
+    p.add_argument("--dtype-results", action="store_true",
+                   help="cell-typed results for integer rasters")
     p.add_argument("--output", "-o", required=True)
     p.add_argument("--cores", type=int, default=None)
     return p
@@ -74,7 +80,10 @@ def main(argv=None) -> int:
 
     res = exact_extract(zones, tiles, args.stats, weight_tiles=wtiles,
                         include_cols=args.include_cols or None,
-                        strategy=args.strategy)
+                        strategy=args.strategy,
+                        frac_as_map=args.frac_as_map,
+                        undefined=args.undefined,
+                        dtype_results=args.dtype_results)
     if args.id_type:
         res = res.withColumn("zone_id", F.col("zone_id").cast(args.id_type))
     if args.id_name:

@@ -147,6 +147,42 @@ def simhash_oracle() -> str:
 FROM documents"""
 
 
+def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup path: LSH candidate pairs (band-key
+    equi-joins) verified with EXACT shingle Jaccard, keeping pairs
+    >= 0.5.  At 100 TB the candidate set is tiny relative to all-pairs,
+    and verification is one join back to the shingle table."""
+    sh = _docs(spark, sf_dir).selectExpr("doc_id", f"{_TC_ARR_SPARK} AS tc") \
+        .selectExpr("doc_id", f"array_distinct({_SHINGLES_SPARK}) AS sh")
+    cand = minhash_pairs(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (cand.join(a, "doc_a").join(b, "doc_b")
+            .selectExpr("doc_a", "doc_b",
+                        "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)"
+                        " / size(array_union(sh_a, sh_b)) AS jaccard")
+            .where("jaccard >= 0.5"))
+
+
+def minhash_verified_pairs_oracle() -> str:
+    sig = minhash_signature_oracle()
+    joins = " UNION ".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b"
+        f" ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(N_BANDS))
+    return f"""WITH sig AS ({sig}),
+cand AS ({joins}),
+d AS (
+  SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS sh
+  FROM (SELECT doc_id, {_TC_ARR_DUCK} AS tc FROM documents))
+SELECT doc_a, doc_b,
+  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM cand JOIN d a ON cand.doc_a = a.doc_id JOIN d b ON cand.doc_b = b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5"""
+
+
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard for adjacent doc pairs (deterministic
     demo pairing; production path verifies minhash_pairs candidates)."""

@@ -105,6 +105,83 @@ m AS (
 SELECT label, CAST(pos AS INT) AS pos, m / 1048576.0 AS m FROM m"""
 
 
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (the first
+    N_CENTROIDS vectors) partitions the corpus into posting lists by
+    max-cosine assignment; each query probes its N_PROBE nearest cells
+    and ranks exact cosine inside them.  Scale shape: centroids
+    broadcast (tiny), assignment is a map-side argmax, the candidate
+    search is an equi-join on the cell id — never all-pairs."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)
+    cents = e.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce"))
+    dot = _DOT_SPARK.format(a="embedding", b="ce")
+    ne = "SQRT(" + _DOT_SPARK.format(a="embedding", b="embedding") + ")"
+    nc = "SQRT(" + _DOT_SPARK.format(a="ce", b="ce") + ")"
+    scored = e.join(F.broadcast(cents)).selectExpr(
+        "vec_id", "embedding", "cent_id", f"({dot}) / (({ne}) * ({nc})) AS ccos")
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    ranked = scored.withColumn("crank", F.row_number().over(w))
+    assign = ranked.where(F.col("crank") == 1) \
+        .select("vec_id", F.col("cent_id").alias("cell"), "embedding")
+    probes = ranked.where((F.col("crank") <= N_PROBE) &
+                          (F.col("vec_id") < N_QUERIES)) \
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("cent_id").alias("cell"),
+                F.col("embedding").alias("qe"))
+    cand = assign.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("embedding").alias("ne_"), "cell") \
+        .join(probes, "cell") \
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    qdot = _DOT_SPARK.format(a="qe", b="ne_")
+    nq = "SQRT(" + _DOT_SPARK.format(a="qe", b="qe") + ")"
+    nn = "SQRT(" + _DOT_SPARK.format(a="ne_", b="ne_") + ")"
+    scored2 = cand.selectExpr("query_id", "neighbor_id",
+                              f"({qdot}) / (({nq}) * ({nn})) AS cosine") \
+        .dropDuplicates(["query_id", "neighbor_id"])
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored2.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("int").alias("rank"), "cosine"))
+
+
+def ann_ivf_oracle() -> str:
+    cdot = _DOT_DUCK.format(a="e.embedding", b="c.embedding")
+    ne = "SQRT(" + _DOT_DUCK.format(a="e.embedding", b="e.embedding") + ")"
+    nc = "SQRT(" + _DOT_DUCK.format(a="c.embedding", b="c.embedding") + ")"
+    qdot = _DOT_DUCK.format(a="q.embedding", b="n.embedding")
+    nq = "SQRT(" + _DOT_DUCK.format(a="q.embedding", b="q.embedding") + ")"
+    nn = "SQRT(" + _DOT_DUCK.format(a="n.embedding", b="n.embedding") + ")"
+    return f"""WITH ranked AS (
+  SELECT e.vec_id, c.vec_id AS cent_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           ORDER BY ({cdot}) / (({ne}) * ({nc})) DESC, c.vec_id ASC) AS crank
+  FROM embeddings e JOIN embeddings c ON c.vec_id < {N_CENTROIDS}),
+assign AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE crank = 1),
+probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM ranked
+           WHERE crank <= {N_PROBE} AND vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ({qdot}) / (({nq}) * ({nn})) AS cosine
+  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+            JOIN embeddings n ON n.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM scored)
+WHERE rank <= {TOP_K}"""
+
+
 _PLANE = "((({i} * 37 + {p} * 101) % 13) - 6)"
 
 _PROJ_SPARK = ("aggregate(zip_with(sequence(0, size({e}) - 1), {e},"
