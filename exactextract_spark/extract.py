@@ -192,7 +192,12 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
             n_rows = len(pdf)
             if n_rows == 0:
                 continue
-            grouped = "zone_ids" in pdf.columns  # one row per tile, zone list attached
+            # one row per tile with the zone hit-list attached:
+            # "zone_ids" (broadcast strategy; geometry via broadcast
+            # dict) or "zone_structs" (shuffle strategy; (zone_id,
+            # geometry) structs ride the row)
+            grouped_structs = "zone_structs" in pdf.columns
+            grouped = "zone_ids" in pdf.columns or grouped_structs
             g = lambda c: pdf[c].to_numpy()
             # the batch path evaluates grid constants once per batch;
             # heterogeneous grids (not produced by any current source,
@@ -200,7 +205,12 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
             uniform = all(pdf[c].nunique() <= 1 for c in
                           ("grid_xmin", "grid_ymax", "dx", "dy", "grid_ncols"))
             use_batch_rows = use_batch and uniform
-            zid_a = g("zone_ids") if grouped else g("zone_id")
+            if grouped_structs:
+                zid_a = g("zone_structs")
+            elif grouped:
+                zid_a = g("zone_ids")
+            else:
+                zid_a = g("zone_id")
             wkt_a = g("geometry") if geom_lookup is None and not grouped else None
             nr_a, nc_a = g("nrows"), g("ncols")
             r0_a, c0_a = g("row0"), g("col0")
@@ -232,9 +242,22 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                 # cells already NaN, so downstream nodata is cleared
                 return sc, of, mk, (None if transformed else nd)
 
+            tr_a, tc_a = g("tile_row"), g("tile_col")
+            bd_a = g("band") if "band" in pdf.columns else None
+
+            def tile_key(j):
+                return (tr_a[j], tc_a[j],
+                        rid_a[j] if rid_a is not None else None,
+                        bd_a[j] if bd_a is not None else None)
+
             def decode_row(j, sc=1.0, of=0.0, mk=None, nd=None,
                            wt=(1.0, 0.0, None, None)):
-                got = tile_buf.get(j)
+                # cache by tile IDENTITY, not row index: the shuffle
+                # strategy joins one row per (zone, tile) pair, so the
+                # same payload appears on many rows of a partition —
+                # decode it once (read-once dedup across pairs)
+                key = tile_key(j)
+                got = tile_buf.get(key)
                 if got is None:
                     tv = decode_value_tile(
                         buf_a[j], dt_a[j], int(nr_a[j]), int(nc_a[j]),
@@ -245,7 +268,7 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                         tw = decode_value_tile(
                             wbuf_a[j], wdt_a[j], int(nr_a[j]), int(nc_a[j]),
                             nodata=wnd, scale=wsc, offset=wof, mask_buf=wmk)
-                    got = tile_buf[j] = (tv, tw)
+                    got = tile_buf[key] = (tv, tw)
                 return got
 
             def flush_batch():
@@ -287,10 +310,19 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                     wt_j = (wsc_j, wof_j, wmk_j, wn_raw)
                 rid_row = rid_a[j] if multi_raster else None
                 pt_tuple = tuple(int(pdf[c].iloc[j]) for c in passthrough)
-                for zid in (zid_a[j] if grouped else (zid_a[j],)):
+                for z_entry in (zid_a[j] if grouped else (zid_a[j],)):
+                    if grouped_structs:
+                        zid = z_entry["zone_id"]
+                    else:
+                        zid = z_entry
                     cached = geom_cache.get(zid)
                     if cached is None:
-                        wkt = geom_lookup.value[zid] if geom_lookup is not None else wkt_a[j]
+                        if geom_lookup is not None:
+                            wkt = geom_lookup.value[zid]
+                        elif grouped_structs:
+                            wkt = z_entry["geometry"]
+                        else:
+                            wkt = wkt_a[j]
                         geom = parse_wkt(wkt)
                         if len(geom_cache) > 65536:
                             geom_cache.clear()
@@ -310,8 +342,9 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                         decode_row(j, sc_j, of_j, mk_j, nd_raw, wt_j)
                         if not geom.is_rectangle() and zid not in seg_cache:
                             seg_cache[zid] = zone_segments(geom)
-                        batch_pairs.append((zid, j, r0z, r1z, c0z, c1z, geom,
-                                            row0, col0, nd, wn0, rid_row, pt_tuple))
+                        batch_pairs.append((zid, tile_key(j), r0z, r1z, c0z, c1z,
+                                            geom, row0, col0, nd, wn0, rid_row,
+                                            pt_tuple))
                         batch_cells += (r1z - r0z) * (c1z - c0z)
                         continue
                     nrw, ncw = r1z - r0z, c1z - c0z
@@ -635,10 +668,19 @@ class ZonalExtractor:
             self._pairs_agg = pairs_agg
             self.joined = tiles_in.join(F.broadcast(pairs_agg), ["tile_row", "tile_col"])
         else:
+            # shuffle strategy: group the (zone, tile) pairs into one
+            # row per tile BEFORE joining, so each tile payload crosses
+            # the shuffle exactly once (joining raw pairs would copy the
+            # payload once per matching zone — at a 100k-zone hot tile
+            # that is GBs of duplication).  Geometry WKT rides in the
+            # per-tile zone list.
             pairs = zone_tile_pairs(
                 zones_b.select("zone_id", "geometry", "xmin", "ymin", "xmax", "ymax"),
                 grid, tile_size)
-            self.joined = tiles_in.join(pairs, ["tile_row", "tile_col"])
+            pairs_agg = (pairs.groupBy("tile_row", "tile_col")
+                         .agg(F.collect_list(F.struct("zone_id", "geometry"))
+                              .alias("zone_structs")))
+            self.joined = tiles_in.join(pairs_agg, ["tile_row", "tile_col"])
         self._joined_persisted = persist_joined
         if persist_joined:
             # materialize the tile⋈zone-list join once: repeated
