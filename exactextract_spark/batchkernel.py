@@ -18,7 +18,10 @@ dispatch cost is per BATCH:
   The arithmetic is element-for-element the per-pair kernel's
   (/root/reference/src/raster_cell_intersection.cpp semantics; see
   kernel.py for the derivation), and the scatter order per target cell
-  is preserved, so results are bit-identical to the per-pair path.
+  is preserved, so COVERAGE is bit-identical to the per-pair path.
+  Aggregate float sums are bit-identical on exactly-representable data
+  (the driver fixture) and within 1 ulp otherwise (np.sum in
+  accumulate_pair is pairwise; np.bincount here is sequential).
 - rectangle coverage: closed-form per-axis overlap evaluated directly
   on the cell stream (same formula as kernel._rect_coverage,
   reference raster_cell_intersection.cpp:177-266).
