@@ -144,7 +144,10 @@ def knn_tiles(points: DataFrame, grid: dict, *, k: int = 4,
     ntr = (int(grid["grid_nrows"]) + tile - 1) // tile
     ntc = (int(grid["grid_ncols"]) + tile - 1) // tile
     tw, th = dx * tile, dy * tile
-    r = int(np.ceil(np.sqrt(k))) + 1  # candidate ring radius in tiles
+    # candidate ring radius: sqrt(k)+1 suffices on a roomy 2-D lattice,
+    # but a thin grid (e.g. a single tile row) needs up to k tiles along
+    # one axis — take the max so the ring is a guaranteed superset
+    r = max(int(np.ceil(np.sqrt(k))) + 1, int(k))
 
     p = points.withColumn("_tr", F.floor((gy - F.col("y")) / th).cast("int")) \
               .withColumn("_tc", F.floor((F.col("x") - gx) / tw).cast("int"))

@@ -54,3 +54,18 @@ def test_pip_nonconvex_zone(spark):
         ["point_id", "x", "y"])
     got = sorted(r["point_id"] for r in point_in_polygon(pts, zones).collect())
     assert got == [0, 3]
+
+
+def test_knn_tiles_thin_grid(spark):
+    """A 1-row tile lattice needs a ring radius of k along the row —
+    sqrt(k) would under-produce candidates near the grid edge."""
+    grid = dict(grid_xmin=0.0, grid_ymax=8.0, dx=1.0, dy=1.0,
+                grid_nrows=8, grid_ncols=8 * 64, tile=8)
+    # 1 tile row (8 cells tall, tile=8), 64 tile columns
+    from exactextract_spark.spatial import knn_tiles
+    pts = spark.createDataFrame([(0, 1.0, 4.0)], ["point_id", "x", "y"])
+    got = knn_tiles(pts, grid, k=6, tile=8).collect()
+    assert len(got) == 6
+    # true nearest 6 tiles from column 0: columns 0..5
+    assert sorted(r["tile_col"] for r in got) == [0, 1, 2, 3, 4, 5]
+    assert all(r["tile_row"] == 0 for r in got)
