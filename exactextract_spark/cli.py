@@ -25,7 +25,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--polygons", help="parquet with zone rows")
     p.add_argument("--fid", default="zone_id", help="zone id column")
     p.add_argument("--geom", default="geometry", help="WKT geometry column")
-    p.add_argument("--docs", help="interleaved-docs parquet (alternative input)")
+    p.add_argument("--docs", help="interleaved-docs table: parquet path or catalog/Iceberg table name")
     p.add_argument("--raster", required=False, help="NAME=tiles.parquet or raster id in --docs")
     p.add_argument("--weights", help="NAME=tiles.parquet or raster id in --docs")
     p.add_argument("--stat", "-s", action="append", required=True, dest="stats")
@@ -56,7 +56,7 @@ def main(argv=None) -> int:
     spark = get_spark(app="exactextract-cli", cores=args.cores)
 
     if args.docs:
-        docs = spark.read.parquet(args.docs)
+        docs = eio.read_docs(spark, args.docs)
         zones = eio.zones_from_docs(docs)
         meta = {r["raster_id"]: r.asDict()
                 for r in eio.raster_meta_from_docs(docs).collect()}

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 __all__ = [
     "SPAN_SCHEMA", "DOCS_SCHEMA", "GRID_META_SCHEMA",
-    "zones_from_docs", "raster_meta_from_docs", "tiles_from_docs",
+    "read_docs", "zones_from_docs", "raster_meta_from_docs", "tiles_from_docs",
     "decode_tile", "decode_value_tile", "encode_tile", "spans_roundtrip",
 ]
 
@@ -109,6 +109,29 @@ def decode_value_tile(buf: bytes, dtype: str, nrows: int, ncols: int, *,
 
 def encode_tile(arr: np.ndarray) -> bytes:
     return np.ascontiguousarray(arr).tobytes()
+
+
+def read_docs(spark, source: str) -> DataFrame:
+    """Read the interleaved-document table (doc_id, spans) from either a
+    catalog table — e.g. an Iceberg table name like ``lake.db.docs``
+    when an Iceberg catalog is configured on the session — or a file
+    path (parquet).  Identifiers without a path separator resolve
+    through the catalog first; anything else (or a failed lookup) reads
+    as parquet.  The schema is validated so a wrong source fails loudly
+    rather than downstream."""
+    df = None
+    if "/" not in source and not source.endswith(".parquet"):
+        try:
+            df = spark.table(source)
+        except Exception:
+            df = None
+    if df is None:
+        df = spark.read.parquet(source)
+    missing = {"doc_id", "spans"} - set(df.columns)
+    if missing:
+        raise ValueError(f"{source!r} is not an interleaved-document table: "
+                         f"missing columns {sorted(missing)}")
+    return df
 
 
 def zones_from_docs(docs: DataFrame) -> DataFrame:

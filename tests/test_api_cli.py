@@ -264,3 +264,20 @@ def test_extract_collect_progress(spark):
     assert len(rows) == 1 and rows[0]["count"] == pytest.approx(28.0 * 28.0)
     assert seen and seen[-1] == 1.0
     assert all(0.0 <= f <= 1.0 for f in seen)
+
+
+def test_read_docs_path_and_table(spark, tmp_path):
+    from exactextract_spark.fixtures import SynthConfig, build_docs
+    from exactextract_spark.io import read_docs
+
+    docs = build_docs(spark, SynthConfig(G=64, Z=5))
+    p = str(tmp_path / "docs.parquet")
+    docs.write.parquet(p)
+    assert read_docs(spark, p).count() == docs.count()
+    # catalog-table resolution (temp view stands in for an Iceberg table)
+    docs.createOrReplaceTempView("docs_view")
+    assert read_docs(spark, "docs_view").count() == docs.count()
+    # loud failure on a non-docs table
+    spark.range(3).createOrReplaceTempView("not_docs")
+    with pytest.raises(ValueError, match="interleaved-document"):
+        read_docs(spark, "not_docs")
