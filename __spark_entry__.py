@@ -125,6 +125,16 @@ def _zonal_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    grid=grid, strategy="broadcast")
 
 
+def _subdivide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell covered pieces (reference subdivide CLI); the WKT
+    column is dropped for the driver compare (float-formatted strings),
+    the bbox columns carry the same information exactly."""
+    from exactextract_spark.subdivide import subdivide
+
+    cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
+    return subdivide(zones, tiles, grid=grid).drop("wkt")
+
+
 def _zonal_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exactextract_spark.fixtures import build_line_docs
 
@@ -202,6 +212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assignment": _tile_assignment,
         "zonal_arrays": _zonal_arrays,
         "zonal_linear": _zonal_linear,
+        "subdivide_rect": _subdivide,
         "point_in_polygon": _point_in_polygon,
         "knn_tiles": _knn_tiles,
         # training-data pipeline operators (documents / embeddings)

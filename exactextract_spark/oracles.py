@@ -8,7 +8,7 @@ oracle agree bit-for-bit, not just to tolerance."""
 
 from __future__ import annotations
 
-from .fixtures import SynthConfig, lines_sql, pairs_sql, points_sql, zone_sql
+from .fixtures import SynthConfig, cells_sql, lines_sql, pairs_sql, points_sql, zone_sql
 
 D = "FILTER (val IS NOT NULL)"
 
@@ -277,6 +277,21 @@ SELECT zone_id,
 FROM pairs WHERE val IS NOT NULL"""
 
 
+def subdivide_rect(cfg):
+    """Per-cell covered pieces of every (rect) zone: coverage fraction
+    and the intersection rectangle (closed form for the fixture's
+    quarter-aligned rectangles)."""
+    return f"""WITH {zone_sql(cfg)},
+{cells_sql(cfg)}
+SELECT z.zone_id, c.cell_id,
+       (LEAST(z.zx1, c.cx1) - GREATEST(z.zx0, c.cx0))
+     * (LEAST(z.zy1, c.cy1) - GREATEST(z.zy0, c.cy0)) AS coverage,
+       GREATEST(z.zx0, c.cx0) AS x0, GREATEST(z.zy0, c.cy0) AS y0,
+       LEAST(z.zx1, c.cx1) AS x1, LEAST(z.zy1, c.cy1) AS y1
+FROM zones z JOIN cells c
+  ON c.cx1 > z.zx0 AND c.cx0 < z.zx1 AND c.cy1 > z.zy0 AND c.cy0 < z.zy1"""
+
+
 def zonal_linear(cfg):
     """Linear geometries: per-cell traversal length as coverage."""
     return f"""WITH {lines_sql(cfg)}
@@ -324,6 +339,7 @@ ZONAL_ORACLES = {
     "zonal_basic_shuffle": zonal_basic,  # same semantics, shuffle plan
     "zonal_arrays": zonal_arrays,
     "zonal_linear": zonal_linear,
+    "subdivide_rect": subdivide_rect,
     "zonal_weighted_variance": zonal_weighted_variance,
     "zonal_cv": zonal_cv,
     "zonal_basic": zonal_basic,

@@ -1,0 +1,65 @@
+"""subdivide: per-cell covered polygons (reference subdivide.cpp).
+Verified by area conservation against the exact coverage kernel and by
+closed-form intersection rectangles."""
+
+import numpy as np
+import pytest
+
+from exactextract_spark.geom import parse_wkt, ring_signed_area
+from exactextract_spark.io import tiles_from_array
+from exactextract_spark.subdivide import subdivide
+
+
+def _wkt_area(wkt: str) -> float:
+    g = parse_wkt(wkt)
+    # rings normalized exterior-CCW / holes-CW by the parser
+    return sum(ring_signed_area(r) for r in g.rings)
+
+
+def test_subdivide_rect_closed_form(spark):
+    tiles = tiles_from_array(spark, np.zeros((10, 10)))
+    zones = spark.createDataFrame(
+        [("z", "POLYGON ((1.25 2.5, 4.75 2.5, 4.75 6.25, 1.25 6.25, 1.25 2.5))")],
+        ["zone_id", "geometry"])
+    rows = subdivide(zones, tiles).collect()
+    # covered columns 1..4 (x 1.25..4.75), cell rows for y 2.5..6.25
+    # span [2,3)..[6,7) -> 5 rows x 4 cols
+    assert len(rows) == 20
+    tot = sum(r["coverage"] for r in rows)
+    assert tot == pytest.approx(3.5 * 3.75)
+    for r in rows:
+        # bbox == zone ∩ cell, and the WKT area matches the coverage
+        gr, gc = divmod(r["cell_id"], 10)
+        cx0, cy1 = float(gc), 10.0 - gr
+        assert r["x0"] == pytest.approx(max(1.25, cx0))
+        assert r["x1"] == pytest.approx(min(4.75, cx0 + 1))
+        assert r["y0"] == pytest.approx(max(2.5, cy1 - 1))
+        assert r["y1"] == pytest.approx(min(6.25, cy1))
+        assert _wkt_area(r["wkt"]) == pytest.approx(r["coverage"])
+
+
+def test_subdivide_polygon_area_conservation(spark):
+    tiles = tiles_from_array(spark, np.zeros((20, 20)), tile=8)
+    wkt = ("POLYGON ((2 2, 17 3, 18 16, 9 18, 3 14, 2 2), "
+           "(6 6, 11 6, 11 10, 6 10, 6 6))")
+    zones = spark.createDataFrame([("p", wkt)], ["zone_id", "geometry"])
+    rows = subdivide(zones, tiles).collect()
+    g = parse_wkt(wkt)
+    want_area = sum(ring_signed_area(r) for r in g.rings)
+    got_area = sum(r["coverage"] for r in rows)  # dx=dy=1
+    assert got_area == pytest.approx(want_area, rel=1e-9)
+    # per-cell: clipped-polygon area == kernel coverage (float32 tol)
+    for r in rows:
+        assert _wkt_area(r["wkt"]) == pytest.approx(r["coverage"], abs=1e-6)
+    # cells are unique and within the zone bbox
+    assert len({r["cell_id"] for r in rows}) == len(rows)
+
+
+def test_subdivide_multitile_equals_singletile(spark):
+    z = [("a", "POLYGON ((1 1, 14 2, 12 13, 2 12, 1 1))")]
+    zones = spark.createDataFrame(z, ["zone_id", "geometry"])
+    small = subdivide(zones, tiles_from_array(spark, np.zeros((16, 16)), tile=4))
+    big = subdivide(zones, tiles_from_array(spark, np.zeros((16, 16)), tile=64))
+    a = {r["cell_id"]: r["coverage"] for r in small.collect()}
+    b = {r["cell_id"]: r["coverage"] for r in big.collect()}
+    assert a == b
