@@ -234,6 +234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": psim.label_centroids_rows,
         "media_metadata": pmm.media_metadata,
         "media_frames": pmm.frame_samples,
+        "media_features": pmm.media_features,
+        "media_resize": pmm.media_resize,
     }
     return q
 
@@ -257,6 +259,8 @@ PIPELINE_ORACLES = {
     "label_centroids": psim.label_centroids_oracle,
     "media_metadata": pmm.media_metadata_oracle,
     "media_frames": pmm.frame_samples_oracle,
+    "media_features": pmm.media_features_oracle,
+    "media_resize": pmm.media_resize_oracle,
 }
 
 

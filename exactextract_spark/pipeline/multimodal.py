@@ -98,6 +98,107 @@ def frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, schema=schema)
 
 
+N_BINS = 16
+RESIZE_TO = 16
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over the fake-decoded 1-D uint8 signal (real
+    numpy math on real Arrow batches; only the codec is fake): mean,
+    std (population), and a 16-bin intensity histogram, exploded to
+    (doc_id, bin, bin_count) rows plus the scalar moments."""
+    docs = binary_docs(spark, sf_dir)
+
+    def run(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "mean_i": [], "std_i": [],
+                   "bin": [], "bin_count": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                sig = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if sig.size == 0:
+                    continue
+                s = sig.astype(np.float64)
+                hist = np.bincount(sig // N_BINS, minlength=N_BINS)
+                m = float(s.mean())
+                sd = float(np.sqrt(np.maximum((s * s).mean() - m * m, 0.0)))
+                for b in range(N_BINS):
+                    out["doc_id"].append(did)
+                    out["mean_i"].append(m)
+                    out["std_i"].append(sd)
+                    out["bin"].append(b)
+                    out["bin_count"].append(int(hist[b]))
+            yield pd.DataFrame(out)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mean_i", T.DoubleType()),
+        T.StructField("std_i", T.DoubleType()),
+        T.StructField("bin", T.LongType()),
+        T.StructField("bin_count", T.LongType()),
+    ])
+    return docs.mapInPandas(run, schema=schema)
+
+
+def media_features_oracle() -> str:
+    # ASCII documents: byte i == codepoint of char i.  Mean/std via the
+    # same moment formulas; histogram of byte // 16.
+    return f"""WITH sig AS (
+  SELECT doc_id,
+         list_transform(range(1, octet_length(encode(text)) + 1),
+                        i -> ascii(substr(text, CAST(i AS INT), 1))) AS s
+  FROM documents WHERE octet_length(encode(text)) > 0),
+m AS (
+  SELECT doc_id, s,
+         CAST(list_sum(s) AS DOUBLE) / len(s) AS mean_i,
+         SQRT(GREATEST(CAST(list_sum(list_transform(s, v -> v * v)) AS DOUBLE) / len(s)
+              - (CAST(list_sum(s) AS DOUBLE) / len(s)) * (CAST(list_sum(s) AS DOUBLE) / len(s)),
+              0.0)) AS std_i
+  FROM sig),
+b AS (SELECT range AS bin FROM range({N_BINS}))
+SELECT m.doc_id, m.mean_i, m.std_i, b.bin,
+       CAST(len(list_filter(m.s, v -> v // {N_BINS} = b.bin)) AS BIGINT) AS bin_count
+FROM m CROSS JOIN b"""
+
+
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor "resize" of the byte signal to RESIZE_TO samples
+    (the 1-D analog of image resize; integer index arithmetic so the
+    oracle reproduces it exactly), exploded to (doc_id, pos, sample)."""
+    docs = binary_docs(spark, sf_dir)
+
+    def run(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "pos": [], "sample": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                sig = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = sig.size
+                if n == 0:
+                    continue
+                idx = (np.arange(RESIZE_TO, dtype=np.int64) * n) // RESIZE_TO
+                for p, v in enumerate(sig[idx]):
+                    out["doc_id"].append(did)
+                    out["pos"].append(p)
+                    out["sample"].append(int(v))
+            yield pd.DataFrame(out)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("pos", T.LongType()),
+        T.StructField("sample", T.LongType()),
+    ])
+    return docs.mapInPandas(run, schema=schema)
+
+
+def media_resize_oracle() -> str:
+    return f"""WITH f AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+  WHERE octet_length(encode(text)) > 0),
+p AS (SELECT range AS pos FROM range({RESIZE_TO}))
+SELECT doc_id, pos,
+       CAST(ascii(substr(text, CAST(1 + (pos * n) // {RESIZE_TO} AS INT), 1)) AS BIGINT) AS sample
+FROM f CROSS JOIN p"""
+
+
 def frame_samples_oracle() -> str:
     # documents are ASCII: byte offsets == char offsets; same integer
     # arithmetic as the stub
