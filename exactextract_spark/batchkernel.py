@@ -106,7 +106,15 @@ def _poly_coverage(chunk, idx, nrw, ncw, xmin_w, ymin_w, dx, dy, seg_cache):
     off = np.zeros(len(chunk), dtype=np.int64)
     off[idx] = np.cumsum(nrw[idx]) - nrw[idx]
 
-    segs = [seg_cache[chunk[p][0]] for p in idx]
+    # the cache may have been evicted between pair collection and this
+    # flush (extract.run_kernel clears it past 65536 zones) — recompute
+    # from the pair's geometry on a miss
+    segs = []
+    for p in idx:
+        s = seg_cache.get(chunk[p][0])
+        if s is None:
+            s = seg_cache[chunk[p][0]] = zone_segments(chunk[p][6])
+        segs.append(s)
     counts = np.array([s[0].size for s in segs], dtype=np.int64)
     if counts.sum() == 0:
         return np.zeros((H, W), dtype=np.float32), off
