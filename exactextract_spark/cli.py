@@ -28,7 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--docs", help="interleaved-docs table: parquet path or catalog/Iceberg table name")
     p.add_argument("--raster", required=False, help="NAME=tiles.parquet or raster id in --docs")
     p.add_argument("--weights", help="NAME=tiles.parquet or raster id in --docs")
-    p.add_argument("--stat", "-s", action="append", required=True, dest="stats")
+    p.add_argument("--stat", "-s", action="append", dest="stats")
+    p.add_argument("--subdivide", action="store_true",
+                   help="emit per-cell covered polygons instead of stats "
+                        "(the reference's separate `subdivide` CLI)")
     p.add_argument("--include-col", action="append", default=[], dest="include_cols")
     p.add_argument("--id-name", help="rename the id column in the output")
     p.add_argument("--id-type", help="cast the id column (e.g. bigint)")
@@ -47,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if not args.subdivide and not args.stats:
+        print("--stat is required (or pass --subdivide)", file=sys.stderr)
+        return 2
     from pyspark.sql import functions as F
 
     from . import io as eio
@@ -77,6 +83,17 @@ def main(argv=None) -> int:
         if args.weights:
             _, _, wpath = args.weights.partition("=")
             wtiles = spark.read.parquet(wpath or args.weights)
+
+    if args.subdivide:
+        from .subdivide import subdivide as _subdivide
+        res = _subdivide(zones, tiles)
+        if args.id_type:
+            res = res.withColumn("zone_id", F.col("zone_id").cast(args.id_type))
+        if args.id_name:
+            res = res.withColumnRenamed("zone_id", args.id_name)
+        res.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.output}")
+        return 0
 
     res = exact_extract(zones, tiles, args.stats, weight_tiles=wtiles,
                         include_cols=args.include_cols or None,

@@ -63,3 +63,21 @@ def test_subdivide_multitile_equals_singletile(spark):
     a = {r["cell_id"]: r["coverage"] for r in small.collect()}
     b = {r["cell_id"]: r["coverage"] for r in big.collect()}
     assert a == b
+
+
+def test_subdivide_cli(spark, tmp_path):
+    from exactextract_spark.cli import main
+    from exactextract_spark.io import tiles_from_array
+
+    zones = spark.createDataFrame(
+        [("z", "POLYGON ((0.5 0.5, 2.5 0.5, 2.5 2.5, 0.5 2.5, 0.5 0.5))")],
+        ["zone_id", "geometry"])
+    zones.write.parquet(str(tmp_path / "z.parquet"))
+    tiles_from_array(spark, np.zeros((4, 4))).write.parquet(str(tmp_path / "t.parquet"))
+    rc = main(["--polygons", str(tmp_path / "z.parquet"),
+               "--raster", f"v={tmp_path}/t.parquet", "--subdivide",
+               "--output", str(tmp_path / "o.parquet"), "--cores", "8"])
+    assert rc == 0
+    rows = spark.read.parquet(str(tmp_path / "o.parquet")).collect()
+    assert len(rows) == 9
+    assert sum(r["coverage"] for r in rows) == pytest.approx(4.0)
