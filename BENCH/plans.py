@@ -61,6 +61,18 @@ def main():
         "UDF over the per-zone sorted histogram (bounded by variety).",
         plan_of(qh)))
 
+    ext_s = ZonalExtractor(zones, tiles, grid=grid, strategy="shuffle")
+    qs = ext_s.extract(["count", "mean"])
+    sections.append((
+        "q_basic (shuffle strategy) — huge-zone-table plan",
+        "The (zone, tile) pairs aggregate into ONE row per tile "
+        "(zone_id + geometry structs) BEFORE the join, so each tile "
+        "payload crosses the exchange exactly once; the join on "
+        "(tile_row, tile_col) is a hash join (AQE may broadcast the "
+        "small side at this test scale; at 10^8-zone scale it is a "
+        "shuffle join with skew splitting).",
+        plan_of(qs)))
+
     # parquet scan pushdown check
     pq = "/root/testdata/sf0.01/documents.parquet"
     d = spark.read.parquet(pq).where(F.col("lang") == "en").select("doc_id", "n_chars")
