@@ -74,6 +74,12 @@ def ring_signed_area(ring: np.ndarray) -> float:
 
 
 def bbox_of(rings) -> tuple[float, float, float, float]:
+    if not rings:
+        # empty geometry: an inverted bbox makes every tile-range
+        # predicate false, so the zone flows through to the final left
+        # join and gets empty-stat defaults (like the reference writing
+        # a row for every feature)
+        return float("inf"), float("inf"), float("-inf"), float("-inf")
     xmin = min(float(r[:, 0].min()) for r in rings)
     xmax = max(float(r[:, 0].max()) for r in rings)
     ymin = min(float(r[:, 1].min()) for r in rings)

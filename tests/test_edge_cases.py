@@ -189,3 +189,35 @@ def test_undefined_weight_nulls_weighted_stats(spark, monkeypatch, batch):
                          weight_tiles=wt).collect()
     got2 = {r["zone_id"]: r["weighted_count"] for r in got2}
     assert got2["z"] == pytest.approx(63.0 + 2.0)
+
+
+def test_empty_geometry_yields_empty_stats(spark):
+    """POLYGON EMPTY is a valid feature: it must flow through to the
+    output with empty-stat defaults (count 0, mean NULL), not crash."""
+    tiles = tiles_from_array(spark, ARANGE9)
+    zones = spark.createDataFrame(
+        [("e", "POLYGON EMPTY"), ("z", SQ)], ["zone_id", "geometry"])
+    got = {r["zone_id"]: r.asDict() for r in
+           exact_extract(zones, tiles, ["count", "mean"]).collect()}
+    assert got["e"]["count"] == 0.0 and got["e"]["mean"] is None
+    assert got["z"]["count"] == pytest.approx(4.0)
+
+
+def test_weighted_stats_on_linear_zones(spark):
+    """Weighted stats over LINE zones: the weight applies per traversal
+    length (reference supports weighted stats for linear features)."""
+    vals = np.tile(np.arange(4, dtype=np.float64), (4, 1))  # col index
+    w = np.full((4, 4), 2.0)
+    w[:, 3] = 6.0
+    tiles = tiles_from_array(spark, vals)
+    wt = tiles_from_array(spark, w, raster_id="w")
+    zones = spark.createDataFrame(
+        [("l", "LINESTRING (0.5 1.5, 3.75 1.5)")], ["zone_id", "geometry"])
+    r = exact_extract(zones, tiles, ["count", "weighted_sum", "weighted_mean"],
+                      weight_tiles=wt).collect()[0]
+    # lengths per col: 0.5, 1, 1, 0.75
+    assert r["count"] == pytest.approx(3.25)
+    want_ws = 0.5*0*2 + 1*1*2 + 1*2*2 + 0.75*3*6
+    assert r["weighted_sum"] == pytest.approx(want_ws)
+    want_wc = 0.5*2 + 1*2 + 1*2 + 0.75*6
+    assert r["weighted_mean"] == pytest.approx(want_ws / want_wc)
