@@ -218,7 +218,13 @@ def lsh_buckets_oracle() -> str:
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs within LSH buckets with cosine above 0.9 —
-    composition of the bucket join + exact verification."""
+    composition of the bucket join + exact verification.
+
+    Skew note (100 TB): a hot bucket makes the self-join quadratic in
+    that bucket's size.  The standard mitigations compose with this
+    shape: raise N_PLANES (halves expected bucket size per plane) or
+    band the planes like MinHash-LSH; AQE's skew splitting handles the
+    join-side imbalance but not the semantic pair count."""
     b = lsh_buckets(spark, sf_dir)
     e = _emb(spark, sf_dir).join(b, "vec_id")
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
