@@ -217,14 +217,16 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
             gx_a, gy_a = g("grid_xmin"), g("grid_ymax")
             dx_a, dy_a = g("dx"), g("dy")
             gnc_a = g("grid_ncols")
-            buf_a, dt_a, nd_a = g("values"), g("dtype"), pdf["nodata"]
+            buf_a, dt_a = g("values"), g("dtype")
+            nd_a = pdf["nodata"].to_numpy(dtype=np.float64, na_value=np.nan)
             # optional on-read transform columns (scale/offset, mask band)
             sc_a = g("scale") if "scale" in pdf.columns else None
             of_a = g("offset") if "offset" in pdf.columns else None
             mk_a = g("mask_values") if "mask_values" in pdf.columns else None
             rid_a = g("raster_id") if multi_raster else None
             if has_weights:
-                wbuf_a, wdt_a, wnd_a = g("w_values"), g("w_dtype"), pdf["w_nodata"]
+                wbuf_a, wdt_a = g("w_values"), g("w_dtype")
+                wnd_a = pdf["w_nodata"].to_numpy(dtype=np.float64, na_value=np.nan)
                 wsc_a = g("w_scale") if "w_scale" in pdf.columns else None
                 wof_a = g("w_offset") if "w_offset" in pdf.columns else None
                 wmk_a = g("w_mask_values") if "w_mask_values" in pdf.columns else None
@@ -244,6 +246,7 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
 
             tr_a, tc_a = g("tile_row"), g("tile_col")
             bd_a = g("band") if "band" in pdf.columns else None
+            pt_arrays = [g(c) for c in passthrough]
 
             def tile_key(j):
                 return (tr_a[j], tc_a[j],
@@ -297,19 +300,17 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                 vals = None
                 wvals = None
                 w_nodata = None
-                nd_raw = nd_a.iloc[j]
-                nd_raw = None if nd_raw is None or pd.isna(nd_raw) else float(nd_raw)
+                nd_raw = None if np.isnan(nd_a[j]) else float(nd_a[j])
                 sc_j, of_j, mk_j, nd = row_transform(j, nd_raw, sc_a, of_a, mk_a)
                 wn0 = None
                 wt_j = (1.0, 0.0, None, None)
                 if has_weights:
-                    wn = wnd_a.iloc[j]
-                    wn_raw = None if wn is None or pd.isna(wn) else float(wn)
+                    wn_raw = None if np.isnan(wnd_a[j]) else float(wnd_a[j])
                     wsc_j, wof_j, wmk_j, wn0 = row_transform(
                         j, wn_raw, wsc_a, wof_a, wmk_a)
                     wt_j = (wsc_j, wof_j, wmk_j, wn_raw)
                 rid_row = rid_a[j] if multi_raster else None
-                pt_tuple = tuple(int(pdf[c].iloc[j]) for c in passthrough)
+                pt_tuple = tuple(int(a[j]) for a in pt_arrays)
                 for z_entry in (zid_a[j] if grouped else (zid_a[j],)):
                     if grouped_structs:
                         zid = z_entry["zone_id"]
@@ -352,7 +353,7 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                                               dx, dy, nrw, ncw)
                     if not cov.any():
                         continue
-                    pt = {c: int(pdf[c].iloc[j]) for c in passthrough}
+                    pt = dict(zip(passthrough, pt_tuple))
                     if vals is None:
                         # decode once per tile row (read-once dedup,
                         # feature_sequential_processor.cpp:85-113)
