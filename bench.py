@@ -200,11 +200,18 @@ def main():
 
         # --- compute-dominated scale points (the sf0.1 suite is fixed-
         # cost dominated at ~15M px/run; these make px/s comparable to
-        # the reference's 1.3e8 px/s single-node figure) ---
+        # the reference's 1.3e8 px/s single-node figure).  Suite caches
+        # are released first so the scale points measure the engine,
+        # not eviction/GC pressure from the persisted suite joins. ---
         scale_points = {}
         if os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") == "1":
-            scale_points["rect_1e9"] = scale_point_rect(spark)
+            ext.close()
+            ext_w.close()
+            ext_p.close()
+            wtiles.unpersist()
             scale_points["poly_40k"] = scale_point_poly(spark, cfg, tiles, grid)
+            tiles.unpersist()
+            scale_points["rect_1e9"] = scale_point_rect(spark)
 
         total = round(sum(timings.values()), 3)
         out = {

@@ -53,13 +53,15 @@ CHUNK_CELLS = int(os.environ.get("EXACTEXTRACT_BATCH_CHUNK", "4000000"))
 # Rectangle windows LARGER than this route to the per-pair path: the
 # per-pair rectangle kernel is O(nrows+ncols) closed-form (outer
 # product) while the flat stream is O(cells), so for big windows the
-# per-pair path wins despite its ~100µs dispatch.  Measured crossover
-# on this host (after the compacted-stream stats): ~1024 cells —
-# batch 2.1x faster at 256 cells, break-even at 1024, per-pair 2.4x
-# faster at 4096.  Non-rectangle pairs always batch — the batched
+# per-pair path wins despite its ~100µs dispatch.  Isolated microbench
+# puts the crossover near 1024 cells (batch 2.1x faster at 256,
+# break-even at 1024, per-pair 2.4x faster at 4096), but in the full
+# pipeline (Arrow batch + value-stream build) 512 measured slightly
+# better on the 1e9-px rect workload, so the default stays
+# conservative.  Non-rectangle pairs always batch — the batched
 # scanline coverage is ~2µs/pair vs ~430µs per-pair, which dominates
 # the stream-stats overhead at every window size up to a full tile.
-RECT_BATCH_MAX_CELLS = int(os.environ.get("EXACTEXTRACT_RECT_BATCH_CELLS", "1024"))
+RECT_BATCH_MAX_CELLS = int(os.environ.get("EXACTEXTRACT_RECT_BATCH_CELLS", "512"))
 
 # pair tuple layout (built in extract.run_kernel)
 # (zone_id, tile_j, r0z, r1z, c0z, c1z, geom, row0, col0,
