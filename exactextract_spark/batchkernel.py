@@ -361,7 +361,10 @@ def accumulate_pairs_batch(pairs, tile_vals, key_specs, *, has_weights,
 
         s = cov >= min_cov
         if multi_raster:
-            s = s & (rid_arr[pid] == vname)
+            # per-pair raster match gathered onto the stream (a direct
+            # object-array compare would run per CELL)
+            s = s & np.fromiter((r == vname for r in rid_arr),
+                                dtype=bool, count=P)[pid]
         if dv is not None:
             vals = np.where(defined_s, v, dv)
             used = s
