@@ -172,7 +172,9 @@ def accumulate_pair(cov: np.ndarray, values: np.ndarray, *,
             hciw = np.bincount(inv, weights=ccov * w)
         else:
             hciw = np.zeros_like(hci)
-        out["hist"] = [(float(v), float(a), float(b)) for v, a, b in zip(uniq, hci, hciw)]
+        # arrays, not tuples: run_kernel expands these into exploded
+        # scalar partial rows (one per (pair, value) bucket)
+        out["hist"] = (uniq, hci, hciw)
 
     if req.cells:
         xs = grid_xmin + (cc + col0 + 0.5) * dx

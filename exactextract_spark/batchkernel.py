@@ -276,8 +276,12 @@ def accumulate_pairs_batch(pairs, tile_vals, key_specs, *, has_weights,
     col0g = np.array([p[8] for p in pairs], dtype=np.int64)
     gr0 = row0g + r0
     gc0 = col0g + c0
-    xmin_w = grid_xmin + gc0 * dx
-    ymax_w = grid_ymax - gr0 * dy
+    # two-step origin arithmetic — tile origin first, then the window
+    # offset — so the floats match the per-pair path exactly even when
+    # grid origin/resolution are not exactly representable
+    # (extract.py computes xmin = gx + col0*dx, then xmin + c0z*dx)
+    xmin_w = (grid_xmin + col0g * dx) + c0 * dx
+    ymax_w = (grid_ymax - row0g * dy) - r0 * dy
     ymin_w = ymax_w - nrw * dy
     nodata = np.array([np.nan if p[9] is None else p[9] for p in pairs])
     w_nodata = np.array([np.nan if p[10] is None else p[10] for p in pairs])
@@ -452,18 +456,19 @@ def accumulate_pairs_batch(pairs, tile_vals, key_specs, *, has_weights,
                 hciw = np.zeros_like(hci)
             pair_of = uc // nu
             val_of = uniq_v[uc % nu]
-            lo_b = np.searchsorted(pair_of, np.arange(P), side="left")
-            hi_b = np.searchsorted(pair_of, np.arange(P), side="right")
-            res["_hist"] = (val_of, hci, hciw, lo_b, hi_b)
+            res["_hist"] = (val_of, hci, hciw, pair_of)
         key_results.append(res)
 
     rows = np.flatnonzero(active_any)
     if rows.size == 0:
         return pd.DataFrame(columns=col_names)
 
-    out["zone_id"] = np.array([p[0] for p in pairs], dtype=object)[rows]
+    zarr = np.array([p[0] for p in pairs], dtype=object)
+    ptarrs = [np.array([p[12][t] for p in pairs], dtype=np.int64)
+              for t in range(len(passthrough))]
+    out["zone_id"] = zarr[rows]
     for t, name in enumerate(passthrough):
-        out[name] = np.array([p[12][t] for p in pairs], dtype=np.int64)[rows]
+        out[name] = ptarrs[t][rows]
 
     for (i, req, _vname, kwargs), res in zip(key_specs, key_results):
         pfx = f"k{i}_"
@@ -502,22 +507,38 @@ def accumulate_pairs_batch(pairs, tile_vals, key_specs, *, has_weights,
                 out[pfx + "min_y"] = col(grid_ymax - (mr + 0.5) * dy)
                 out[pfx + "max_x"] = col(grid_xmin + (xc + 0.5) * dx)
                 out[pfx + "max_y"] = col(grid_ymax - (xr + 0.5) * dy)
-        if req.histogram:
-            val_of, hci, hciw, lo_b, hi_b = res["_hist"]
-            hl = np.empty(rows.size, dtype=object)
-            hl[:] = None
-            for o, g in enumerate(rows):
-                if act[g]:
-                    a, b = lo_b[g], hi_b[g]
-                    hl[o] = [(float(vv), float(aa), float(bb)) for vv, aa, bb
-                             in zip(val_of[a:b], hci[a:b], hciw[a:b])]
-            out[pfx + "hist"] = hl
+    # histogram partials are emitted as EXPLODED SCALAR ROWS (one row
+    # per (pair, value) bucket, flat float64 columns) rather than a
+    # per-pair array<struct> column: the Arrow serializer runs a
+    # per-element Python converter for list<struct> columns, which
+    # re-introduced the per-pair dispatch cost the batch kernel exists
+    # to kill, and the aggregation layer exploded the list right back
+    # anyway (extract.aggregate_partials).  NaN poisoning of the
+    # weighted bucket sums travels as an explicit hist_wnan flag
+    # (pandas NaN becomes SQL NULL at the Arrow boundary and would
+    # silently drop out of sum()).
+    hist_frames = []
+    for (i, req, _vname, _kwargs), res in zip(key_specs, key_results):
+        if res is None or not req.histogram:
+            continue
+        val_of, hci, hciw, pair_of = res["_hist"]
+        if val_of.size == 0:
+            continue
+        hcols = {"zone_id": zarr[pair_of]}
+        for t, name in enumerate(passthrough):
+            hcols[name] = ptarrs[t][pair_of]
+        pfx = f"k{i}_"
+        hcols[pfx + "hist_v"] = val_of
+        hcols[pfx + "hist_ci"] = hci
+        if req.weighted:
+            wnan = np.isnan(hciw)
+            hcols[pfx + "hist_ciw"] = np.where(wnan, 0.0, hciw)
+            hcols[pfx + "hist_wnan"] = wnan
+        else:
+            hcols[pfx + "hist_ciw"] = hciw
+        hist_frames.append(pd.DataFrame(hcols))
 
-    # a key inactive across the whole chunk leaves its histogram column
-    # missing — it must reindex to None objects, not NaN floats (Arrow)
-    for i, req, _vname, _kwargs in key_specs:
-        name = f"k{i}_hist"
-        if req.histogram and name not in out:
-            out[name] = np.full(rows.size, None, dtype=object)
     df = pd.DataFrame({c: out[c] for c in col_names if c in out})
+    if hist_frames:
+        df = pd.concat([df, *hist_frames], ignore_index=True)
     return df.reindex(columns=col_names)

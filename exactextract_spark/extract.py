@@ -55,11 +55,6 @@ __all__ = ["exact_extract", "attach_bbox", "zone_tile_pairs", "run_kernel"]
 
 BROADCAST_ZONE_LIMIT = 200_000
 
-_HIST_T = T.ArrayType(T.StructType([
-    T.StructField("v", T.DoubleType()),
-    T.StructField("ci", T.DoubleType()),
-    T.StructField("ciw", T.DoubleType()),
-]))
 _CELLS_T = T.ArrayType(T.StructType([
     T.StructField("cell_id", T.LongType()),
     T.StructField("v", T.DoubleType()),
@@ -147,7 +142,18 @@ def _partial_schema(keygroups, passthrough=()) -> T.StructType:
                 fields += [T.StructField(p + n, T.DoubleType())
                            for n in ("min_x", "min_y", "max_x", "max_y")]
         if req.histogram:
-            fields.append(T.StructField(p + "hist", _HIST_T))
+            # exploded scalar histogram partials: one ROW per
+            # (pair, value) bucket, flat doubles — never an
+            # array<struct> column, whose Arrow conversion runs a
+            # per-element Python converter (the q_hist hot path).
+            # hist_wnan carries the reference's NaN poisoning of the
+            # weighted bucket sum across the Arrow boundary (pandas NaN
+            # becomes SQL NULL and would silently drop out of sum()).
+            fields += [T.StructField(p + "hist_v", T.DoubleType()),
+                       T.StructField(p + "hist_ci", T.DoubleType()),
+                       T.StructField(p + "hist_ciw", T.DoubleType())]
+            if req.weighted:
+                fields.append(T.StructField(p + "hist_wnan", T.BooleanType()))
         if req.cells:
             fields.append(T.StructField(p + "cells", _CELLS_T))
     return T.StructType(fields)
@@ -375,8 +381,25 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                         if part is None:
                             continue
                         any_key = True
+                        hist = part.pop("hist", None)
                         for k, v in part.items():
                             rec[f"k{i}_{k}"] = v
+                        if hist is not None:
+                            # exploded scalar histogram rows (see
+                            # _partial_schema) — NaN-poisoned weighted
+                            # sums become (0, wnan=True)
+                            uniq, hci, hciw = hist
+                            for hv, hc, hw in zip(uniq, hci, hciw):
+                                hrec = {"zone_id": zid, **pt,
+                                        f"k{i}_hist_v": float(hv),
+                                        f"k{i}_hist_ci": float(hc)}
+                                if req.weighted:
+                                    wn = bool(np.isnan(hw))
+                                    hrec[f"k{i}_hist_ciw"] = 0.0 if wn else float(hw)
+                                    hrec[f"k{i}_hist_wnan"] = wn
+                                else:
+                                    hrec[f"k{i}_hist_ciw"] = float(hw)
+                                out_rows.append(hrec)
                     if any_key:
                         out_rows.append(rec)
                 # bound decoded-tile + stream memory: flush a full batch
@@ -736,9 +759,12 @@ class ZonalExtractor:
             res = res.drop(*[n for n in uniq_of.values()
                              if n.startswith("__unique_")])
         if undefined == "nan":
-            # the reference writes NaN (not null) for undefined scalars
+            # the reference writes NaN (not null) for undefined scalar
+            # STATISTICS — zone_id / include_cols attributes keep their
+            # legitimate NULLs
+            op_names = {o.name for o in op_list}
             for f in res.schema.fields:
-                if isinstance(f.dataType, T.DoubleType):
+                if f.name in op_names and isinstance(f.dataType, T.DoubleType):
                     res = res.withColumn(
                         f.name, F.coalesce(F.col(f.name), F.lit(float("nan"))))
         return res
@@ -914,14 +940,22 @@ def aggregate_partials(zones_b, partials, keygroups, *, int_values=False,
                           F.col("m2").alias(p + "svar_m2")))
             result = result.join(sv, "zone_id", "left")
 
-    # --- histogram branch: explode → re-aggregate (mergeable histogram;
-    # raster_stats.h:752-757 merged key-wise as in combine()) ---
+    # --- histogram branch: the partials are already exploded scalar
+    # (pair, value) bucket rows — merge key-wise (mergeable histogram;
+    # raster_stats.h:752-757 merged as in combine()) ---
     for i, (_, req, _) in enumerate(keygroups):
         p = f"k{i}_"
         if req.histogram:
-            h = (partials.select("zone_id", F.explode(p + "hist").alias("h"))
-                 .groupBy("zone_id", F.col("h.v").alias("v"))
-                 .agg(F.sum("h.ci").alias("ci"), F.sum("h.ciw").alias("ciw")))
+            if req.weighted:
+                # any NaN-poisoned partial makes the merged bucket's
+                # weighted sum NaN (reference NaN propagation)
+                ciw = F.when(F.coalesce(F.max(p + "hist_wnan"), F.lit(False)),
+                             F.lit(float("nan"))).otherwise(F.sum(p + "hist_ciw"))
+            else:
+                ciw = F.sum(p + "hist_ciw")
+            h = (partials.where(F.col(p + "hist_v").isNotNull())
+                 .groupBy("zone_id", F.col(p + "hist_v").alias("v"))
+                 .agg(F.sum(p + "hist_ci").alias("ci"), ciw.alias("ciw")))
             hz = h.groupBy("zone_id").agg(
                 F.count("*").alias(p + "variety"),
                 F.max_by("v", F.struct("ci", "v")).alias(p + "majority"),

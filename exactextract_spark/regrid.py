@@ -154,7 +154,10 @@ def regrid_to(coarse_tiles: DataFrame, fine_grid: dict, *,
             if not (rsel.any() and csel.any()):
                 continue
             if block is None:
-                block = np.empty((nr, nc), dtype=np.dtype(out_dtype))
+                # zeros, not empty: masked-out cells never get written,
+                # and uninitialized bytes would make the encoded payload
+                # nondeterministic (breaks byte-level reproducibility)
+                block = np.zeros((nr, nc), dtype=np.dtype(out_dtype))
             ix = np.ix_(rsel, csel)
             six = np.ix_(src_r[rsel] - srow0, src_c[csel] - scol0)
             block[ix] = cblock[six]

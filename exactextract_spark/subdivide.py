@@ -9,18 +9,26 @@ mapInPandas kernel that emits one row per covered cell:
 
 - coverage comes from the exact scanline kernel (kernel.py), so it is
   identical to what the stats pipeline sees;
-- fully-covered cells (coverage == 1) emit the cell box directly — at
-  scale interior cells dominate and cost no geometry work (the analog
-  of the reference's flood-fill interior);
-- boundary cells of rectangle zones emit the closed-form intersection
-  rectangle (exact coordinates);
-- boundary cells of general polygons clip each ring with
-  Sutherland–Hodgman against the cell box.  Deviation from the
-  reference (which reassembles exact rings from grid traversals): a
-  concave polygon that exits and re-enters a cell yields one ring with
-  degenerate bridging edges instead of a MultiPolygon — the covered
-  AREA is identical (signed shoelace), verified against the kernel's
-  coverage fraction in tests.
+- fully-covered cells (coverage == 1) and every cell of a rectangle
+  zone are CLOSED-FORM and fully vectorized — cell ids, bboxes and the
+  WKT strings are built as flat numpy array operations (np.char), no
+  per-cell Python.  At scale interior cells dominate, so the Python
+  loop below runs only over the boundary cells of non-rectangular
+  zones (the analog of the reference's flood-fill interior);
+- boundary cells of general polygons are reassembled EXACTLY with the
+  reference's left-hand-rings construction (traversal.py, reference
+  traversal_areas.cpp:94-256): a concave polygon that exits and
+  re-enters a cell yields a true MultiPolygon, matching the
+  reference's per-cell output (cell.cpp:186-190).  If ring assembly
+  fails on a degenerate input, the cell falls back to a
+  Sutherland–Hodgman clip (area-identical, possibly bridged WKT).
+
+Zone-count scaling: below ``BROADCAST_ZONE_LIMIT`` zones the geometry
+rides a SparkContext broadcast and the per-tile zone hit-list joins
+broadcast; above it the operator switches to the shuffle strategy
+(geometry WKT travels inside the per-tile zone list, each tile row
+crosses the shuffle exactly once) — the same two strategies as
+ZonalExtractor, so there is no upper bound on the zone count.
 """
 
 from __future__ import annotations
@@ -34,13 +42,15 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from .extract import BROADCAST_ZONE_LIMIT, attach_bbox, zone_tile_pairs
 from .geom import parse_wkt
 from .kernel import coverage_fraction
+from .traversal import covered_polygons, polygons_wkt
 
 __all__ = ["subdivide", "clip_ring_box"]
 
 
 def clip_ring_box(ring: np.ndarray, x0: float, y0: float, x1: float,
                   y1: float) -> list[tuple[float, float]]:
-    """Sutherland–Hodgman clip of one closed ring against an axis box."""
+    """Sutherland–Hodgman clip of one closed ring against an axis box
+    (fallback path; bridged single-ring output for concave re-entry)."""
     pts = [tuple(p) for p in ring[:-1]]
 
     def clip(pts, ax, c, keep_ge):
@@ -73,6 +83,22 @@ def _ring_wkt(parts: list[list[tuple[float, float]]]) -> str:
     return "POLYGON (" + ", ".join(rings) + ")"
 
 
+def _box_wkt_vec(px0, py0, px1, py1) -> np.ndarray:
+    """Vectorized 'POLYGON ((x0 y0, x1 y0, x1 y1, x0 y1, x0 y0))' for
+    flat coordinate arrays (numpy str conversion is the shortest
+    round-trip repr, so the WKT parses back to the exact floats)."""
+    x0s = px0.astype("U32")
+    y0s = py0.astype("U32")
+    x1s = px1.astype("U32")
+    y1s = py1.astype("U32")
+    out = np.full(px0.shape, "POLYGON ((")
+    for part in (x0s, " ", y0s, ", ", x1s, " ", y0s, ", ",
+                 x1s, " ", y1s, ", ", x0s, " ", y1s, ", ",
+                 x0s, " ", y0s, "))"):
+        out = np.char.add(out, part)
+    return out
+
+
 _SCHEMA = T.StructType([
     T.StructField("zone_id", T.StringType()),
     T.StructField("cell_id", T.LongType()),
@@ -83,11 +109,13 @@ _SCHEMA = T.StructType([
     T.StructField("y1", T.DoubleType()),
     T.StructField("wkt", T.StringType()),
 ])
+_COLS = [f.name for f in _SCHEMA.fields]
 
 
 def subdivide(zones: DataFrame, tiles: DataFrame, *,
               grid: dict | None = None, tile_size: int | None = None,
-              min_coverage_frac: float = 0.0) -> DataFrame:
+              min_coverage_frac: float = 0.0,
+              strategy: str = "auto") -> DataFrame:
     """One row per (zone, covered cell) with the covered piece's exact
     coverage fraction, bbox and polygon WKT.  Purely geometric — raster
     values are never read (the tile table supplies the windowing)."""
@@ -99,29 +127,57 @@ def subdivide(zones: DataFrame, tiles: DataFrame, *,
         tile_size = grid.get("tile") or tiles.select(
             F.max(F.greatest("nrows", "ncols"))).first()[0]
     zones_b = attach_bbox(zones)
-    n_zones = zones_b.count()
-    if n_zones > BROADCAST_ZONE_LIMIT:
-        raise ValueError("subdivide currently supports up to "
-                         f"{BROADCAST_ZONE_LIMIT} zones (broadcast geometry)")
-    geoms = {r["zone_id"]: r["geometry"]
-             for r in zones_b.select("zone_id", "geometry").collect()}
-    lookup = spark.sparkContext.broadcast(geoms)
-    pairs = zone_tile_pairs(
-        zones_b.select("zone_id", "xmin", "ymin", "xmax", "ymax"),
-        grid, tile_size)
-    pairs_agg = pairs.groupBy("tile_row", "tile_col") \
-        .agg(F.collect_list("zone_id").alias("zone_ids"))
+    if strategy == "auto":
+        strategy = "broadcast" if zones_b.count() <= BROADCAST_ZONE_LIMIT \
+            else "shuffle"
+
+    lookup = None
+    if strategy == "broadcast":
+        geoms = {r["zone_id"]: r["geometry"]
+                 for r in zones_b.select("zone_id", "geometry").collect()}
+        lookup = spark.sparkContext.broadcast(geoms)
+        pairs = zone_tile_pairs(
+            zones_b.select("zone_id", "xmin", "ymin", "xmax", "ymax"),
+            grid, tile_size)
+        pairs_agg = pairs.groupBy("tile_row", "tile_col") \
+            .agg(F.collect_list("zone_id").alias("zone_ids"))
+        pairs_agg = F.broadcast(pairs_agg)
+    else:
+        # huge zone tables: geometry WKT rides the per-tile zone list,
+        # one row per tile so the tile metadata crosses the shuffle once
+        pairs = zone_tile_pairs(
+            zones_b.select("zone_id", "geometry", "xmin", "ymin", "xmax", "ymax"),
+            grid, tile_size)
+        pairs_agg = pairs.groupBy("tile_row", "tile_col") \
+            .agg(F.collect_list(F.struct("zone_id", "geometry"))
+                 .alias("zone_structs"))
     joined = tiles.select("tile_row", "tile_col", "row0", "col0",
                           "nrows", "ncols", "grid_xmin", "grid_ymax",
                           "dx", "dy", "grid_ncols") \
-        .join(F.broadcast(pairs_agg), ["tile_row", "tile_col"])
+        .join(pairs_agg, ["tile_row", "tile_col"])
 
     mcf = np.float32(min_coverage_frac)
 
     def kernel(batches):
         cache: dict = {}
         for pdf in batches:
-            rows = []
+            grouped_structs = "zone_structs" in pdf.columns
+            # columnar accumulators for the vectorized branches
+            acc = {c: [] for c in _COLS}
+
+            def emit(zid, cid, cv, px0, py0, px1, py1, wkt):
+                n = len(cid)
+                if n == 0:
+                    return
+                acc["zone_id"].append(np.full(n, zid, dtype=object))
+                acc["cell_id"].append(cid)
+                acc["coverage"].append(cv)
+                acc["x0"].append(px0)
+                acc["y0"].append(py0)
+                acc["x1"].append(px1)
+                acc["y1"].append(py1)
+                acc["wkt"].append(wkt)
+
             for rec in pdf.to_dict("records"):
                 nr, nc = int(rec["nrows"]), int(rec["ncols"])
                 row0, col0 = int(rec["row0"]), int(rec["col0"])
@@ -130,12 +186,19 @@ def subdivide(zones: DataFrame, tiles: DataFrame, *,
                 gncols = int(rec["grid_ncols"])
                 xmin_t = gx + col0 * dx
                 ymax_t = gy - row0 * dy
-                for zid in rec["zone_ids"]:
+                entries = rec["zone_structs"] if grouped_structs \
+                    else rec["zone_ids"]
+                for z_entry in entries:
+                    zid = z_entry["zone_id"] if grouped_structs else z_entry
                     got = cache.get(zid)
                     if got is None:
-                        g = parse_wkt(lookup.value[zid])
+                        wkt_in = z_entry["geometry"] if grouped_structs \
+                            else lookup.value[zid]
+                        g = parse_wkt(wkt_in)
                         if g.kind != "areal":
                             raise ValueError("subdivide requires areal geometries")
+                        if len(cache) > 65536:
+                            cache.clear()
                         got = cache[zid] = (g, g.bbox, g.is_rectangle())
                     g, (bx0, by0, bx1, by1), is_rect = got
                     c0z = min(max(int(math.floor((bx0 - xmin_t) / dx)), 0), nc - 1)
@@ -145,36 +208,93 @@ def subdivide(zones: DataFrame, tiles: DataFrame, *,
                     cov = coverage_fraction(g, xmin_t + c0z * dx, ymax_t - r0z * dy,
                                             dx, dy, r1z - r0z, c1z - c0z)
                     rr, cc = np.nonzero(cov > mcf)
-                    for r_, c_, cv in zip(rr, cc, cov[rr, cc]):
-                        gr = row0 + r0z + int(r_)
-                        gc = col0 + c0z + int(c_)
-                        cx0 = gx + gc * dx
-                        cy1 = gy - gr * dy
-                        cy0 = cy1 - dy
-                        cx1 = cx0 + dx
-                        if cv >= 1.0:
-                            px0, py0, px1, py1 = cx0, cy0, cx1, cy1
-                            wkt = _ring_wkt([[(cx0, cy0), (cx1, cy0),
-                                              (cx1, cy1), (cx0, cy1)]])
-                        elif is_rect:
-                            px0, py0 = max(bx0, cx0), max(by0, cy0)
-                            px1, py1 = min(bx1, cx1), min(by1, cy1)
-                            wkt = _ring_wkt([[(px0, py0), (px1, py0),
-                                              (px1, py1), (px0, py1)]])
-                        else:
+                    if rr.size == 0:
+                        continue
+                    cv = cov[rr, cc].astype(np.float64)
+                    gr = (row0 + r0z + rr).astype(np.int64)
+                    gc = (col0 + c0z + cc).astype(np.int64)
+                    cid = gr * gncols + gc
+                    cx0 = gx + gc * dx
+                    cy1 = gy - gr * dy
+                    cx1 = cx0 + dx
+                    cy0 = cy1 - dy
+
+                    if is_rect:
+                        # closed form for EVERY covered cell of a
+                        # rectangle zone (full cells clip to the cell box)
+                        px0 = np.maximum(bx0, cx0)
+                        py0 = np.maximum(by0, cy0)
+                        px1 = np.minimum(bx1, cx1)
+                        py1 = np.minimum(by1, cy1)
+                        emit(zid, cid, cv, px0, py0, px1, py1,
+                             _box_wkt_vec(px0, py0, px1, py1))
+                        continue
+
+                    full = cv >= 1.0
+                    if full.any():
+                        fi = np.flatnonzero(full)
+                        emit(zid, cid[fi], cv[fi], cx0[fi], cy0[fi],
+                             cx1[fi], cy1[fi],
+                             _box_wkt_vec(cx0[fi], cy0[fi], cx1[fi], cy1[fi]))
+                    bi = np.flatnonzero(~full)
+                    if bi.size == 0:
+                        continue
+                    # boundary cells: exact left-hand-ring reassembly
+                    b_cid = []
+                    b_cv = []
+                    b_px0 = []
+                    b_py0 = []
+                    b_px1 = []
+                    b_py1 = []
+                    b_wkt = []
+                    for k in bi:
+                        ex0, ey0 = float(cx0[k]), float(cy0[k])
+                        ex1, ey1 = float(cx1[k]), float(cy1[k])
+                        try:
+                            polys = covered_polygons(g.rings, ex0, ey0, ex1, ey1)
+                            if not polys:
+                                continue
+                            wkt = polygons_wkt(polys)
+                            xs = [p[0] for poly in polys for p in poly[0]]
+                            ys = [p[1] for poly in polys for p in poly[0]]
+                        except ValueError:
+                            # degenerate traversal: Sutherland–Hodgman
+                            # fallback (area-identical, bridged WKT)
                             parts = []
                             for ring in g.rings:
-                                pts = clip_ring_box(ring, cx0, cy0, cx1, cy1)
+                                pts = clip_ring_box(ring, ex0, ey0, ex1, ey1)
                                 if len(pts) >= 3:
                                     parts.append(pts)
                             if not parts:
                                 continue
+                            wkt = _ring_wkt(parts)
                             xs = [p[0] for pts in parts for p in pts]
                             ys = [p[1] for pts in parts for p in pts]
-                            px0, py0, px1, py1 = min(xs), min(ys), max(xs), max(ys)
-                            wkt = _ring_wkt(parts)
-                        rows.append((zid, gr * gncols + gc, float(cv),
-                                     px0, py0, px1, py1, wkt))
-            yield pd.DataFrame(rows, columns=[f.name for f in _SCHEMA.fields])
+                        b_cid.append(cid[k])
+                        b_cv.append(cv[k])
+                        b_px0.append(min(xs))
+                        b_py0.append(min(ys))
+                        b_px1.append(max(xs))
+                        b_py1.append(max(ys))
+                        b_wkt.append(wkt)
+                    emit(zid, np.array(b_cid, dtype=np.int64),
+                         np.array(b_cv), np.array(b_px0), np.array(b_py0),
+                         np.array(b_px1), np.array(b_py1),
+                         np.array(b_wkt, dtype=object))
+
+            if not acc["cell_id"]:
+                yield pd.DataFrame(columns=_COLS)
+                continue
+            yield pd.DataFrame({
+                "zone_id": np.concatenate(acc["zone_id"]),
+                "cell_id": np.concatenate(acc["cell_id"]),
+                "coverage": np.concatenate(acc["coverage"]),
+                "x0": np.concatenate(acc["x0"]),
+                "y0": np.concatenate(acc["y0"]),
+                "x1": np.concatenate(acc["x1"]),
+                "y1": np.concatenate(acc["y1"]),
+                "wkt": np.concatenate([np.asarray(w, dtype=object)
+                                       for w in acc["wkt"]]),
+            })
 
     return joined.mapInPandas(kernel, schema=_SCHEMA)

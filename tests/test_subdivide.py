@@ -65,6 +65,45 @@ def test_subdivide_multitile_equals_singletile(spark):
     assert a == b
 
 
+def test_subdivide_concave_reentry_multipolygon(spark):
+    """A concave (U-shaped) zone exits and re-enters a cell: the cell's
+    piece must be a true MULTIPOLYGON (reference cell.cpp:186-190 via
+    left_hand_rings), not a single bridged ring."""
+    tiles = tiles_from_array(spark, np.zeros((2, 2)), tile=2, dx=10.0, dy=10.0)
+    # grid: 2x2 cells of 10x10, x in [0,20], y in [0,20]
+    # U shape inside cell (0..10, 10..20): prongs x[1,3] and x[6,9],
+    # connected below y=12 inside the lower cell
+    wkt = ("POLYGON ((1 2, 9 2, 9 17, 6 17, 6 8, 3 8, 3 18, 1 18, 1 2))")
+    zones = spark.createDataFrame([("u", wkt)], ["zone_id", "geometry"])
+    rows = {r["cell_id"]: r for r in subdivide(zones, tiles).collect()}
+    g = parse_wkt(wkt)
+    want_area = sum(ring_signed_area(r) for r in g.rings)
+    got_area = sum(r["coverage"] * 100.0 for r in rows.values())
+    assert got_area == pytest.approx(want_area, rel=1e-6)
+    top_left = rows[0]  # cell row 0, col 0 -> y [10,20], x [0,10]
+    assert top_left["wkt"].startswith("MULTIPOLYGON")
+    # two prongs: x[1,3] y[10,18] = 16, x[6,9] y[10,17] = 21
+    assert _wkt_area(top_left["wkt"]) == pytest.approx(37.0, rel=1e-9)
+    assert top_left["coverage"] * 100.0 == pytest.approx(37.0, abs=1e-4)
+    # every piece's WKT area matches its coverage
+    for r in rows.values():
+        assert _wkt_area(r["wkt"]) == pytest.approx(
+            r["coverage"] * 100.0, abs=1e-3)
+
+
+def test_subdivide_shuffle_strategy_equals_broadcast(spark):
+    tiles = tiles_from_array(spark, np.zeros((16, 16)), tile=8)
+    zones = spark.createDataFrame(
+        [("a", "POLYGON ((1 1, 14 2, 12 13, 2 12, 1 1))"),
+         ("b", "POLYGON ((3.5 3.5, 9.5 3.5, 9.5 9.5, 3.5 9.5, 3.5 3.5))")],
+        ["zone_id", "geometry"])
+    bc = subdivide(zones, tiles, strategy="broadcast").collect()
+    sh = subdivide(zones, tiles, strategy="shuffle").collect()
+    key = lambda r: (r["zone_id"], r["cell_id"])
+    assert sorted(map(tuple, bc), key=lambda t: (t[0], t[1])) == \
+        sorted(map(tuple, sh), key=lambda t: (t[0], t[1]))
+
+
 def test_subdivide_cli(spark, tmp_path):
     from exactextract_spark.cli import main
     from exactextract_spark.io import tiles_from_array

@@ -1,0 +1,234 @@
+"""Transcribed goldens from the reference's traversal-areas tests
+(/root/reference/test/test_traversal_areas.cpp) for the left-hand-ring
+reassembly used by subdivide.
+
+The reference compares with GEOSEquals (topological equality); here
+polygons are compared by (area, bbox) per part plus total covered
+area, and — where the expected WKT is a plain ring — by cyclic vertex
+sequence.
+"""
+
+import numpy as np
+import pytest
+
+from exactextract_spark.traversal import (box_traversals, covered_polygons,
+                                          left_hand_rings, polygons_wkt,
+                                          ring_area)
+
+BOX = (0.0, 0.0, 10.0, 10.0)
+
+
+def _poly_area(poly):
+    return ring_area(poly[0]) + sum(ring_area(h) for h in poly[1:])
+
+
+def _total_area(polys):
+    return sum(abs(ring_area(p[0])) - sum(abs(ring_area(h)) for h in p[1:])
+               for p in polys)
+
+
+def _bbox(coords):
+    xs = [p[0] for p in coords]
+    ys = [p[1] for p in coords]
+    return (min(xs), min(ys), max(xs), max(ys))
+
+
+def _cyclic_equal(got, want):
+    """Ring equality up to rotation and direction (closed coord lists)."""
+    g = [tuple(p) for p in got[:-1]]
+    w = [tuple(p) for p in want[:-1]]
+    if len(g) != len(w):
+        return False
+    for d in (g, list(reversed(g))):
+        for r in range(len(d)):
+            if d[r:] + d[:r] == w:
+                return True
+    return False
+
+
+def _ring(*pts):
+    return [tuple(map(float, p)) for p in pts]
+
+
+def test_exit_same_side_as_entry():
+    t = _ring((7, 0), (7, 1), (6, 1), (6, 0))
+    polys = left_hand_rings(BOX, [t])
+    assert _total_area(polys) == 1
+    assert len(polys) == 1 and len(polys[0]) == 1
+    assert _cyclic_equal(polys[0][0],
+                         _ring((6, 0), (7, 0), (7, 1), (6, 1), (6, 0)))
+
+    polys = left_hand_rings(BOX, [list(reversed(t))])
+    assert _total_area(polys) == 99
+    assert _cyclic_equal(polys[0][0],
+                         _ring((0, 0), (6, 0), (6, 1), (7, 1), (7, 0),
+                               (10, 0), (10, 10), (0, 10), (0, 0)))
+
+
+def test_enter_bottom_exit_left():
+    t = _ring((5, 0), (5, 5), (0, 5))
+    polys = left_hand_rings(BOX, [t])
+    assert _total_area(polys) == 25
+    assert _cyclic_equal(polys[0][0],
+                         _ring((0, 0), (5, 0), (5, 5), (0, 5), (0, 0)))
+
+
+def test_enter_bottom_exit_top():
+    t = _ring((4, 0), (4, 10))
+    polys = left_hand_rings(BOX, [t])
+    assert _total_area(polys) == 40
+    assert _cyclic_equal(polys[0][0],
+                         _ring((0, 0), (4, 0), (4, 10), (0, 10), (0, 0)))
+
+
+def test_multiple_traversals_basic():
+    t1 = _ring((2, 10), (2, 0))
+    t2 = _ring((4, 0), (4, 10))
+    polys = left_hand_rings(BOX, [t1, t2])
+    assert _total_area(polys) == 20
+    assert _cyclic_equal(polys[0][0],
+                         _ring((2, 0), (4, 0), (4, 10), (2, 10), (2, 0)))
+
+
+def test_multiple_traversals():
+    t1 = _ring((2, 0), (2, 2), (0, 2))
+    t2 = _ring((3, 10), (3, 0))
+    t3 = _ring((5, 0), (5, 10))
+    t4 = _ring((8, 10), (10, 8))
+    t5 = _ring((10, 6), (8, 6), (8, 3), (10, 3))
+    t6 = _ring((10, 4), (9, 4), (9, 5), (10, 5))
+    t7 = _ring((10, 3), (8, 3), (8, 0))
+    polys = left_hand_rings(BOX, [t1, t2, t3, t4, t5, t6, t7])
+    assert _total_area(polys) == 4 + 20 + 2 + 6 - 1 + 6
+    # MULTIPOLYGON with 4 parts (reference golden), matched by (area, bbox)
+    assert len(polys) == 4
+    got = sorted((round(_poly_area(p), 9), _bbox(p[0])) for p in polys)
+    want = sorted([(4.0, (0.0, 0.0, 2.0, 2.0)),
+                   (20.0, (3.0, 0.0, 5.0, 10.0)),
+                   (2.0, (8.0, 8.0, 10.0, 10.0)),
+                   (11.0, (8.0, 0.0, 10.0, 6.0))])
+    assert got == want
+
+
+def test_no_traversals_raises():
+    with pytest.raises(ValueError):
+        left_hand_rings(BOX, [])
+
+
+def test_point_traversal_raises():
+    with pytest.raises(ValueError):
+        left_hand_rings(BOX, [_ring((4, 0), (4, 0))])
+
+
+def test_closed_ring_ccw():
+    t = _ring((1, 1), (2, 1), (2, 2), (1, 2), (1, 1))
+    polys = left_hand_rings(BOX, [t])
+    assert _total_area(polys) == 1
+    assert _cyclic_equal(polys[0][0], t)
+
+
+def test_closed_ring_ccw_overlapping_edge():
+    t = _ring((1, 0), (2, 1), (1, 1), (1, 0))
+    polys = left_hand_rings(BOX, [t])
+    assert _total_area(polys) == 0.5
+    assert _cyclic_equal(polys[0][0], _ring((1, 0), (1, 1), (2, 1), (1, 0)))
+
+
+def test_closed_ring_cw():
+    t = _ring((1, 1), (1, 2), (2, 2), (2, 1), (1, 1))
+    polys = left_hand_rings(BOX, [t])
+    assert _total_area(polys) == 99
+    assert len(polys) == 1 and len(polys[0]) == 2
+    assert _cyclic_equal(polys[0][0],
+                         _ring((0, 0), (10, 0), (10, 10), (0, 10), (0, 0)))
+    assert _cyclic_equal(polys[0][1], t)
+
+
+def test_closed_ring_cw_with_point_traversal():
+    t1 = _ring((1, 1), (1, 2), (2, 2), (2, 1), (1, 1))
+    t2 = _ring((10, 5), (10, 5))
+    polys = left_hand_rings(BOX, [t1, t2])
+    assert _total_area(polys) == 99
+
+
+def test_closed_ring_cw_touching_edge_at_node():
+    t = _ring((0, 0), (2, 2), (3, 2), (0, 0))
+    polys = left_hand_rings(BOX, [t])
+    assert _total_area(polys) == 99
+
+
+def test_closed_ring_cw_touching_edge_interior():
+    t = _ring((1, 0), (2, 2), (3, 2), (1, 0))
+    polys = left_hand_rings(BOX, [t])
+    assert _total_area(polys) == 99
+
+
+def test_closed_ring_cw_overlapping_edge():
+    t = _ring((1, 0), (1, 1), (2, 1), (1, 0))
+    polys = left_hand_rings(BOX, [t])
+    assert _total_area(polys) == 99.5
+
+
+def test_edge_traversal_interior_left():
+    t = _ring((4, 0), (10, 0))
+    polys = left_hand_rings(BOX, [t])
+    assert _total_area(polys) == 100
+
+
+def test_edge_traversal_interior_right():
+    box = (2.0, 2.0, 3.0, 3.0)
+    t = _ring((2, 2), (2, 2.5), (2, 2.5))
+    polys = left_hand_rings(box, [t])
+    assert polys == []
+    assert polygons_wkt(polys) == "POLYGON EMPTY"
+
+
+# --- box_traversals producer + end-to-end covered_polygons ------------
+
+def test_box_traversals_simple_crossing():
+    ring = np.array([(-1.0, 2.0), (11.0, 2.0), (11.0, 4.0), (-1.0, 4.0),
+                     (-1.0, 2.0)])
+    chains, closed = box_traversals(ring, *BOX)
+    assert closed == []
+    assert len(chains) == 2
+    for c in chains:
+        # endpoints snapped exactly onto the boundary
+        for p in (c[0], c[-1]):
+            assert p[0] in (0.0, 10.0) or p[1] in (0.0, 10.0)
+
+
+def test_box_traversals_fully_inside():
+    ring = np.array([(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0),
+                     (1.0, 1.0)])
+    chains, closed = box_traversals(ring, *BOX)
+    assert chains == [] and len(closed) == 1
+
+
+def test_covered_polygons_concave_reentry_multipolygon():
+    """A concave polygon (U shape) exits and re-enters the cell: the
+    covered region must come back as TWO separate polygons (the former
+    Sutherland–Hodgman path produced one bridged ring)."""
+    # U over cell [0,10]x[0,10]: two prongs of width 2, connected below y=-5
+    ring = np.array([(1.0, -5.0), (3.0, -5.0), (3.0, 8.0), (1.0, 8.0),
+                     (1.0, -5.0)])
+    ring2 = np.array([(6.0, -5.0), (9.0, -5.0), (9.0, 7.0), (6.0, 7.0),
+                      (6.0, -5.0)])
+    u = np.array([(1.0, -5.0), (9.0, -5.0), (9.0, 7.0), (6.0, 7.0),
+                  (6.0, -2.0), (3.0, -2.0), (3.0, 8.0), (1.0, 8.0),
+                  (1.0, -5.0)])
+    polys = covered_polygons([u], *BOX)
+    assert len(polys) == 2
+    areas = sorted(round(_poly_area(p), 9) for p in polys)
+    assert areas == [2 * 8.0, 3 * 7.0]
+    wkt = polygons_wkt(polys)
+    assert wkt.startswith("MULTIPOLYGON")
+
+
+def test_covered_polygons_hole_inside_cell():
+    shell = np.array([(-5.0, -5.0), (15.0, -5.0), (15.0, 15.0), (-5.0, 15.0),
+                      (-5.0, -5.0)])
+    hole = np.array([(2.0, 2.0), (2.0, 4.0), (4.0, 4.0), (4.0, 2.0),
+                     (2.0, 2.0)])  # CW = hole
+    polys = covered_polygons([shell, hole], *BOX)
+    assert len(polys) == 1 and len(polys[0]) == 2
+    assert _total_area(polys) == 100 - 4
