@@ -51,9 +51,53 @@ from .io import decode_tile, decode_value_tile
 from .kernel import coverage_for_window
 from .ops import Op, group_ops_by_key, parse_ops
 
-__all__ = ["exact_extract", "attach_bbox", "zone_tile_pairs", "run_kernel"]
+__all__ = ["exact_extract", "attach_bbox", "zone_tile_pairs", "run_kernel",
+           "crs_matches"]
 
 BROADCAST_ZONE_LIMIT = 200_000
+
+
+def crs_matches(crs_a: str | None, crs_b: str | None) -> bool:
+    """CRS equivalence with the reference's semantics
+    (exact_extract.py:297-336): unknown (None) matches anything; equal
+    strings match; otherwise defer to pyproj when available, else
+    report a mismatch."""
+    if crs_a is None or crs_b is None:
+        return True
+    if crs_a == crs_b:
+        return True
+    try:
+        from pyproj import CRS
+        return CRS.from_user_input(crs_a) == CRS.from_user_input(crs_b)
+    except ImportError:
+        return False
+
+
+def _table_crs(df: DataFrame) -> str | None:
+    if "crs" not in df.columns:
+        return None
+    row = df.select("crs").first()
+    return row[0] if row is not None else None
+
+
+def _warn_on_crs_mismatch(vec_crs, tiles, grid, weight_tiles):
+    """Reference warn_on_crs_mismatch (exact_extract.py:338-360):
+    RuntimeWarning when the vector CRS does not match the value raster
+    or the weighting raster."""
+    import warnings
+
+    rast_crs = grid.get("crs") or _table_crs(tiles)
+    if not crs_matches(vec_crs, rast_crs):
+        warnings.warn(
+            "Spatial reference system of input features does not exactly "
+            "match raster.", RuntimeWarning, stacklevel=3)
+    if weight_tiles is not None:
+        w_crs = _table_crs(weight_tiles)
+        if not crs_matches(vec_crs, w_crs):
+            warnings.warn(
+                "Spatial reference system of input features does not "
+                "exactly match weighting raster.", RuntimeWarning,
+                stacklevel=3)
 
 _CELLS_T = T.ArrayType(T.StructType([
     T.StructField("cell_id", T.LongType()),
@@ -632,6 +676,12 @@ class ZonalExtractor:
             # tiles from the zone->tile join.)
             tile_size = grid.get("tile") or tiles.select(
                 F.max(F.greatest("nrows", "ncols"))).first()[0]
+        # CRS validation (reference exact_extract.py:297-360): a zones
+        # table may carry a constant `crs` column; raster CRS comes from
+        # the grid dict or a tile-table `crs` column.  Mismatches warn —
+        # like the reference — because coordinates are not reprojected
+        # anywhere in the engine.
+        _warn_on_crs_mismatch(_table_crs(zones), tiles, grid, weight_tiles)
         values_dtype = grid.get("dtype")
         if values_dtype is None:
             values_dtype = tiles.select("dtype").first()[0]
@@ -642,8 +692,12 @@ class ZonalExtractor:
         self.has_weights = weight_tiles is not None
 
         # zone bbox parse is op-independent: cache it (used by the
-        # pair explode AND the final left join)
-        zones_b = attach_bbox(zones).persist()
+        # pair explode AND the final left join).  _zone_ord records the
+        # input row order for preserve_order output (the reference's
+        # pandas writer reindexes to the input GeoDataFrame,
+        # exact_extract.py:497-501).
+        zones_b = attach_bbox(zones).withColumn(
+            "_zone_ord", F.monotonically_increasing_id()).persist()
         self.zones_b = zones_b
 
         tiles_in = tiles
@@ -713,7 +767,8 @@ class ZonalExtractor:
 
     def extract(self, ops, *, include_cols: list[str] | None = None,
                 frac_as_map: bool = False, undefined: str = "null",
-                dtype_results: bool = False, _progress_acc=None) -> DataFrame:
+                dtype_results: bool = False, preserve_order: bool = False,
+                compat: bool = False, _progress_acc=None) -> DataFrame:
         """Run an op list against the prepared join.
 
         frac_as_map: return each frac/weighted_frac column as a
@@ -725,8 +780,21 @@ class ZonalExtractor:
           (test_exact_extract.py NaN expectations).
         dtype_results: return min/max/mode/minority/unique/values/
           median/quantile in the CELL dtype for integer rasters
-          (operation.cpp:115-206) instead of float64."""
+          (operation.cpp:115-206) instead of float64.
+        preserve_order: sort the output to the zones input row order
+          (the reference's pandas writer reindexes to the input
+          GeoDataFrame, exact_extract.py:497-501).  Default off: an
+          unordered result avoids a full sort of the final (small)
+          per-zone table.
+        compat: reference-compatibility preset — turns on
+          dtype_results, undefined="nan" and preserve_order, so output
+          rows look like the reference's pandas output."""
         import dataclasses
+
+        if compat:
+            dtype_results = True
+            undefined = "nan"
+            preserve_order = True
 
         wname = "weights" if self.has_weights else None
         op_list = parse_ops(ops, weights=wname) \
@@ -747,11 +815,15 @@ class ZonalExtractor:
                     uniq_of[key] = h.name
             op_list = op_list + hidden
         keygroups = group_ops_by_key(op_list)
+        inc = list(include_cols or [])
         res = _assemble(self.zones_b, self.joined, keygroups,
                         geom_lookup=self.geom_lookup, has_weights=self.has_weights,
-                        int_values=self.int_values, include_cols=include_cols,
+                        int_values=self.int_values,
+                        include_cols=inc + (["_zone_ord"] if preserve_order else []),
                         dtype_results=self.int_values and dtype_results,
                         progress_acc=_progress_acc)
+        if preserve_order:
+            res = res.orderBy("_zone_ord").drop("_zone_ord")
         if frac_as_map and frac_ops:
             for o in frac_ops:
                 res = res.withColumn(o.name, F.map_from_arrays(
@@ -833,7 +905,9 @@ def exact_extract(zones: DataFrame, tiles: DataFrame, ops, *,
                   tile_size: int | None = None,
                   frac_as_map: bool = False,
                   undefined: str = "null",
-                  dtype_results: bool = False) -> DataFrame:
+                  dtype_results: bool = False,
+                  preserve_order: bool = False,
+                  compat: bool = False) -> DataFrame:
     """Compute zonal statistics — the engine's primary entry point
     (reference: python exact_extract,
     /root/reference/python/src/exactextract/exact_extract.py:363-502).
@@ -846,7 +920,8 @@ def exact_extract(zones: DataFrame, tiles: DataFrame, ops, *,
     return ZonalExtractor(zones, tiles, weight_tiles=weight_tiles,
                           strategy=strategy, grid=grid, tile_size=tile_size) \
         .extract(ops, include_cols=include_cols, frac_as_map=frac_as_map,
-                 undefined=undefined, dtype_results=dtype_results)
+                 undefined=undefined, dtype_results=dtype_results,
+                 preserve_order=preserve_order, compat=compat)
 
 
 def _assemble(zones_b, joined, keygroups, *, geom_lookup, has_weights,
@@ -863,11 +938,6 @@ def aggregate_partials(zones_b, partials, keygroups, *, int_values=False,
     """Merge partial states into final per-zone statistics.  Separated
     from the kernel so checkpoint/resume can merge stored partials
     (checkpoint.py) — the RasterStats::combine stage."""
-    need_hist = any(req.histogram for _, req, _ in keygroups)
-    need_cells = any(req.cells for _, req, _ in keygroups)
-    if need_hist or need_cells:
-        partials = partials.persist()
-
     # --- scalar aggregation (partial+final merge; RasterStats::combine
     # analog, raster_stats.h:107-155).  Only the state the requested ops
     # actually read is aggregated — pure-histogram/array queries skip
@@ -875,6 +945,18 @@ def aggregate_partials(zones_b, partials, keygroups, *, int_values=False,
     _SCALAR_STATS = {"count", "sum", "mean", "variance", "stdev",
                      "coefficient_of_variation", "weighted_count", "weighted_sum",
                      "weighted_mean", "weighted_variance", "weighted_stdev"}
+    _needs_scalar_pass = any(
+        any(o.stat in _SCALAR_STATS for o in ops_in_key) or req.minmax
+        for _, req, ops_in_key in keygroups)
+    # persist only when MULTIPLE aggregation branches re-read the
+    # partials — a single-consumer plan (e.g. a pure-histogram query)
+    # would pay cache materialization for nothing
+    n_consumers = (int(_needs_scalar_pass)
+                   + sum(int(req.stable_variance) + int(req.histogram)
+                         + int(req.cells) for _, req, _ in keygroups))
+    if n_consumers > 1:
+        partials = partials.persist()
+
     aggs = []
     for i, (_, req, ops_in_key) in enumerate(keygroups):
         p = f"k{i}_"

@@ -50,7 +50,9 @@ def grids_equal(a: dict, b: dict, tol: float = 1e-9) -> bool:
 def _int_or_raise(x: float, what: str) -> int:
     r = int(round(x))
     if abs(x - r) > 1e-9:
-        raise ValueError(f"incompatible grids: {what} must be an integer "
+        # reference wording: Grid::common_grid throws "Incompatible
+        # extents." (grid.h:278-282)
+        raise ValueError(f"Incompatible extents: {what} must be an integer "
                          f"(got {x!r})")
     return r
 
