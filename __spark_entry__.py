@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": pdedup.minhash_signature,
         "dedup_minhash_pairs": pdedup.minhash_pairs,
         "dedup_verified_pairs": pdedup.minhash_verified_pairs,
+        "dedup_clusters": pdedup.dedup_clusters,
         "dedup_simhash": pdedup.simhash,
         "dedup_ngram_jaccard": pdedup.ngram_jaccard,
         "ann_topk": psim.ann_topk,
@@ -250,6 +251,7 @@ PIPELINE_ORACLES = {
     "dedup_minhash_sig": pdedup.minhash_signature_oracle,
     "dedup_minhash_pairs": pdedup.minhash_pairs_oracle,
     "dedup_verified_pairs": pdedup.minhash_verified_pairs_oracle,
+    "dedup_clusters": pdedup.dedup_clusters_oracle,
     "dedup_simhash": pdedup.simhash_oracle,
     "dedup_ngram_jaccard": pdedup.ngram_jaccard_oracle,
     "ann_topk": psim.ann_topk_oracle,

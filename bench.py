@@ -130,6 +130,14 @@ def main():
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     gmult = float(os.environ.get("SPARK_GRAFT_BENCH_GMULT", "2.0"))
 
+    try:
+        # bench-noise protocol (BENCH/BASELINE.md): runs taken at load
+        # >2 on this shared host are contaminated — record the load so
+        # cross-round comparisons can discard them
+        load_start = tuple(round(v, 2) for v in os.getloadavg())
+    except OSError:
+        load_start = None
+
     cfg0 = SynthConfig.from_sf_dir(sf_dir)
     cfg = SynthConfig(G=int(cfg0.G * gmult), Z=cfg0.Z * 2, tile=cfg0.tile)
 
@@ -214,11 +222,17 @@ def main():
             scale_points["rect_1e9"] = scale_point_rect(spark)
 
         total = round(sum(timings.values()), 3)
+        try:
+            load = tuple(round(v, 2) for v in os.getloadavg())
+        except OSError:
+            load = None
         out = {
             "metric": "zonal-stats suite wall time",
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "host_load_start": load_start,
+            "host_load_end": load,
             "sf": sf_dir,
             "config": {"grid_cells": cfg.G * cfg.G, "zones": n_zones,
                        "tiles": n_tiles, "cores": cores,

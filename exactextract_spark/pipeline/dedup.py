@@ -183,6 +183,88 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
     / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5"""
 
 
+def _symmetric(e: DataFrame) -> DataFrame:
+    return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star: every strictly-larger neighbor of u reconnects to
+    min(N(u) ∪ {u}) (Kiveris et al., "Connected Components in MapReduce
+    and Beyond" — the standard O(log²)-round DataFrame CC)."""
+    sym = _symmetric(e)
+    m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = m.select("u", F.least("mn", "u").alias("m"))
+    return (sym.join(m, "u").where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v")).distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: orient edges toward the larger endpoint; the smaller
+    neighbors (and the node itself) reconnect to the minimum."""
+    o = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    m = o.groupBy("u").agg(F.min("v").alias("m"))
+    out1 = (o.join(m, "u").where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v")))
+    out2 = m.select("u", F.col("m").alias("v"))
+    return (out1.unionByName(out2)
+            .where(F.col("u") != F.col("v")).distinct())
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components of an undirected edge list (u, v) →
+    (u, component) for every non-isolated node, component = min node id.
+
+    Scale shape: alternating large-star/small-star contractions —
+    O(log² n) rounds regardless of component diameter (min-label
+    propagation would need diameter rounds: a 1M-node chain would take
+    1M shuffles).  Each round is two hash shuffles; no driver-side
+    data, only a convergence check (two small counts) per round."""
+    # localCheckpoint per round: iterative DataFrame algorithms grow
+    # their LOGICAL plan each round (persist only reuses the physical
+    # result), and Catalyst analysis time blows up exponentially —
+    # truncating the lineage is the standard hygiene for DataFrame
+    # iteration (same role as GraphFrames' checkpointing)
+    e = _small_star(_large_star(edges)).localCheckpoint()
+    for _ in range(max_iter):
+        ne = _small_star(_large_star(e)).localCheckpoint()
+        if ne.count() == e.count() and ne.subtract(e).count() == 0:
+            e = ne
+            break
+        e = ne
+    return e.groupBy("u").agg(F.min("v").alias("component")) \
+            .select(F.col("u").alias("doc_id"), "component")
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    LSH pair graph (minhash_verified_pairs), every document labeled
+    with its component representative (min doc_id) — the production
+    step that turns pairwise near-dup hits into keep/drop decisions."""
+    pairs = minhash_verified_pairs(spark, sf_dir) \
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    comp = connected_components(pairs)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return (docs.join(comp, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("component", "doc_id").alias("component"))
+            .withColumn("is_duplicate", F.col("component") != F.col("doc_id")))
+
+
+def dedup_clusters_oracle() -> str:
+    vp = minhash_verified_pairs_oracle()
+    return f"""WITH RECURSIVE vp AS ({vp}),
+e(src, dst) AS (SELECT doc_a, doc_b FROM vp UNION ALL SELECT doc_b, doc_a FROM vp),
+walk(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node
+)
+SELECT node AS doc_id, MIN(lbl) AS component,
+       MIN(lbl) <> node AS is_duplicate
+FROM walk GROUP BY node"""
+
+
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard for adjacent doc pairs (deterministic
     demo pairing; production path verifies minhash_pairs candidates)."""

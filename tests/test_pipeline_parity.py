@@ -101,3 +101,27 @@ def test_real_decode_is_stubbed():
     from exactextract_spark.pipeline.multimodal import real_decode
     with pytest.raises(NotImplementedError):
         real_decode(b"xx")
+
+
+def test_connected_components_chain_and_triangle(spark):
+    from exactextract_spark.pipeline.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated edge 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["u", "v"])
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {2: 1, 3: 1, 4: 1, 11: 10, 12: 10, 21: 20}
+
+
+def test_connected_components_long_chain(spark):
+    """A 40-node chain converges in O(log^2) rounds, not 40 (the
+    max_iter bound would trip if rounds scaled with diameter)."""
+    from exactextract_spark.pipeline.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 140)], ["u", "v"])
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(edges, max_iter=10).collect()}
+    assert got == {i: 100 for i in range(101, 141)}
