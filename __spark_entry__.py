@@ -226,6 +226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": pdedup.minhash_pairs,
         "dedup_verified_pairs": pdedup.minhash_verified_pairs,
         "dedup_clusters": pdedup.dedup_clusters,
+        "dedup_cluster_reps": pdedup.cluster_representatives,
+        "sample_stratified": ptext.sample_stratified,
+        "tfidf_top_terms": ptext.tfidf_top_terms,
         "dedup_simhash": pdedup.simhash,
         "dedup_ngram_jaccard": pdedup.ngram_jaccard,
         "ann_topk": psim.ann_topk,
@@ -252,6 +255,9 @@ PIPELINE_ORACLES = {
     "dedup_minhash_pairs": pdedup.minhash_pairs_oracle,
     "dedup_verified_pairs": pdedup.minhash_verified_pairs_oracle,
     "dedup_clusters": pdedup.dedup_clusters_oracle,
+    "dedup_cluster_reps": pdedup.cluster_representatives_oracle,
+    "sample_stratified": ptext.sample_stratified_oracle,
+    "tfidf_top_terms": ptext.tfidf_top_terms_oracle,
     "dedup_simhash": pdedup.simhash_oracle,
     "dedup_ngram_jaccard": pdedup.ngram_jaccard_oracle,
     "ann_topk": psim.ann_topk_oracle,

@@ -265,6 +265,31 @@ SELECT node AS doc_id, MIN(lbl) AS component,
 FROM walk GROUP BY node"""
 
 
+def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop decision per near-dup cluster: the representative is
+    the longest document (ties → lowest doc_id) — the standard
+    quality-aware winner selection after clustering.  One window
+    shuffle keyed by component."""
+    from pyspark.sql import Window
+
+    comp = dedup_clusters(spark, sf_dir).select("doc_id", "component")
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    j = comp.join(docs, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    return (j.withColumn("rnk", F.row_number().over(w))
+            .select("doc_id", "component", "n_chars",
+                    (F.col("rnk") == 1).alias("keep")))
+
+
+def cluster_representatives_oracle() -> str:
+    return f"""WITH comp AS ({dedup_clusters_oracle()})
+SELECT comp.doc_id, component, n_chars,
+  ROW_NUMBER() OVER (PARTITION BY component
+                     ORDER BY n_chars DESC, comp.doc_id ASC) = 1 AS keep
+FROM comp JOIN documents d ON comp.doc_id = d.doc_id"""
+
+
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard for adjacent doc pairs (deterministic
     demo pairing; production path verifies minhash_pairs candidates)."""

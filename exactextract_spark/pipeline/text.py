@@ -122,6 +122,88 @@ def quality_filter_oracle() -> str:
 SELECT doc_id, n_tokens, n_chars, {_QUALITY_KEEP} AS keep FROM s"""
 
 
+# per-language keep rate in permille (the classic corpus-rebalancing
+# step: downsample the dominant language)
+_STRATA_PERMILLE = {"en": 250, "es": 500, "de": 500, "fr": 500}
+_RATE_CASE = ("CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {v}" for k, v in _STRATA_PERMILLE.items())
+    + " ELSE 750 END")
+# deterministic splitmix-ish bucket in [0, 1000): pure BIGINT modular
+# arithmetic (no engine-builtin hash), overflow-safe in both engines
+_BUCKET = "(((doc_id % 100003) * 2654435761) % 1000003) % 1000"
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by language: each document
+    hashes to a bucket in [0,1000) and is kept when the bucket falls
+    under its stratum's permille rate.  Map-only (no shuffle), exactly
+    reproducible across runs and engines — the production way to
+    downsample a dominant stratum without a random seed."""
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id", "lang",
+        f"CAST({_BUCKET} AS BIGINT) AS bucket",
+        f"CAST({_RATE_CASE} AS BIGINT) AS rate_permille",
+        f"{_BUCKET} < {_RATE_CASE} AS keep")
+
+
+def sample_stratified_oracle() -> str:
+    return f"""SELECT doc_id, lang,
+  CAST({_BUCKET} AS BIGINT) AS bucket,
+  CAST({_RATE_CASE} AS BIGINT) AS rate_permille,
+  {_BUCKET} < {_RATE_CASE} AS keep
+FROM documents"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by a BM25-style rational
+    score tf * (N - df + 0.5) / (df + 0.5).
+
+    The score is a RATIONAL function of integer counts (no log), so
+    IEEE division makes it bit-identical across engines.  Scale shape:
+    explode → groupBy(doc, term) for tf, groupBy(term) for df (both
+    with map-side combine), df table joined back (broadcast-sized:
+    vocabulary, not corpus), N folded in as a literal via one scalar
+    aggregate."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()
+    toks = d.selectExpr("doc_id",
+                        "explode(split(trim(text), '\\\\s+')) AS token")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = toks.select("doc_id", "token").distinct() \
+        .groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_), "token").selectExpr(
+        "doc_id", "token", "tf", "df",
+        f"CAST(tf AS DOUBLE) * (CAST({n_docs} AS DOUBLE) - df + 0.5)"
+        " / (df + 0.5) AS score")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("token"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("doc_id", "token", "tf", "df", "score",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def tfidf_top_terms_oracle() -> str:
+    return """WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.token, tf, df,
+         CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) AS score
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
+SELECT doc_id, token, tf, df, score,
+       CAST(rnk AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token ASC) AS rnk
+      FROM scored)
+WHERE rnk <= 3"""
+
+
 def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level token frequency (explode + groupBy — the classic
     wordcount shape, fully JVM-side)."""
