@@ -854,7 +854,11 @@ class ZonalExtractor:
 
         spark = self.zones_b.sparkSession
         acc = spark.sparkContext.accumulator(0)
-        total = max(self.joined.count(), 1)
+        # the tile-row total only depends on the prepared join — compute
+        # it once per extractor, not once per progress-enabled call
+        if not hasattr(self, "_joined_total"):
+            self._joined_total = self.joined.count()
+        total = max(self._joined_total, 1)
         df = self.extract(ops, _progress_acc=acc, **kw)
         done = threading.Event()
 

