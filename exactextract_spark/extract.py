@@ -1028,10 +1028,15 @@ def aggregate_partials(zones_b, partials, keygroups, *, int_values=False,
 
     # --- histogram branch: the partials are already exploded scalar
     # (pair, value) bucket rows — merge key-wise (mergeable histogram;
-    # raster_stats.h:752-757 merged as in combine()) ---
-    for i, (_, req, _) in enumerate(keygroups):
+    # raster_stats.h:752-757 merged as in combine()).  Only the
+    # aggregates the requested ops actually read are built: without a
+    # sorted-histogram consumer the per-zone agg stays a cheap scalar
+    # aggregation instead of an ObjectHashAggregate collect_list. ---
+    _SORTED_STATS = {"unique", "frac", "weighted_frac", "median", "quantile"}
+    for i, (_, req, ops_in_key) in enumerate(keygroups):
         p = f"k{i}_"
         if req.histogram:
+            stats = {o.stat for o in ops_in_key}
             if req.weighted:
                 # any NaN-poisoned partial makes the merged bucket's
                 # weighted sum NaN (reference NaN propagation)
@@ -1042,13 +1047,21 @@ def aggregate_partials(zones_b, partials, keygroups, *, int_values=False,
             h = (partials.where(F.col(p + "hist_v").isNotNull())
                  .groupBy("zone_id", F.col(p + "hist_v").alias("v"))
                  .agg(F.sum(p + "hist_ci").alias("ci"), ciw.alias("ciw")))
-            hz = h.groupBy("zone_id").agg(
-                F.count("*").alias(p + "variety"),
-                F.max_by("v", F.struct("ci", "v")).alias(p + "majority"),
-                F.min_by("v", F.struct("ci", "v")).alias(p + "minority"),
-                F.sum("ci").alias(p + "hist_sum_ci"),
-                F.sum("ciw").alias(p + "hist_sum_ciw"),
-                F.array_sort(F.collect_list(F.struct("v", "ci", "ciw"))).alias(p + "hist_sorted"))
+            hz_aggs = [F.count("*").alias(p + "variety")]
+            if stats & {"majority", "mode"}:
+                hz_aggs.append(
+                    F.max_by("v", F.struct("ci", "v")).alias(p + "majority"))
+            if "minority" in stats:
+                hz_aggs.append(
+                    F.min_by("v", F.struct("ci", "v")).alias(p + "minority"))
+            if "frac" in stats:
+                hz_aggs.append(F.sum("ci").alias(p + "hist_sum_ci"))
+            if "weighted_frac" in stats:
+                hz_aggs.append(F.sum("ciw").alias(p + "hist_sum_ciw"))
+            if stats & _SORTED_STATS:
+                hz_aggs.append(F.array_sort(F.collect_list(
+                    F.struct("v", "ci", "ciw"))).alias(p + "hist_sorted"))
+            hz = h.groupBy("zone_id").agg(*hz_aggs)
             result = result.join(hz, "zone_id", "left")
         if req.cells:
             cz = (partials.select("zone_id", F.explode(p + "cells").alias("c"))
