@@ -108,6 +108,20 @@ def scale_point_rect(spark):
             "polygons_per_sec": round(Z / best, 1)}
 
 
+def scale_point_subdivide(spark, cfg, tiles, grid):
+    """Interior-dominated subdivide: 2000 ~30-cell-wide polygons →
+    ~1M per-cell covered pieces with exact WKT.  Measures the
+    vectorized interior/rect paths + Arrow WKT build (pieces/sec)."""
+    from exactextract_spark.subdivide import subdivide
+
+    stars = star_zones(spark, cfg, n=2000, verts=10)
+    df = subdivide(stars, tiles, grid=grid)
+    best = _best_of(lambda: df.write.format("noop").mode("overwrite").save())
+    n = df.count()
+    return {"sec": round(best, 3), "pieces": int(n),
+            "pieces_per_sec": round(n / best, 1)}
+
+
 def scale_point_poly(spark, cfg, tiles, grid):
     """40k irregular 12-vertex polygons over the suite raster — the
     batched scanline path at polygon-heavy scale."""
@@ -218,6 +232,7 @@ def main():
             ext_p.close()
             wtiles.unpersist()
             scale_points["poly_40k"] = scale_point_poly(spark, cfg, tiles, grid)
+            scale_points["subdivide_1m"] = scale_point_subdivide(spark, cfg, tiles, grid)
             tiles.unpersist()
             scale_points["rect_1e9"] = scale_point_rect(spark)
 
