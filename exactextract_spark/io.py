@@ -331,3 +331,105 @@ def spans_roundtrip(docs: DataFrame) -> DataFrame:
     return (docs.select("doc_id", F.posexplode("spans").alias("pos", "s"))
                 .select("doc_id", F.col("pos").cast("int").alias("pos"),
                         "s.kind", "s.text", "s.media_ref", "s.offset"))
+
+
+def _geojson_geom_to_wkt(geom: dict) -> str:
+    """GeoJSON geometry dict → WKT (Polygon/MultiPolygon/LineString/
+    MultiLineString/GeometryCollection — the geometry types the engine
+    kernel accepts; reference vector sources expose the same through
+    GDAL/fiona)."""
+    t = geom["type"]
+
+    def ring(cs):
+        return "(" + ", ".join(f"{float(x):.17g} {float(y):.17g}"
+                               for x, y, *_ in cs) + ")"
+
+    if t == "Polygon":
+        return "POLYGON (" + ", ".join(ring(r) for r in geom["coordinates"]) + ")"
+    if t == "MultiPolygon":
+        return "MULTIPOLYGON (" + ", ".join(
+            "(" + ", ".join(ring(r) for r in poly) + ")"
+            for poly in geom["coordinates"]) + ")"
+    if t == "LineString":
+        return "LINESTRING " + ring(geom["coordinates"])
+    if t == "MultiLineString":
+        return "MULTILINESTRING (" + ", ".join(
+            ring(p) for p in geom["coordinates"]) + ")"
+    if t == "GeometryCollection":
+        return "GEOMETRYCOLLECTION (" + ", ".join(
+            _geojson_geom_to_wkt(g) for g in geom["geometries"]) + ")"
+    raise ValueError(f"unsupported GeoJSON geometry type: {t}")
+
+
+def zones_from_geojson(spark, source, *, id_property: str | None = None) -> DataFrame:
+    """Zones table from GeoJSON — the reference's primary vector input
+    shape (python feature.py GeoJSONishFeature; exact_extract accepts
+    GeoJSON files/dicts via fiona/GDAL).
+
+    source:
+    - a plain Python FeatureCollection dict (driver-side convenience
+      for small zone sets), or
+    - a path: ``.jsonl``/``.ndjson`` (one Feature per line) parses
+      LINE-PARALLEL — the scale path for big zone sets; anything else
+      is read whole-file (one task per file) and may be a
+      FeatureCollection or a single Feature.
+
+    Geometry arrays have heterogeneous nesting across geometry types
+    (Polygon = 3 levels, MultiPolygon = 4), which breaks Spark JSON
+    schema inference — so the text is parsed in an Arrow-batched
+    kernel instead.  Properties are carried as map<string,string>
+    ``props`` like zones_from_docs.
+    id_property: feature property to use as zone_id (default: the
+    feature's "id" member, else a generated ordinal)."""
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _feature_row(d: dict, fallback_id):
+        props = {k: str(v) for k, v in
+                 (d.get("properties") or {}).items() if v is not None}
+        zid = props.get(id_property) if id_property is not None else d.get("id")
+        if zid is None:
+            zid = str(fallback_id)
+        return str(zid), _geojson_geom_to_wkt(d["geometry"]), props
+
+    if isinstance(source, dict):
+        feats = source["features"] if source.get("type") == "FeatureCollection" \
+            else [source]
+        rows = [_feature_row(f, i) for i, f in enumerate(feats)]
+        return spark.createDataFrame(
+            rows, "zone_id string, geometry string, props map<string,string>")
+
+    line_mode = str(source).endswith((".jsonl", ".ndjson"))
+    txt = spark.read.text(str(source), wholetext=not line_mode)
+    txt = txt.select(F.monotonically_increasing_id().alias("_ord"), "value")
+
+    out_schema = T.StructType([
+        T.StructField("zone_id", T.StringType()),
+        T.StructField("geometry", T.StringType()),
+        T.StructField("props", T.MapType(T.StringType(), T.StringType())),
+    ])
+
+    def conv(batches):
+        for pdf in batches:
+            zids, wkts, props_col = [], [], []
+            for ordn, text in zip(pdf["_ord"], pdf["value"]):
+                text = text.strip()
+                if not text:
+                    continue
+                d = _json.loads(text)
+                if d.get("type") == "FeatureCollection":
+                    feats = [(f"{ordn}_{i}", f)
+                             for i, f in enumerate(d["features"])]
+                else:
+                    feats = [(str(ordn), d)]
+                for fid, f in feats:
+                    z, w, pr = _feature_row(f, fid)
+                    zids.append(z)
+                    wkts.append(w)
+                    props_col.append(pr)
+            yield pd.DataFrame({"zone_id": zids, "geometry": wkts,
+                                "props": props_col})
+
+    return txt.mapInPandas(conv, schema=out_schema)

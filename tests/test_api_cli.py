@@ -281,3 +281,49 @@ def test_read_docs_path_and_table(spark, tmp_path):
     spark.range(3).createOrReplaceTempView("not_docs")
     with pytest.raises(ValueError, match="interleaved-document"):
         read_docs(spark, "not_docs")
+
+
+def test_zones_from_geojson(spark, tmp_path):
+    import json
+
+    from exactextract_spark.extract import exact_extract
+    from exactextract_spark.io import tiles_from_array, zones_from_geojson
+
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "id": "a",
+         "geometry": {"type": "Polygon", "coordinates":
+                      [[[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]]},
+         "properties": {"name": "alpha", "pop": 10}},
+        {"type": "Feature",
+         "geometry": {"type": "MultiPolygon", "coordinates":
+                      [[[[3, 3], [4, 3], [4, 4], [3, 4], [3, 3]]],
+                       [[[5, 5], [6, 5], [6, 6], [5, 6], [5, 5]]]]},
+         "properties": {"name": "beta"}},
+    ]}
+    # driver-side dict
+    z1 = zones_from_geojson(spark, fc)
+    rows = {r["zone_id"]: r for r in z1.collect()}
+    assert rows["a"]["props"]["name"] == "alpha"
+    assert rows["a"]["geometry"].startswith("POLYGON")
+    assert [r for r in rows.values() if "MULTIPOLYGON" in r["geometry"]]
+
+    # whole-file FeatureCollection
+    p = tmp_path / "zones.geojson"
+    p.write_text(json.dumps(fc))
+    z2 = zones_from_geojson(spark, str(p), id_property="name")
+    ids = {r["zone_id"] for r in z2.collect()}
+    assert ids == {"alpha", "beta"}
+
+    # NDJSON line-parallel
+    p2 = tmp_path / "zones.jsonl"
+    p2.write_text("\n".join(json.dumps(f) for f in fc["features"]))
+    z3 = zones_from_geojson(spark, str(p2))
+    assert z3.count() == 2
+
+    # end-to-end: GeoJSON zones drive a real extraction
+    import numpy as np
+    tiles = tiles_from_array(spark, np.arange(64.0).reshape(8, 8))
+    res = {r["zone_id"]: r["count"] for r in
+           exact_extract(z2.select("zone_id", "geometry"), tiles,
+                         ["count"]).collect()}
+    assert res["alpha"] == 4.0 and res["beta"] == 2.0
