@@ -22,7 +22,10 @@ import sys
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("exactextract-spark")
-    p.add_argument("--polygons", help="parquet with zone rows")
+    p.add_argument("--polygons",
+                   help="zone rows: parquet, or GeoJSON "
+                        "(.geojson/.json FeatureCollection, "
+                        ".jsonl/.ndjson feature-per-line)")
     p.add_argument("--fid", default="zone_id", help="zone id column")
     p.add_argument("--geom", default="geometry", help="WKT geometry column")
     p.add_argument("--docs", help="interleaved-docs table: parquet path or catalog/Iceberg table name")
@@ -43,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="representation of undefined scalar stats")
     p.add_argument("--dtype-results", action="store_true",
                    help="cell-typed results for integer rasters")
+    p.add_argument("--preserve-order", action="store_true",
+                   help="output rows in zones input order")
+    p.add_argument("--compat", action="store_true",
+                   help="reference-compatible output: dtype-results + "
+                        "NaN undefined + input row order")
     p.add_argument("--output", "-o", required=True)
     p.add_argument("--cores", type=int, default=None)
     return p
@@ -75,8 +83,14 @@ def main(argv=None) -> int:
             print("either --docs or both --polygons and --raster are required",
                   file=sys.stderr)
             return 2
-        zones = spark.read.parquet(args.polygons).withColumnRenamed(args.fid, "zone_id") \
-            .withColumnRenamed(args.geom, "geometry")
+        if args.polygons.endswith((".geojson", ".json", ".jsonl", ".ndjson")):
+            zones = eio.zones_from_geojson(
+                spark, args.polygons,
+                id_property=None if args.fid == "zone_id" else args.fid)
+        else:
+            zones = spark.read.parquet(args.polygons) \
+                .withColumnRenamed(args.fid, "zone_id") \
+                .withColumnRenamed(args.geom, "geometry")
         _, _, tpath = args.raster.partition("=")
         tiles = spark.read.parquet(tpath or args.raster)
         wtiles = None
@@ -86,7 +100,7 @@ def main(argv=None) -> int:
 
     if args.subdivide:
         from .subdivide import subdivide as _subdivide
-        res = _subdivide(zones, tiles)
+        res = _subdivide(zones, tiles, strategy=args.strategy)
         if args.id_type:
             res = res.withColumn("zone_id", F.col("zone_id").cast(args.id_type))
         if args.id_name:
@@ -100,7 +114,9 @@ def main(argv=None) -> int:
                         strategy=args.strategy,
                         frac_as_map=args.frac_as_map,
                         undefined=args.undefined,
-                        dtype_results=args.dtype_results)
+                        dtype_results=args.dtype_results,
+                        preserve_order=args.preserve_order,
+                        compat=args.compat)
     if args.id_type:
         res = res.withColumn("zone_id", F.col("zone_id").cast(args.id_type))
     if args.id_name:
