@@ -232,3 +232,46 @@ def test_covered_polygons_hole_inside_cell():
     polys = covered_polygons([shell, hole], *BOX)
     assert len(polys) == 1 and len(polys[0]) == 2
     assert _total_area(polys) == 100 - 4
+
+
+# --- differential fuzz: assembled polygon area == kernel coverage ------
+
+@pytest.mark.parametrize("seed", range(10))
+def test_covered_polygons_area_matches_kernel_fuzz(seed):
+    """For random polygons (holes included), the left-hand-ring
+    assembly's area per cell must equal the scanline kernel's exact
+    coverage fraction — two independent computations of the same
+    quantity (float64 shoelace vs float32 kernel ⇒ 1e-6 abs tol)."""
+    from exactextract_spark.geom import parse_wkt
+    from exactextract_spark.kernel import coverage_fraction
+
+    rng = np.random.default_rng(seed)
+    G = 12
+    m = int(rng.integers(3, 14))
+    cx, cy = rng.uniform(2, G - 2, 2)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, m))
+    rad = rng.uniform(0.8, G / 2, m)
+    xs = cx + rad * np.cos(ang)
+    ys = cy + rad * np.sin(ang)
+    pts = ", ".join(f"{x} {y}" for x, y in zip(xs, ys))
+    wkt = f"POLYGON (({pts}, {xs[0]} {ys[0]}))"
+    if rng.random() < 0.5 and rad.min() > 1.0:
+        hr = rad.min() / 3
+        hx = [cx - hr, cx + hr, cx + hr, cx - hr]
+        hy = [cy - hr, cy - hr, cy + hr, cy + hr]
+        hole = ", ".join(f"{x} {y}" for x, y in zip(hx, hy))
+        wkt = f"POLYGON (({pts}, {xs[0]} {ys[0]}), ({hole}, {hx[0]} {hy[0]}))"
+    g = parse_wkt(wkt)
+    cov = coverage_fraction(g, 0.0, float(G), 1.0, 1.0, G, G)
+    for r in range(G):
+        for c in range(G):
+            cell = (float(c), float(G - 1 - r), float(c + 1), float(G - r))
+            cv = float(cov[r, c])
+            if cv <= 0.0 or cv >= 1.0:
+                continue  # interior/exterior handled by the fast paths
+            try:
+                polys = covered_polygons(g.rings, *cell)
+            except ValueError:
+                continue  # no traversals: coverage is 0 or 100%
+            area = _total_area(polys)
+            assert area == pytest.approx(cv, abs=2e-6), (seed, r, c)
