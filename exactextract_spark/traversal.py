@@ -133,8 +133,19 @@ def box_traversals(ring: np.ndarray, x0: float, y0: float,
         return [], [[(float(x), float(y)) for x, y in ring]]
     chains: list[list[tuple[float, float]]] = []
     cur: list[tuple[float, float]] | None = None
-    n = len(ring) - 1
-    for i in range(n):
+    # candidate pre-filter (vectorized): an edge can only contribute
+    # when an endpoint is inside or its bbox overlaps the box.  A
+    # skipped edge never carries an open chain (an open `cur` implies
+    # the previous edge ended inside, i.e. this edge's start is
+    # inside), so iterating only candidates is behavior-identical —
+    # and turns a 20k-edge coastline ring into a handful of loop
+    # iterations per cell instead of 20k.
+    eax, eay = xs[:-1], ys[:-1]
+    ebx, eby = xs[1:], ys[1:]
+    overlap = ((np.maximum(eax, ebx) >= x0) & (np.minimum(eax, ebx) <= x1) &
+               (np.maximum(eay, eby) >= y0) & (np.minimum(eay, eby) <= y1))
+    cand = np.flatnonzero(inside[:-1] | inside[1:] | overlap)
+    for i in cand:
         ax, ay, bx, by = float(xs[i]), float(ys[i]), float(xs[i + 1]), float(ys[i + 1])
         a_in, b_in = bool(inside[i]), bool(inside[i + 1])
         if a_in and b_in:
