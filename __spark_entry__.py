@@ -94,6 +94,21 @@ def _zonal_weighted_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
                          weight_tiles=wc_tiles, grid=grid, strategy="broadcast")
 
 
+def _zonal_dtype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference result typing on an integer raster (int32 i0):
+    min/max/majority in the cell dtype, median truncated toward zero
+    (operation.cpp:115-206), via dtype_results=True."""
+    cfg = SynthConfig.from_sf_dir(sf_dir)
+    docs = build_docs(spark, cfg)
+    zones = eio.zones_from_docs(docs)
+    meta = {r["raster_id"]: r.asDict()
+            for r in eio.raster_meta_from_docs(docs).collect()}
+    tiles = eio.tiles_from_docs(docs, "i0", meta["i0"])
+    grid = cfg.grid_dict()
+    return exact_extract(zones, tiles, ["min", "max", "majority", "median"],
+                         grid=grid, strategy="broadcast", dtype_results=True)
+
+
 def _zonal_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int16 raster with on-read scale/offset and a 0/1 mask band
     (reference scale_and_offset + mask semantics)."""
@@ -192,6 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               weighted=True),
         "zonal_weighted_regrid": _zonal_weighted_regrid,
         "zonal_scaled": _zonal_scaled,
+        "zonal_dtype": _zonal_dtype,
         "zonal_multiband": _zonal_multiband,
         "zonal_variance": _zq(["variance", "stdev"]),
         "zonal_weighted_variance": _zq(["weighted_variance", "weighted_stdev"],

@@ -128,7 +128,9 @@ def build_docs(spark: SparkSession, cfg: SynthConfig) -> DataFrame:
                     "rs0", "arith-v1", "-1.0", dtype="int16",
                     extra_meta=',"scale":0.5,"offset":10.0,'
                                '"mask_generator":"mod5-v1"')) \
-                .unionByName(raster_docs("mb0", "arith-v1", "-1.0", bands=2))
+                .unionByName(raster_docs("mb0", "arith-v1", "-1.0", bands=2)) \
+                .unionByName(raster_docs("i0", "arith-v1", "-1.0",
+                                         dtype="int32"))
 
 
 # ---------------------------------------------------------------------------

@@ -215,6 +215,45 @@ SELECT zone_id, median, quantile_25, quantile_75
 FROM r_median JOIN r_quantile_25 USING (zone_id) JOIN r_quantile_75 USING (zone_id)"""
 
 
+def zonal_dtype(cfg):
+    """Integer raster i0 (int32, same arith-v1 values as r0):
+    reference result typing — min/max/majority in the cell dtype,
+    median truncated toward zero (operation.cpp:115-206;
+    static_cast<T> of the interpolated quantile)."""
+    return f"""{_hist_cte(cfg)},
+m AS (
+  SELECT zone_id, v, ci,
+         ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY ci DESC, v DESC) AS rmaj
+  FROM h),
+mm AS (
+  SELECT zone_id, CAST(MIN(val) AS BIGINT) AS min, CAST(MAX(val) AS BIGINT) AS max
+  FROM pairs WHERE val IS NOT NULL GROUP BY zone_id),
+maj AS (
+  SELECT zone_id, CAST(MAX(CASE WHEN rmaj = 1 THEN v END) AS BIGINT) AS majority
+  FROM m GROUP BY zone_id),
+o AS (
+  SELECT zone_id, v, ci,
+         ROW_NUMBER() OVER w - 1 AS i,
+         SUM(ci) OVER (PARTITION BY zone_id ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cumprev,
+         COUNT(*) OVER (PARTITION BY zone_id) AS n,
+         SUM(ci) OVER (PARTITION BY zone_id) AS sw
+  FROM h
+  WINDOW w AS (PARTITION BY zone_id ORDER BY v)),
+q AS (
+  SELECT zone_id, v AS x,
+         i * ci + (n - 1) * COALESCE(cumprev, 0.0) AS s,
+         LEAD(v) OVER w2 AS nx,
+         LEAD(i * ci + (n - 1) * COALESCE(cumprev, 0.0)) OVER w2 AS ns,
+         sw * (n - 1) AS sn
+  FROM o
+  WINDOW w2 AS (PARTITION BY zone_id ORDER BY v)),
+{_quantile_expr('0.5', 'median')}
+SELECT mm.zone_id, mm.min, mm.max, maj.majority,
+       CAST(TRUNC(r_median.median) AS BIGINT) AS median
+FROM mm JOIN maj USING (zone_id) JOIN r_median USING (zone_id)"""
+
+
 def zonal_minmax_loc(cfg):
     G = cfg.G
     return f"""WITH {pairs_sql(cfg)},
@@ -351,6 +390,7 @@ ZONAL_ORACLES = {
     "zonal_histogram": zonal_histogram,
     "zonal_frac": zonal_frac,
     "zonal_quantiles": zonal_quantiles,
+    "zonal_dtype": zonal_dtype,
     "zonal_minmax_loc": zonal_minmax_loc,
     "zonal_coverage_none": zonal_coverage_none,
     "zonal_min_coverage": zonal_min_coverage,
