@@ -29,7 +29,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fid", default="zone_id", help="zone id column")
     p.add_argument("--geom", default="geometry", help="WKT geometry column")
     p.add_argument("--docs", help="interleaved-docs table: parquet path or catalog/Iceberg table name")
-    p.add_argument("--raster", required=False, help="NAME=tiles.parquet or raster id in --docs")
+    p.add_argument("--raster", required=False, action="append",
+                   help="NAME=tiles.parquet or raster id in --docs; "
+                        "repeatable — several rasters run as ONE fused "
+                        "tile scan with {name}_{stat} output columns "
+                        "(reference: repeated -r)")
+    p.add_argument("--include-geom", action="store_true",
+                   help="include the zone geometry (WKT) in the output")
     p.add_argument("--weights", help="NAME=tiles.parquet or raster id in --docs")
     p.add_argument("--stat", "-s", action="append", dest="stats")
     p.add_argument("--subdivide", action="store_true",
@@ -69,17 +75,21 @@ def main(argv=None) -> int:
 
     spark = get_spark(app="exactextract-cli", cores=args.cores)
 
+    rasters = args.raster or []
+    multi = {}
     if args.docs:
         docs = eio.read_docs(spark, args.docs)
         zones = eio.zones_from_docs(docs)
         meta = {r["raster_id"]: r.asDict()
                 for r in eio.raster_meta_from_docs(docs).collect()}
-        rid = args.raster or next(iter(meta))
-        tiles = eio.tiles_from_docs(docs, rid, meta[rid])
+        rids = rasters or [next(iter(meta))]
+        for r in rids:
+            multi[r] = eio.tiles_from_docs(docs, r, meta[r])
+        tiles = multi[rids[0]]
         wtiles = eio.tiles_from_docs(docs, args.weights, meta[args.weights]) \
             if args.weights else None
     else:
-        if not args.polygons or not args.raster:
+        if not args.polygons or not rasters:
             print("either --docs or both --polygons and --raster are required",
                   file=sys.stderr)
             return 2
@@ -91,12 +101,18 @@ def main(argv=None) -> int:
             zones = spark.read.parquet(args.polygons) \
                 .withColumnRenamed(args.fid, "zone_id") \
                 .withColumnRenamed(args.geom, "geometry")
-        _, _, tpath = args.raster.partition("=")
-        tiles = spark.read.parquet(tpath or args.raster)
+        for i, spec in enumerate(rasters):
+            name, _, tpath = spec.partition("=")
+            multi[name if tpath else f"r{i}"] = \
+                spark.read.parquet(tpath or spec)
+        tiles = next(iter(multi.values()))
         wtiles = None
         if args.weights:
             _, _, wpath = args.weights.partition("=")
             wtiles = spark.read.parquet(wpath or args.weights)
+    include_cols = list(args.include_cols or [])
+    if args.include_geom:
+        include_cols.append("geometry")
 
     if args.subdivide:
         from .subdivide import subdivide as _subdivide
@@ -109,14 +125,19 @@ def main(argv=None) -> int:
         print(f"wrote {args.output}")
         return 0
 
-    res = exact_extract(zones, tiles, args.stats, weight_tiles=wtiles,
-                        include_cols=args.include_cols or None,
-                        strategy=args.strategy,
-                        frac_as_map=args.frac_as_map,
-                        undefined=args.undefined,
-                        dtype_results=args.dtype_results,
-                        preserve_order=args.preserve_order,
-                        compat=args.compat)
+    if len(multi) > 1:
+        from .api import exact_extract_fused
+        res = exact_extract_fused(zones, multi, args.stats,
+                                  include_cols=include_cols or None)
+    else:
+        res = exact_extract(zones, tiles, args.stats, weight_tiles=wtiles,
+                            include_cols=include_cols or None,
+                            strategy=args.strategy,
+                            frac_as_map=args.frac_as_map,
+                            undefined=args.undefined,
+                            dtype_results=args.dtype_results,
+                            preserve_order=args.preserve_order,
+                            compat=args.compat)
     if args.id_type:
         res = res.withColumn("zone_id", F.col("zone_id").cast(args.id_type))
     if args.id_name:

@@ -327,3 +327,27 @@ def test_zones_from_geojson(spark, tmp_path):
            exact_extract(z2.select("zone_id", "geometry"), tiles,
                          ["count"]).collect()}
     assert res["alpha"] == 4.0 and res["beta"] == 2.0
+
+
+def test_cli_multi_raster_and_include_geom(spark, tmp_path):
+    from exactextract_spark.cli import main
+    from exactextract_spark.fixtures import SynthConfig, build_docs
+
+    build_docs(spark, SynthConfig(G=64, Z=6)).write.parquet(
+        str(tmp_path / "docs.parquet"))
+    rc = main(["--docs", str(tmp_path / "docs.parquet"),
+               "--raster", "r0", "--raster", "i0",
+               "--stat", "mean", "--stat", "count",
+               "--include-geom",
+               "--output", str(tmp_path / "o.parquet"), "--cores", "8"])
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "o.parquet"))
+    cols = set(out.columns)
+    assert {"r0_mean", "r0_count", "i0_mean", "i0_count",
+            "geometry"} <= cols
+    rows = out.collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r["geometry"].startswith("POLYGON")
+        # same generator values on both rasters -> identical means
+        assert r["r0_mean"] == r["i0_mean"]
