@@ -456,7 +456,9 @@ def accumulate_pairs_batch(pairs, tile_vals, key_specs, *, has_weights,
                 hciw = np.zeros_like(hci)
             pair_of = uc // nu
             val_of = uniq_v[uc % nu]
-            res["_hist"] = (val_of, hci, hciw, pair_of)
+            lo_b = np.searchsorted(pair_of, np.arange(P), side="left")
+            hi_b = np.searchsorted(pair_of, np.arange(P), side="right")
+            res["_hist"] = (val_of, hci, hciw, lo_b, hi_b)
         key_results.append(res)
 
     rows = np.flatnonzero(active_any)
@@ -507,38 +509,39 @@ def accumulate_pairs_batch(pairs, tile_vals, key_specs, *, has_weights,
                 out[pfx + "min_y"] = col(grid_ymax - (mr + 0.5) * dy)
                 out[pfx + "max_x"] = col(grid_xmin + (xc + 0.5) * dx)
                 out[pfx + "max_y"] = col(grid_ymax - (xr + 0.5) * dy)
-    # histogram partials are emitted as EXPLODED SCALAR ROWS (one row
-    # per (pair, value) bucket, flat float64 columns) rather than a
-    # per-pair array<struct> column: the Arrow serializer runs a
-    # per-element Python converter for list<struct> columns, which
-    # re-introduced the per-pair dispatch cost the batch kernel exists
-    # to kill, and the aggregation layer exploded the list right back
-    # anyway (extract.aggregate_partials).  NaN poisoning of the
-    # weighted bucket sums travels as an explicit hist_wnan flag
-    # (pandas NaN becomes SQL NULL at the Arrow boundary and would
-    # silently drop out of sum()).
-    hist_frames = []
+    # histogram partials ride the pair row as three PARALLEL PRIMITIVE
+    # ARRAYS (numpy slice views of the flat bucket streams).  The Arrow
+    # serializer converts an array<double> column per ROW (one C-level
+    # list per slice) — never the per-ELEMENT Python dict conversion an
+    # array<struct> column costs — and the aggregation explodes
+    # JVM-side, keeping the partial row count per PAIR, not per bucket
+    # (measured 2.5× faster than exploded scalar bucket rows at 150k
+    # zones × 97 buckets).  NaN weighted sums survive inside array
+    # elements (only top-level NaN becomes SQL NULL at the boundary).
     for (i, req, _vname, _kwargs), res in zip(key_specs, key_results):
         if res is None or not req.histogram:
             continue
-        val_of, hci, hciw, pair_of = res["_hist"]
-        if val_of.size == 0:
-            continue
-        hcols = {"zone_id": zarr[pair_of]}
-        for t, name in enumerate(passthrough):
-            hcols[name] = ptarrs[t][pair_of]
+        val_of, hci, hciw, lo_b, hi_b = res["_hist"]
+        act = res["active"]
         pfx = f"k{i}_"
-        hcols[pfx + "hist_v"] = val_of
-        hcols[pfx + "hist_ci"] = hci
-        if req.weighted:
-            wnan = np.isnan(hciw)
-            hcols[pfx + "hist_ciw"] = np.where(wnan, 0.0, hciw)
-            hcols[pfx + "hist_wnan"] = wnan
-        else:
-            hcols[pfx + "hist_ciw"] = hciw
-        hist_frames.append(pd.DataFrame(hcols))
+        for name, arr in ((pfx + "hist_v", val_of),
+                          (pfx + "hist_ci", hci),
+                          (pfx + "hist_ciw", hciw)):
+            col_o = np.empty(rows.size, dtype=object)
+            col_o[:] = None
+            for o, g in enumerate(rows):
+                if act[g]:
+                    col_o[o] = arr[lo_b[g]:hi_b[g]]
+            out[name] = col_o
 
+    # a key inactive across the whole chunk leaves its histogram
+    # columns missing — they must reindex to None objects, not NaN
+    # floats (the Arrow array converter iterates non-None values)
+    for i, req, _vname, _kwargs in key_specs:
+        if req.histogram:
+            for suffix in ("hist_v", "hist_ci", "hist_ciw"):
+                name = f"k{i}_{suffix}"
+                if name not in out:
+                    out[name] = np.full(rows.size, None, dtype=object)
     df = pd.DataFrame({c: out[c] for c in col_names if c in out})
-    if hist_frames:
-        df = pd.concat([df, *hist_frames], ignore_index=True)
     return df.reindex(columns=col_names)

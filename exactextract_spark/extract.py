@@ -186,18 +186,25 @@ def _partial_schema(keygroups, passthrough=()) -> T.StructType:
                 fields += [T.StructField(p + n, T.DoubleType())
                            for n in ("min_x", "min_y", "max_x", "max_y")]
         if req.histogram:
-            # exploded scalar histogram partials: one ROW per
-            # (pair, value) bucket, flat doubles — never an
-            # array<struct> column, whose Arrow conversion runs a
-            # per-element Python converter (the q_hist hot path).
-            # hist_wnan carries the reference's NaN poisoning of the
-            # weighted bucket sum across the Arrow boundary (pandas NaN
-            # becomes SQL NULL and would silently drop out of sum()).
-            fields += [T.StructField(p + "hist_v", T.DoubleType()),
-                       T.StructField(p + "hist_ci", T.DoubleType()),
-                       T.StructField(p + "hist_ciw", T.DoubleType())]
-            if req.weighted:
-                fields.append(T.StructField(p + "hist_wnan", T.BooleanType()))
+            # per-pair histogram as three PARALLEL PRIMITIVE ARRAYS.
+            # Measured against the two alternatives at 150k zones ×
+            # 16k-cell windows (97 value buckets):
+            # - array<struct{v,ci,ciw}> (round 2): the Arrow serializer
+            #   runs a per-ELEMENT Python dict converter — the q_hist
+            #   hot-path cost;
+            # - one flat row per (pair, value) bucket: 97× the partial
+            #   rows through pandas/Arrow/HashAggregate — 2.5× slower
+            #   than round 2 at scale (JVM-side explode of a small row
+            #   set beats Python-side row materialization).
+            # Parallel primitive arrays keep the tiny row count AND
+            # convert per-row (one C-level list per array), not
+            # per-element; the aggregation explodes arrays_zip JVM-side.
+            # NaN (the reference's poisoning of weighted bucket sums)
+            # survives INSIDE array elements — only top-level NaN
+            # becomes SQL NULL at the Arrow boundary.
+            fields += [T.StructField(p + "hist_v", T.ArrayType(T.DoubleType())),
+                       T.StructField(p + "hist_ci", T.ArrayType(T.DoubleType())),
+                       T.StructField(p + "hist_ciw", T.ArrayType(T.DoubleType()))]
         if req.cells:
             fields.append(T.StructField(p + "cells", _CELLS_T))
     return T.StructType(fields)
@@ -429,21 +436,13 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
                         for k, v in part.items():
                             rec[f"k{i}_{k}"] = v
                         if hist is not None:
-                            # exploded scalar histogram rows (see
-                            # _partial_schema) — NaN-poisoned weighted
-                            # sums become (0, wnan=True)
+                            # parallel primitive arrays (see
+                            # _partial_schema); numpy arrays convert
+                            # per-row C-level, never per-element Python
                             uniq, hci, hciw = hist
-                            for hv, hc, hw in zip(uniq, hci, hciw):
-                                hrec = {"zone_id": zid, **pt,
-                                        f"k{i}_hist_v": float(hv),
-                                        f"k{i}_hist_ci": float(hc)}
-                                if req.weighted:
-                                    wn = bool(np.isnan(hw))
-                                    hrec[f"k{i}_hist_ciw"] = 0.0 if wn else float(hw)
-                                    hrec[f"k{i}_hist_wnan"] = wn
-                                else:
-                                    hrec[f"k{i}_hist_ciw"] = float(hw)
-                                out_rows.append(hrec)
+                            rec[f"k{i}_hist_v"] = uniq
+                            rec[f"k{i}_hist_ci"] = hci
+                            rec[f"k{i}_hist_ciw"] = hciw
                     if any_key:
                         out_rows.append(rec)
                 # bound decoded-tile + stream memory: flush a full batch
@@ -465,7 +464,8 @@ def run_kernel(joined: DataFrame, keygroups, *, geom_lookup=None,
             # keys' array columns as NaN floats — Arrow needs None
             for c in _arr_cols:
                 if c in out.columns:
-                    out[c] = [v if isinstance(v, list) else None for v in out[c]]
+                    out[c] = [v if isinstance(v, (list, np.ndarray)) else None
+                              for v in out[c]]
             yield out
 
     return joined.mapInPandas(kernel, schema=schema)
@@ -949,16 +949,16 @@ def aggregate_partials(zones_b, partials, keygroups, *, int_values=False,
     _SCALAR_STATS = {"count", "sum", "mean", "variance", "stdev",
                      "coefficient_of_variation", "weighted_count", "weighted_sum",
                      "weighted_mean", "weighted_variance", "weighted_stdev"}
-    _needs_scalar_pass = any(
-        any(o.stat in _SCALAR_STATS for o in ops_in_key) or req.minmax
-        for _, req, ops_in_key in keygroups)
-    # persist only when MULTIPLE aggregation branches re-read the
-    # partials — a single-consumer plan (e.g. a pure-histogram query)
-    # would pay cache materialization for nothing
-    n_consumers = (int(_needs_scalar_pass)
-                   + sum(int(req.stable_variance) + int(req.histogram)
-                         + int(req.cells) for _, req, _ in keygroups))
-    if n_consumers > 1:
+    # Persist the partials whenever a histogram/cells branch consumes
+    # them — even single-consumer.  Measured at 150k zones × 97 value
+    # buckets (local[16]): WITHOUT the persist, Catalyst fuses
+    # MapInPandas → explode → partial HashAggregate into one stage and
+    # the histogram query runs 2× slower (34–49 s vs 17 s); cutting
+    # the stage at the compact per-pair rows lets the Python kernel
+    # stage and the explode+aggregate stage each run clean.
+    need_hist = any(req.histogram for _, req, _ in keygroups)
+    need_cells = any(req.cells for _, req, _ in keygroups)
+    if need_hist or need_cells:
         partials = partials.persist()
 
     aggs = []
@@ -1026,10 +1026,13 @@ def aggregate_partials(zones_b, partials, keygroups, *, int_values=False,
                           F.col("m2").alias(p + "svar_m2")))
             result = result.join(sv, "zone_id", "left")
 
-    # --- histogram branch: the partials are already exploded scalar
-    # (pair, value) bucket rows — merge key-wise (mergeable histogram;
-    # raster_stats.h:752-757 merged as in combine()).  Only the
-    # aggregates the requested ops actually read are built: without a
+    # --- histogram branch: per-pair parallel arrays explode JVM-SIDE
+    # (arrays_zip + explode are whole-stage-codegen generators over the
+    # small per-pair row set), then merge key-wise (mergeable
+    # histogram; raster_stats.h:752-757 merged as in combine()).  NaN
+    # weighted sums propagate through F.sum (NaN is a value, not NULL,
+    # in Spark SQL — reference NaN poisoning).  Only the aggregates
+    # the requested ops actually read are built: without a
     # sorted-histogram consumer the per-zone agg stays a cheap scalar
     # aggregation instead of an ObjectHashAggregate collect_list. ---
     _SORTED_STATS = {"unique", "frac", "weighted_frac", "median", "quantile"}
@@ -1037,16 +1040,13 @@ def aggregate_partials(zones_b, partials, keygroups, *, int_values=False,
         p = f"k{i}_"
         if req.histogram:
             stats = {o.stat for o in ops_in_key}
-            if req.weighted:
-                # any NaN-poisoned partial makes the merged bucket's
-                # weighted sum NaN (reference NaN propagation)
-                ciw = F.when(F.coalesce(F.max(p + "hist_wnan"), F.lit(False)),
-                             F.lit(float("nan"))).otherwise(F.sum(p + "hist_ciw"))
-            else:
-                ciw = F.sum(p + "hist_ciw")
             h = (partials.where(F.col(p + "hist_v").isNotNull())
-                 .groupBy("zone_id", F.col(p + "hist_v").alias("v"))
-                 .agg(F.sum(p + "hist_ci").alias("ci"), ciw.alias("ciw")))
+                 .select("zone_id", F.explode(F.arrays_zip(
+                     F.col(p + "hist_v").alias("v"),
+                     F.col(p + "hist_ci").alias("ci"),
+                     F.col(p + "hist_ciw").alias("ciw"))).alias("h"))
+                 .groupBy("zone_id", F.col("h.v").alias("v"))
+                 .agg(F.sum("h.ci").alias("ci"), F.sum("h.ciw").alias("ciw")))
             hz_aggs = [F.count("*").alias(p + "variety")]
             if stats & {"majority", "mode"}:
                 hz_aggs.append(

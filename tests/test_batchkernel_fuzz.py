@@ -119,7 +119,6 @@ def test_batch_equals_perpair_fuzz(seed):
                     want_rows.append(rec)
 
     cols = ["zone_id"]
-    hist_keys = []
     for i, (_, req, _) in enumerate(kg):
         p = f"k{i}_"
         cols += [p + "n", p + "sum_c", p + "sum_cx"]
@@ -130,27 +129,21 @@ def test_batch_equals_perpair_fuzz(seed):
         if req.minmax:
             cols += [p + "min_v", p + "min_cell", p + "max_v", p + "max_cell"]
         if req.histogram:
-            hist_keys.append((i, req))
             cols += [p + "hist_v", p + "hist_ci", p + "hist_ciw"]
-            if req.weighted:
-                cols.append(p + "hist_wnan")
     got = accumulate_pairs_batch(pairs, tile_vals, key_specs,
                                  has_weights=True, passthrough=(),
                                  col_names=cols, grid_ncols=G, grid_xmin=gx,
                                  grid_ymax=gy, dx=dx, dy=dy,
                                  multi_raster=False, seg_cache=seg_cache)
-    # scalar rows come first, pair-ordered like the reference loop;
-    # histogram partials follow as exploded (pair, value) scalar rows
-    hist_mask = np.zeros(len(got), dtype=bool)
-    for i, _req in hist_keys:
-        hist_mask |= got[f"k{i}_hist_v"].notna().to_numpy()
-    got_scalar = got[~hist_mask]
-    assert len(got_scalar) == len(want_rows), (len(got_scalar), len(want_rows))
-    scalar_cols = [c for c in cols[1:] if "_hist_" not in c]
-    for out_row, rec in zip(got_scalar.to_dict("records"), want_rows):
+    assert len(got) == len(want_rows), (len(got), len(want_rows))
+    # batch rows come out pair-ordered like the reference loop; the
+    # histogram rides each pair row as three parallel arrays
+    for out_row, rec in zip(got.to_dict("records"), want_rows):
         assert out_row["zone_id"] == rec["zone_id"]
-        for c in scalar_cols:
+        for c in cols[1:]:
             a = out_row.get(c)
+            if "_hist_" in c:
+                continue  # compared below via the per-pair tuple
             b = rec.get(c)
             if b is None:
                 assert a is None or (isinstance(a, float) and np.isnan(a)), (c, a)
@@ -160,28 +153,22 @@ def test_batch_equals_perpair_fuzz(seed):
                 assert a == pytest.approx(b, rel=1e-12), (c, a, b)
             else:
                 assert a == b, (c, a, b, rec["zone_id"], rec["_tile"])
-    # histogram rows: concatenation over pairs (in pair order) of the
-    # per-pair (uniq, hci, hciw) arrays, zone_id repeated per bucket
-    for i, req in hist_keys:
-        p = f"k{i}_"
-        hgot = got[got[p + "hist_v"].notna()]
-        exp_z, exp_v, exp_ci, exp_ciw = [], [], [], []
-        for rec in want_rows:
+        for i, (_, req, _) in enumerate(kg):
+            if not req.histogram:
+                continue
+            p = f"k{i}_"
             h = rec.get(p + "hist")
             if h is None:
+                for sfx in ("hist_v", "hist_ci", "hist_ciw"):
+                    a = out_row.get(p + sfx)
+                    assert a is None or (isinstance(a, float) and np.isnan(a))
                 continue
             uniq, hci, hciw = h
-            exp_z += [rec["zone_id"]] * len(uniq)
-            exp_v += list(uniq)
-            exp_ci += list(hci)
-            exp_ciw += list(hciw)
-        assert list(hgot["zone_id"]) == exp_z
-        assert list(hgot[p + "hist_v"]) == exp_v
-        assert list(hgot[p + "hist_ci"]) == pytest.approx(exp_ci, rel=1e-12)
-        if req.weighted:
-            wnan = np.isnan(np.array(exp_ciw))
-            assert list(hgot[p + "hist_wnan"]) == list(wnan)
-            assert list(hgot[p + "hist_ciw"]) == pytest.approx(
-                list(np.where(wnan, 0.0, exp_ciw)), rel=1e-12)
-        else:
-            assert list(hgot[p + "hist_ciw"]) == pytest.approx(exp_ciw, rel=1e-12)
+            assert list(out_row[p + "hist_v"]) == list(uniq)
+            assert list(out_row[p + "hist_ci"]) == pytest.approx(
+                list(hci), rel=1e-12)
+            got_ciw = np.asarray(out_row[p + "hist_ciw"], dtype=np.float64)
+            exp_ciw = np.asarray(hciw, dtype=np.float64)
+            nan_a = np.isnan(got_ciw)
+            assert list(nan_a) == list(np.isnan(exp_ciw))
+            assert got_ciw[~nan_a] == pytest.approx(exp_ciw[~nan_a], rel=1e-12)
