@@ -433,3 +433,77 @@ def zones_from_geojson(spark, source, *, id_property: str | None = None) -> Data
                                 "props": props_col})
 
     return txt.mapInPandas(conv, schema=out_schema)
+
+
+def _wkt_to_geojson_geom(wkt: str) -> dict:
+    """WKT → GeoJSON geometry dict (inverse of _geojson_geom_to_wkt;
+    covers the engine's geometry surface)."""
+    from .geom import parse_wkt as _parse
+
+    tag = wkt.lstrip().split("(", 1)[0].strip().upper()
+    g = _parse(wkt)
+    rings = [[[float(x), float(y)] for x, y in r] for r in g.rings]
+    if g.kind == "linear":
+        if tag == "LINESTRING" and len(rings) == 1:
+            return {"type": "LineString", "coordinates": rings[0]}
+        return {"type": "MultiLineString", "coordinates": rings}
+    # areal: group shells (positive signed area after the parser's
+    # normalization) with their following holes
+    from .geom import ring_signed_area
+    import numpy as _np
+
+    polys: list[list] = []
+    for r, coords in zip(g.rings, rings):
+        if ring_signed_area(_np.asarray(r)) >= 0 or not polys:
+            polys.append([coords])
+        else:
+            polys[-1].append(coords)
+    if tag == "POLYGON" and len(polys) == 1:
+        return {"type": "Polygon", "coordinates": polys[0]}
+    return {"type": "MultiPolygon", "coordinates": polys}
+
+
+def write_geojson(df: DataFrame, path: str, *, geometry_col: str = "geometry",
+                  id_col: str = "zone_id") -> None:
+    """Write results as newline-delimited GeoJSON Features (one Feature
+    per line, the standard big-data GeoJSON interchange; every line is
+    a complete Feature so the output stays splittable).  The reference's
+    GeoJSON writer analog (python writer.py JSONWriter).
+
+    All non-geometry columns become Feature properties; rows without a
+    geometry column still write (geometry: null), like the reference
+    writing every feature."""
+    import json as _json
+    import math as _math
+
+    import pandas as pd
+
+    cols = df.columns
+    has_geom = geometry_col in cols
+
+    def to_feature(batches):
+        for pdf in batches:
+            out = []
+            for rec in pdf.to_dict("records"):
+                geom = None
+                if has_geom and rec.get(geometry_col):
+                    geom = _wkt_to_geojson_geom(rec.pop(geometry_col))
+                elif has_geom:
+                    rec.pop(geometry_col, None)
+                fid = rec.get(id_col)
+                props = {}
+                for k, v in rec.items():
+                    if isinstance(v, float) and _math.isnan(v):
+                        v = None
+                    elif hasattr(v, "item"):
+                        v = v.item()
+                    elif hasattr(v, "tolist"):
+                        v = v.tolist()
+                    props[k] = v
+                out.append(_json.dumps(
+                    {"type": "Feature", "id": fid, "geometry": geom,
+                     "properties": props}))
+            yield pd.DataFrame({"value": out})
+
+    df.mapInPandas(to_feature, schema="value string") \
+        .write.mode("overwrite").text(path)

@@ -351,3 +351,44 @@ def test_cli_multi_raster_and_include_geom(spark, tmp_path):
         assert r["geometry"].startswith("POLYGON")
         # same generator values on both rasters -> identical means
         assert r["r0_mean"] == r["i0_mean"]
+
+
+def test_write_geojson_roundtrip(spark, tmp_path):
+    import json
+
+    import numpy as np
+    from exactextract_spark.extract import exact_extract
+    from exactextract_spark.io import (tiles_from_array, write_geojson,
+                                       zones_from_geojson)
+
+    tiles = tiles_from_array(spark, np.arange(64.0).reshape(8, 8))
+    zones = spark.createDataFrame(
+        [("a", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+         ("b", "MULTIPOLYGON (((3 3, 4 3, 4 4, 3 4, 3 3)), "
+               "((5 5, 6 5, 6 6, 5 6, 5 5)))"),
+         ("h", "POLYGON ((0 4, 4 4, 4 8, 0 8, 0 4), "
+               "(1 5, 3 5, 3 7, 1 7, 1 5))")],
+        ["zone_id", "geometry"])
+    res = exact_extract(zones, tiles, ["count", "mean"],
+                        include_cols=["geometry"])
+    out = tmp_path / "out.geojsonl"
+    write_geojson(res, str(out))
+    feats = [json.loads(line) for f in sorted(out.glob("part-*"))
+             for line in f.read_text().splitlines() if line]
+    assert len(feats) == 3
+    by_id = {f["id"]: f for f in feats}
+    assert by_id["a"]["geometry"]["type"] == "Polygon"
+    assert by_id["b"]["geometry"]["type"] == "MultiPolygon"
+    assert by_id["h"]["geometry"]["type"] == "Polygon"
+    assert len(by_id["h"]["geometry"]["coordinates"]) == 2  # shell + hole
+    assert by_id["a"]["properties"]["count"] == 4.0
+    # the written features parse straight back in as a zones source
+    files = sorted(out.glob("part-*"))
+    p2 = tmp_path / "zones.jsonl"
+    p2.write_text("\n".join(f.read_text().strip() for f in files))
+    z3 = zones_from_geojson(spark, str(p2))
+    res2 = exact_extract(z3.select("zone_id", "geometry"), tiles,
+                         ["count"])
+    got = {r["zone_id"]: r["count"] for r in res2.collect()}
+    # ids become the GeoJSON Feature id (strings preserved)
+    assert got["a"] == 4.0 and got["b"] == 2.0 and got["h"] == 12.0
