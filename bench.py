@@ -116,8 +116,8 @@ def scale_point_subdivide(spark, cfg, tiles, grid):
 
     stars = star_zones(spark, cfg, n=2000, verts=10)
     df = subdivide(stars, tiles, grid=grid)
+    n = df.count()  # before the timed runs — counting re-executes the pipeline
     best = _best_of(lambda: df.write.format("noop").mode("overwrite").save())
-    n = df.count()
     return {"sec": round(best, 3), "pieces": int(n),
             "pieces_per_sec": round(n / best, 1)}
 

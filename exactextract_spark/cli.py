@@ -26,7 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="zone rows: parquet, or GeoJSON "
                         "(.geojson/.json FeatureCollection, "
                         ".jsonl/.ndjson feature-per-line)")
-    p.add_argument("--fid", default="zone_id", help="zone id column")
+    p.add_argument("--fid", default=None,
+                   help="zone id column (parquet) / id property (GeoJSON); "
+                        "default: 'zone_id' column / the Feature id member")
     p.add_argument("--geom", default="geometry", help="WKT geometry column")
     p.add_argument("--docs", help="interleaved-docs table: parquet path or catalog/Iceberg table name")
     p.add_argument("--raster", required=False, action="append",
@@ -94,12 +96,11 @@ def main(argv=None) -> int:
                   file=sys.stderr)
             return 2
         if args.polygons.endswith((".geojson", ".json", ".jsonl", ".ndjson")):
-            zones = eio.zones_from_geojson(
-                spark, args.polygons,
-                id_property=None if args.fid == "zone_id" else args.fid)
+            zones = eio.zones_from_geojson(spark, args.polygons,
+                                           id_property=args.fid)
         else:
             zones = spark.read.parquet(args.polygons) \
-                .withColumnRenamed(args.fid, "zone_id") \
+                .withColumnRenamed(args.fid or "zone_id", "zone_id") \
                 .withColumnRenamed(args.geom, "geometry")
         for i, spec in enumerate(rasters):
             name, _, tpath = spec.partition("=")
@@ -126,6 +127,19 @@ def main(argv=None) -> int:
         return 0
 
     if len(multi) > 1:
+        # the fused multi-raster path supports a subset of the options;
+        # fail loudly instead of silently dropping flags
+        unsupported = [flag for flag, on in (
+            ("--weights", args.weights), ("--frac-as-map", args.frac_as_map),
+            ("--undefined nan", args.undefined != "null"),
+            ("--dtype-results", args.dtype_results),
+            ("--preserve-order", args.preserve_order),
+            ("--compat", args.compat),
+            ("--strategy", args.strategy != "auto")) if on]
+        if unsupported:
+            print("not supported with multiple --raster inputs: "
+                  + ", ".join(unsupported), file=sys.stderr)
+            return 2
         from .api import exact_extract_fused
         res = exact_extract_fused(zones, multi, args.stats,
                                   include_cols=include_cols or None)

@@ -69,7 +69,9 @@ def crs_matches(crs_a: str | None, crs_b: str | None) -> bool:
     try:
         from pyproj import CRS
         return CRS.from_user_input(crs_a) == CRS.from_user_input(crs_b)
-    except ImportError:
+    except Exception:
+        # no pyproj, or an unparseable CRS string: this feeds a
+        # WARN-only path — report a mismatch rather than raising
         return False
 
 
@@ -833,7 +835,11 @@ class ZonalExtractor:
         if undefined == "nan":
             # the reference writes NaN (not null) for undefined scalar
             # STATISTICS — zone_id / include_cols attributes keep their
-            # legitimate NULLs
+            # legitimate NULLs.  dtype_results LongType columns cannot
+            # hold NaN; they stay SQL NULL, which toPandas() renders as
+            # a float64 column with NaN — exactly what the reference's
+            # pandas output does when an integer-typed stat has missing
+            # features (pandas has no nullable-int default either).
             op_names = {o.name for o in op_list}
             for f in res.schema.fields:
                 if f.name in op_names and isinstance(f.dataType, T.DoubleType):

@@ -481,6 +481,17 @@ def write_geojson(df: DataFrame, path: str, *, geometry_col: str = "geometry",
     cols = df.columns
     has_geom = geometry_col in cols
 
+    def conv_value(v):
+        # numpy → JSON-safe: arrays BEFORE scalars (every ndarray also
+        # has .item, which raises for size != 1)
+        if isinstance(v, np.ndarray):
+            return v.tolist()
+        if hasattr(v, "item"):
+            v = v.item()
+        if isinstance(v, float) and _math.isnan(v):
+            return None
+        return v
+
     def to_feature(batches):
         for pdf in batches:
             out = []
@@ -490,16 +501,8 @@ def write_geojson(df: DataFrame, path: str, *, geometry_col: str = "geometry",
                     geom = _wkt_to_geojson_geom(rec.pop(geometry_col))
                 elif has_geom:
                     rec.pop(geometry_col, None)
-                fid = rec.get(id_col)
-                props = {}
-                for k, v in rec.items():
-                    if isinstance(v, float) and _math.isnan(v):
-                        v = None
-                    elif hasattr(v, "item"):
-                        v = v.item()
-                    elif hasattr(v, "tolist"):
-                        v = v.tolist()
-                    props[k] = v
+                fid = conv_value(rec.get(id_col))
+                props = {k: conv_value(v) for k, v in rec.items()}
                 out.append(_json.dumps(
                     {"type": "Feature", "id": fid, "geometry": geom,
                      "properties": props}))

@@ -176,22 +176,12 @@ SELECT h.zone_id, h.v AS value, h.ci / t.tot AS frac, h.ciw / t.totw AS weighted
 FROM h JOIN t USING (zone_id)"""
 
 
-def _quantile_expr(q: str, out: str) -> str:
-    """One quantile via the reference formula (weighted_quantiles.cpp:21-75)."""
-    return f"""
-sel_{out} AS (
-  SELECT zone_id, x + ({q} * sn - s) * (nx - x) / (ns - s) AS val_interp, x AS val_last,
-         ns IS NULL AS at_end
-  FROM q
-  WHERE s <= {q} * sn AND (ns IS NULL OR ns > {q} * sn)),
-r_{out} AS (
-  SELECT zone_id, CASE WHEN at_end THEN val_last ELSE val_interp END AS {out}
-  FROM sel_{out})"""
-
-
-def zonal_quantiles(cfg):
-    return f"""{_hist_cte(cfg)},
-o AS (
+def _quantile_cte() -> str:
+    """The o/q CTE pair feeding _quantile_expr: per-zone sorted distinct
+    values with the reference's s_i = i*w_i + (n-1)*cumsum_{i-1}
+    positions (weighted_quantiles.cpp:21-75).  Expects a CTE ``h`` of
+    (zone_id, v, ci)."""
+    return """o AS (
   SELECT zone_id, v, ci,
          ROW_NUMBER() OVER w - 1 AS i,
          SUM(ci) OVER (PARTITION BY zone_id ORDER BY v
@@ -207,7 +197,25 @@ q AS (
          LEAD(i * ci + (n - 1) * COALESCE(cumprev, 0.0)) OVER w2 AS ns,
          sw * (n - 1) AS sn
   FROM o
-  WINDOW w2 AS (PARTITION BY zone_id ORDER BY v)),
+  WINDOW w2 AS (PARTITION BY zone_id ORDER BY v))"""
+
+
+def _quantile_expr(q: str, out: str) -> str:
+    """One quantile via the reference formula (weighted_quantiles.cpp:21-75)."""
+    return f"""
+sel_{out} AS (
+  SELECT zone_id, x + ({q} * sn - s) * (nx - x) / (ns - s) AS val_interp, x AS val_last,
+         ns IS NULL AS at_end
+  FROM q
+  WHERE s <= {q} * sn AND (ns IS NULL OR ns > {q} * sn)),
+r_{out} AS (
+  SELECT zone_id, CASE WHEN at_end THEN val_last ELSE val_interp END AS {out}
+  FROM sel_{out})"""
+
+
+def zonal_quantiles(cfg):
+    return f"""{_hist_cte(cfg)},
+{_quantile_cte()},
 {_quantile_expr('0.5', 'median')},
 {_quantile_expr('0.25', 'quantile_25')},
 {_quantile_expr('0.75', 'quantile_75')}
@@ -231,23 +239,7 @@ mm AS (
 maj AS (
   SELECT zone_id, CAST(MAX(CASE WHEN rmaj = 1 THEN v END) AS BIGINT) AS majority
   FROM m GROUP BY zone_id),
-o AS (
-  SELECT zone_id, v, ci,
-         ROW_NUMBER() OVER w - 1 AS i,
-         SUM(ci) OVER (PARTITION BY zone_id ORDER BY v
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cumprev,
-         COUNT(*) OVER (PARTITION BY zone_id) AS n,
-         SUM(ci) OVER (PARTITION BY zone_id) AS sw
-  FROM h
-  WINDOW w AS (PARTITION BY zone_id ORDER BY v)),
-q AS (
-  SELECT zone_id, v AS x,
-         i * ci + (n - 1) * COALESCE(cumprev, 0.0) AS s,
-         LEAD(v) OVER w2 AS nx,
-         LEAD(i * ci + (n - 1) * COALESCE(cumprev, 0.0)) OVER w2 AS ns,
-         sw * (n - 1) AS sn
-  FROM o
-  WINDOW w2 AS (PARTITION BY zone_id ORDER BY v)),
+{_quantile_cte()},
 {_quantile_expr('0.5', 'median')}
 SELECT mm.zone_id, mm.min, mm.max, maj.majority,
        CAST(TRUNC(r_median.median) AS BIGINT) AS median

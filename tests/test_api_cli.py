@@ -369,7 +369,7 @@ def test_write_geojson_roundtrip(spark, tmp_path):
          ("h", "POLYGON ((0 4, 4 4, 4 8, 0 8, 0 4), "
                "(1 5, 3 5, 3 7, 1 7, 1 5))")],
         ["zone_id", "geometry"])
-    res = exact_extract(zones, tiles, ["count", "mean"],
+    res = exact_extract(zones, tiles, ["count", "mean", "unique"],
                         include_cols=["geometry"])
     out = tmp_path / "out.geojsonl"
     write_geojson(res, str(out))
@@ -377,6 +377,9 @@ def test_write_geojson_roundtrip(spark, tmp_path):
              for line in f.read_text().splitlines() if line]
     assert len(feats) == 3
     by_id = {f["id"]: f for f in feats}
+    # array-valued stats serialize as JSON lists
+    assert isinstance(by_id["a"]["properties"]["unique"], list)
+    assert len(by_id["a"]["properties"]["unique"]) >= 2
     assert by_id["a"]["geometry"]["type"] == "Polygon"
     assert by_id["b"]["geometry"]["type"] == "MultiPolygon"
     assert by_id["h"]["geometry"]["type"] == "Polygon"

@@ -25,8 +25,11 @@ def test_crs_matches_semantics():
     assert crs_matches(None, "EPSG:4326")
     assert crs_matches("EPSG:4326", None)
     assert crs_matches("EPSG:4326", "EPSG:4326")
-    # pyproj absent in this container -> unequal strings mismatch
-    assert crs_matches("EPSG:4326", "EPSG:3857") in (False, True)
+    # genuinely different CRSs mismatch whether or not pyproj resolves them
+    assert not crs_matches("EPSG:4326", "EPSG:3857")
+    # an unparseable CRS string must REPORT a mismatch, never raise
+    # (this feeds a warn-only path)
+    assert not crs_matches("EPSG:4326", "not-a-crs !!")
 
 
 def test_crs_match_no_warning(spark):
@@ -115,3 +118,23 @@ def test_preserve_order(spark):
     # default: no ordering guarantee, but the same row SET
     res2 = exact_extract(zones, tiles, ["count", "mean"])
     assert sorted(r["zone_id"] for r in res2.collect()) == sorted(got)
+
+
+def test_compat_empty_zone_int_stats_nan_in_pandas(spark):
+    """compat mode with an integer raster and a zone off the raster:
+    the LongType stat columns stay SQL NULL (long cannot hold NaN),
+    and toPandas() renders them as float64 NaN — the reference's
+    pandas output shape for missing integer stats."""
+    import numpy as np
+
+    arr = np.array([[1, 1], [2, 2]], dtype=np.int32)
+    tiles = tiles_from_array(spark, arr)
+    zones = _zones(spark, [
+        ("in", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+        ("off", "POLYGON ((50 50, 51 50, 51 51, 50 51, 50 50))")])
+    res = exact_extract(zones, tiles, ["mode", "mean"], compat=True)
+    pdf = res.toPandas().set_index("zone_id")
+    assert pdf.loc["in", "mode"] == 2
+    assert np.isnan(pdf.loc["off", "mode"])   # long NULL -> pandas NaN
+    assert np.isnan(pdf.loc["off", "mean"])   # double NaN (coalesced)
+    assert pdf["mode"].dtype == np.float64
