@@ -4,12 +4,17 @@ isciences/exactextract (reference studied read-only at /root/reference;
 no code copied — the execution model is Spark DataFrames + Arrow-batched
 numpy kernels, not the reference's C++ per-cell traversal engine)."""
 
-from .extract import exact_extract
+from .extract import ZonalExtractor, crs_matches, exact_extract
 from .geom import parse_wkt
 from .grid import RasterGrid
+from .io import (tiles_from_array, write_geojson, zones_from_docs,
+                 zones_from_geojson)
 from .kernel import cell_lengths, coverage_fraction
 from .ops import Op, parse_op, parse_ops
+from .subdivide import subdivide
 
-__all__ = ["exact_extract", "parse_wkt", "RasterGrid", "coverage_fraction",
-           "cell_lengths", "Op", "parse_op", "parse_ops"]
+__all__ = ["exact_extract", "ZonalExtractor", "crs_matches", "parse_wkt",
+           "RasterGrid", "coverage_fraction", "cell_lengths", "Op",
+           "parse_op", "parse_ops", "subdivide", "tiles_from_array",
+           "write_geojson", "zones_from_docs", "zones_from_geojson"]
 __version__ = "0.1.0"
