@@ -236,31 +236,68 @@ def test_covered_polygons_hole_inside_cell():
 
 # --- differential fuzz: assembled polygon area == kernel coverage ------
 
+def _simple(xs, ys) -> bool:
+    """No two non-adjacent edges intersect (VALID input only: for a
+    self-intersecting ring, the kernel's signed winding and the
+    assembly's even-odd regions legitimately disagree — like the
+    reference, whose behavior on invalid geometry is undefined)."""
+    V = np.column_stack([np.append(xs, xs[0]), np.append(ys, ys[0])])
+    n = len(V) - 1
+    for i in range(n):
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue
+            p, q, r, s = V[i], V[i + 1], V[j], V[j + 1]
+            d1 = np.cross(q - p, r - p)
+            d2 = np.cross(q - p, s - p)
+            d3 = np.cross(s - r, p - r)
+            d4 = np.cross(s - r, q - r)
+            if d1 * d2 < 0 and d3 * d4 < 0:
+                return False
+    return True
+
+
 @pytest.mark.parametrize("seed", range(10))
 def test_covered_polygons_area_matches_kernel_fuzz(seed):
-    """For random polygons (holes included), the left-hand-ring
+    """For random VALID polygons (holes included), the left-hand-ring
     assembly's area per cell must equal the scanline kernel's exact
     coverage fraction — two independent computations of the same
-    quantity (float64 shoelace vs float32 kernel ⇒ 1e-6 abs tol)."""
+    quantity (float64 shoelace vs float32 kernel ⇒ 1e-6 abs tol).
+    Invalid draws (self-intersecting ring / hole escaping the shell —
+    the star construction does not guarantee simplicity) are
+    resampled: both engines' behavior on invalid input is undefined,
+    as in the reference."""
     from exactextract_spark.geom import parse_wkt
+    from exactextract_spark.spatial import points_in_geom
     from exactextract_spark.kernel import coverage_fraction
+    from exactextract_spark.geom import Geometry
 
     rng = np.random.default_rng(seed)
     G = 12
-    m = int(rng.integers(3, 14))
-    cx, cy = rng.uniform(2, G - 2, 2)
-    ang = np.sort(rng.uniform(0, 2 * np.pi, m))
-    rad = rng.uniform(0.8, G / 2, m)
-    xs = cx + rad * np.cos(ang)
-    ys = cy + rad * np.sin(ang)
-    pts = ", ".join(f"{x} {y}" for x, y in zip(xs, ys))
-    wkt = f"POLYGON (({pts}, {xs[0]} {ys[0]}))"
-    if rng.random() < 0.5 and rad.min() > 1.0:
-        hr = rad.min() / 3
-        hx = [cx - hr, cx + hr, cx + hr, cx - hr]
-        hy = [cy - hr, cy - hr, cy + hr, cy + hr]
-        hole = ", ".join(f"{x} {y}" for x, y in zip(hx, hy))
-        wkt = f"POLYGON (({pts}, {xs[0]} {ys[0]}), ({hole}, {hx[0]} {hy[0]}))"
+    for _attempt in range(50):
+        m = int(rng.integers(3, 14))
+        cx, cy = rng.uniform(2, G - 2, 2)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, m))
+        rad = rng.uniform(0.8, G / 2, m)
+        xs = cx + rad * np.cos(ang)
+        ys = cy + rad * np.sin(ang)
+        if not _simple(xs, ys):
+            continue
+        pts = ", ".join(f"{x} {y}" for x, y in zip(xs, ys))
+        wkt = f"POLYGON (({pts}, {xs[0]} {ys[0]}))"
+        if rng.random() < 0.5 and rad.min() > 1.0:
+            hr = rad.min() / 3
+            hx = [cx - hr, cx + hr, cx + hr, cx - hr]
+            hy = [cy - hr, cy - hr, cy + hr, cy + hr]
+            shell = Geometry("areal", [parse_wkt(wkt).rings[0]])
+            if not points_in_geom(shell, np.array(hx), np.array(hy)).all():
+                continue  # hole escapes the shell: invalid polygon
+            hole = ", ".join(f"{x} {y}" for x, y in zip(hx, hy))
+            wkt = (f"POLYGON (({pts}, {xs[0]} {ys[0]}), "
+                   f"({hole}, {hx[0]} {hy[0]}))")
+        break
+    else:
+        pytest.skip("no valid polygon drawn")
     g = parse_wkt(wkt)
     cov = coverage_fraction(g, 0.0, float(G), 1.0, 1.0, G, G)
     for r in range(G):
