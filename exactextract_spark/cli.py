@@ -116,14 +116,24 @@ def main(argv=None) -> int:
         include_cols.append("geometry")
 
     if args.subdivide:
+        # subdivide emits the fixed per-cell schema; fail loudly on
+        # flags it cannot honor instead of silently ignoring them
+        unsupported = [flag for flag, on in (
+            ("--include-geom", args.include_geom),
+            ("--include-col", bool(args.include_cols)),
+            ("multiple --raster", len(multi) > 1),
+            ("--stat", bool(args.stats))) if on]
+        if unsupported:
+            print("not supported with --subdivide: " + ", ".join(unsupported),
+                  file=sys.stderr)
+            return 2
         from .subdivide import subdivide as _subdivide
         res = _subdivide(zones, tiles, strategy=args.strategy)
         if args.id_type:
             res = res.withColumn("zone_id", F.col("zone_id").cast(args.id_type))
         if args.id_name:
             res = res.withColumnRenamed("zone_id", args.id_name)
-        res.write.mode("overwrite").parquet(args.output)
-        print(f"wrote {args.output}")
+        _write_output(res, args.output, id_col=args.id_name or "zone_id")
         return 0
 
     if len(multi) > 1:
@@ -156,9 +166,54 @@ def main(argv=None) -> int:
         res = res.withColumn("zone_id", F.col("zone_id").cast(args.id_type))
     if args.id_name:
         res = res.withColumnRenamed("zone_id", args.id_name)
-    res.write.mode("overwrite").parquet(args.output)
-    print(f"wrote {args.output}")
+    _write_output(res, args.output, id_col=args.id_name or "zone_id")
     return 0
+
+
+def unnest_arrays(df):
+    """Expand array-valued stat columns into one row per element, the
+    reference GDAL writer's unnest-if-needed behavior for formats
+    without list fields (/root/reference/src/gdal_feature_unnester.h,
+    gdal_writer.cpp:65-127): parallel arrays unnest TOGETHER (element i
+    of every array lands on output row i), scalar columns repeat.
+    No-op when the frame has no array columns."""
+    from pyspark.sql import functions as F, types as T
+
+    arr = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, T.ArrayType)]
+    if not arr:
+        return df
+    scalars = [c for c in df.columns if c not in arr]
+    z = df.select(*scalars,
+                  F.explode(F.arrays_zip(*[F.col(c).alias(c) for c in arr]))
+                   .alias("_e"))
+    return z.select(*scalars, *[F.col(f"_e.{c}").alias(c) for c in arr])
+
+
+def _write_output(res, output: str, *, id_col: str = "zone_id") -> None:
+    """Route the result to parquet (default), newline-delimited GeoJSON,
+    or a single CSV file (the reference CLI's default output format,
+    exactextract.cpp + gdal_writer.cpp).  CSV cannot hold arrays, so
+    array stats unnest first; the final per-zone table is shuffled to
+    one partition (repartition keeps the upstream plan parallel) and
+    the lone part-file is moved to the requested name."""
+    import glob
+    import os
+    import shutil
+
+    if output.endswith(".csv"):
+        tmp = output + "._spark_tmp"
+        (unnest_arrays(res).repartition(1).write.mode("overwrite")
+         .option("header", True).csv(tmp))
+        part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+        shutil.move(part, output)
+        shutil.rmtree(tmp)
+    elif output.endswith((".geojson", ".jsonl", ".ndjson")):
+        from .io import write_geojson
+        write_geojson(res, output, id_col=id_col)
+    else:
+        res.write.mode("overwrite").parquet(output)
+    print(f"wrote {output}")
 
 
 if __name__ == "__main__":

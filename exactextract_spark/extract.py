@@ -68,11 +68,15 @@ def crs_matches(crs_a: str | None, crs_b: str | None) -> bool:
         return True
     try:
         from pyproj import CRS
-        return CRS.from_user_input(crs_a) == CRS.from_user_input(crs_b)
-    except Exception:
-        # no pyproj, or an unparseable CRS string: this feeds a
-        # WARN-only path — report a mismatch rather than raising
+    except ImportError:
+        # no pyproj: string-unequal CRSs cannot be proven equivalent —
+        # report a mismatch (feeds a WARN-only path), like the
+        # reference's crs_matches swallowing only ImportError
         return False
+    # an unparseable CRS string propagates (reference exact_extract.py
+    # crs_matches lets pyproj parse errors raise) — a genuine parse
+    # failure should not masquerade as a CRS mismatch warning
+    return CRS.from_user_input(crs_a) == CRS.from_user_input(crs_b)
 
 
 def _table_crs(df: DataFrame) -> str | None:
@@ -111,27 +115,52 @@ _CELLS_T = T.ArrayType(T.StructType([
 ]))
 
 
+# JVM-side WKT coordinate stream: split on any char that cannot be part
+# of a float literal (keyword letters like the E in LINESTRING/EMPTY
+# survive the split but try_cast them to NULL, which filter drops), so
+# the remaining tokens are exactly the x,y,x,y,... coordinate stream.
+_WKT_NUMS = ("filter(transform(split({c}, '[^-+.0-9eE]+'),"
+             " s -> try_cast(s AS DOUBLE)), v -> v IS NOT NULL)")
+
+
+def _bbox_expr(minmax: str, parity: int) -> str:
+    """One bbox component over the coordinate stream (x = even tokens,
+    y = odd); array_min/array_max skip the NULLed-out other axis."""
+    per_axis = (f"array_{minmax}(transform(_wkt_nums,"
+                f" (v, i) -> IF(i % 2 = {parity}, v, CAST(NULL AS DOUBLE))))")
+    inf = "'Infinity'" if minmax == "min" else "'-Infinity'"
+    return f"""CASE
+      WHEN size(_wkt_nums) >= 2 AND size(_wkt_nums) % 2 = 0 THEN {per_axis}
+      WHEN size(_wkt_nums) = 0 AND upper(geometry) LIKE '%EMPTY%'
+        THEN CAST({inf} AS DOUBLE)
+      ELSE raise_error(concat('invalid zone geometry: ',
+                              substring(geometry, 1, 80)))
+    END"""
+
+
 def attach_bbox(zones: DataFrame) -> DataFrame:
     """Add (xmin, ymin, xmax, ymax) parsed from WKT (bbox pre-filter
     feeds tile-range pruning — reference
-    feature_sequential_processor.cpp:72-76)."""
+    feature_sequential_processor.cpp:72-76).
+
+    Computed entirely with JVM expressions (split/try_cast/array_min
+    over the numeric token stream) — no per-row Python, so a 10⁸-zone
+    table stays in whole-stage codegen.  EMPTY geometries get the
+    inverted bbox (every tile-range predicate false; the zone flows to
+    the final left join like the reference writing a row for every
+    feature).  WKT with no parsable coordinates raises here
+    (raise_error); structural invalidity that still yields numbers
+    (unbalanced parens, unsupported POINT zones) raises at kernel
+    parse time, which sees every zone that intersects any tile."""
     if "xmin" in zones.columns:
         return zones
-
-    @F.pandas_udf(T.StructType([T.StructField(n, T.DoubleType()) for n in
-                                ("xmin", "ymin", "xmax", "ymax")]))
-    def bbox_udf(wkt: pd.Series) -> pd.DataFrame:
-        rows = []
-        for w in wkt:
-            try:
-                rows.append(parse_wkt(w).bbox)
-            except Exception as e:
-                # fail loudly like the reference (unsupported/invalid
-                # geometry raises, test_exact_extract.py:1264-1274)
-                raise ValueError(f"invalid zone geometry {str(w)[:80]!r}: {e}") from e
-        return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
-
-    return zones.withColumn("_bbox", bbox_udf("geometry")).select("*", "_bbox.*").drop("_bbox")
+    z = zones.withColumn("_wkt_nums", F.expr(_WKT_NUMS.format(c="geometry")))
+    z = z.select("*",
+                 F.expr(_bbox_expr("min", 0)).alias("xmin"),
+                 F.expr(_bbox_expr("min", 1)).alias("ymin"),
+                 F.expr(_bbox_expr("max", 0)).alias("xmax"),
+                 F.expr(_bbox_expr("max", 1)).alias("ymax"))
+    return z.drop("_wkt_nums")
 
 
 def zone_tile_pairs(zones_bbox: DataFrame, grid: dict, tile: int) -> DataFrame:
@@ -664,6 +693,9 @@ class ZonalExtractor:
                  grid: dict | None = None,
                  tile_size: int | None = None,
                  persist_joined: bool = False):
+        if strategy not in ("auto", "broadcast", "shuffle"):
+            raise ValueError(f"unknown strategy {strategy!r}: "
+                             "expected 'auto', 'broadcast' or 'shuffle'")
         spark = zones.sparkSession
         if grid is None:
             grid = tiles.select("grid_xmin", "grid_ymax", "dx", "dy",

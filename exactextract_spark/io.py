@@ -418,7 +418,19 @@ def zones_from_geojson(spark, source, *, id_property: str | None = None) -> Data
                 text = text.strip()
                 if not text:
                     continue
-                d = _json.loads(text)
+                try:
+                    d = _json.loads(text)
+                except _json.JSONDecodeError as e:
+                    mode = ("line-parallel (.jsonl/.ndjson: one complete "
+                            "JSON document per line)" if line_mode
+                            else "whole-file")
+                    raise ValueError(
+                        f"GeoJSON parse error in {mode} mode at input "
+                        f"record {int(ordn)}: {e}. A multi-line "
+                        "FeatureCollection must use a .geojson/.json "
+                        "extension; a .jsonl/.ndjson file must hold one "
+                        f"complete JSON document per line. Offending text "
+                        f"starts: {text[:120]!r}") from e
                 if d.get("type") == "FeatureCollection":
                     feats = [(f"{ordn}_{i}", f)
                              for i, f in enumerate(d["features"])]

@@ -216,38 +216,90 @@ def lsh_buckets_oracle() -> str:
     return f"SELECT vec_id, CAST({_bucket_duck('embedding')} AS INT) AS bucket FROM embeddings"
 
 
-def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs within LSH buckets with cosine above 0.9 —
-    composition of the bucket join + exact verification.
+# --- banded hyperplane LSH (the MinHash-LSH band construction,
+# dedup.py:100-113, applied to random-hyperplane signatures) ---
+# With one coarse bucket of p planes, a hot direction (near-duplicate
+# cluster, zero vectors, dominant topic) floods a single bucket and the
+# self-join is quadratic in its size.  Banding uses MORE planes per
+# band (bucket sizes shrink ~2x per extra plane — exponentially) and
+# restores recall by unioning the per-band candidate joins: a pair is
+# a candidate when it agrees on ALL planes of ANY band.
+NEARDUP_BANDS = 2
+NEARDUP_PLANES_PER_BAND = 8
+NEARDUP_THRESHOLD = 0.9
 
-    Skew note (100 TB): a hot bucket makes the self-join quadratic in
-    that bucket's size.  The standard mitigations compose with this
-    shape: raise N_PLANES (halves expected bucket size per plane) or
-    band the planes like MinHash-LSH; AQE's skew splitting handles the
-    join-side imbalance but not the semantic pair count."""
-    b = lsh_buckets(spark, sf_dir)
-    e = _emb(spark, sf_dir).join(b, "vec_id")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
-                 F.col("bucket"))
-    c = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
-                 F.col("bucket"))
+
+def _band_bucket_spark(e: str, band: int) -> str:
+    base = band * NEARDUP_PLANES_PER_BAND
+    return " + ".join(
+        f"CASE WHEN ({_PROJ_SPARK.format(e=e, p=base + p)}) > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(NEARDUP_PLANES_PER_BAND))
+
+
+def _band_bucket_duck(e: str, band: int) -> str:
+    base = band * NEARDUP_PLANES_PER_BAND
+    return " + ".join(
+        f"CASE WHEN ({_PROJ_DUCK.format(e=e, p=base + p)}) > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(NEARDUP_PLANES_PER_BAND))
+
+
+def neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct candidate id-pairs from the banded LSH: a union of one
+    bucket equi-self-join per band, deduplicated.  Pure id pairs — the
+    embeddings are fetched only for the (much smaller) verify join."""
+    e = _emb(spark, sf_dir)
+    bands = e.selectExpr(
+        "vec_id",
+        *[f"CAST({_band_bucket_spark('embedding', b)} AS INT) AS band{b}"
+          for b in range(NEARDUP_BANDS)])
+    cand = None
+    for b in range(NEARDUP_BANDS):
+        a = bands.select(F.col("vec_id").alias("vec_a"),
+                         F.col(f"band{b}").alias("bucket"))
+        c = bands.select(F.col("vec_id").alias("vec_b"),
+                         F.col(f"band{b}").alias("bucket"))
+        j = (a.join(c, "bucket").where(F.col("vec_a") < F.col("vec_b"))
+             .select("vec_a", "vec_b"))
+        cand = j if cand is None else cand.unionByName(j)
+    return cand.distinct()
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs with cosine above NEARDUP_THRESHOLD —
+    banded-LSH candidates + exact cosine verification (the
+    embedding-space analog of dedup.minhash_verified_pairs)."""
+    cand = neardup_candidates(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    j = (cand.join(e.select(F.col("vec_id").alias("vec_a"),
+                            F.col("embedding").alias("ea")), "vec_a")
+             .join(e.select(F.col("vec_id").alias("vec_b"),
+                            F.col("embedding").alias("eb")), "vec_b"))
     dot = _DOT_SPARK.format(a="ea", b="eb")
     na = "SQRT(" + _DOT_SPARK.format(a="ea", b="ea") + ")"
     nb = "SQRT(" + _DOT_SPARK.format(a="eb", b="eb") + ")"
-    return (a.join(c, "bucket").where(F.col("vec_a") < F.col("vec_b"))
-            .selectExpr("vec_a", "vec_b", f"({dot}) / (({na}) * ({nb})) AS cosine")
-            .where("cosine > 0.9"))
+    return (j.selectExpr("vec_a", "vec_b",
+                         f"({dot}) / (({na}) * ({nb})) AS cosine")
+            .where(f"cosine > {NEARDUP_THRESHOLD}"))
 
 
 def embedding_neardup_oracle() -> str:
     dot = _DOT_DUCK.format(a="a.embedding", b="b.embedding")
     na = "SQRT(" + _DOT_DUCK.format(a="a.embedding", b="a.embedding") + ")"
     nb = "SQRT(" + _DOT_DUCK.format(a="b.embedding", b="b.embedding") + ")"
-    return f"""WITH bk AS ({lsh_buckets_oracle()})
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    band_joins = "\nUNION\n".join(f"""  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM bk x JOIN bk y ON x.band{b} = y.band{b} AND x.vec_id < y.vec_id"""
+                                  for b in range(NEARDUP_BANDS))
+    band_cols = ",\n         ".join(
+        f"CAST({_band_bucket_duck('embedding', b)} AS INT) AS band{b}"
+        for b in range(NEARDUP_BANDS))
+    return f"""WITH bk AS (
+  SELECT vec_id,
+         {band_cols}
+  FROM embeddings),
+cand AS (
+{band_joins})
+SELECT cand.vec_a, cand.vec_b,
        ({dot}) / (({na}) * ({nb})) AS cosine
-FROM embeddings a JOIN bk ba ON a.vec_id = ba.vec_id
-JOIN bk bb ON TRUE
-JOIN embeddings b ON b.vec_id = bb.vec_id
-WHERE ba.bucket = bb.bucket AND a.vec_id < b.vec_id
-  AND ({dot}) / (({na}) * ({nb})) > 0.9"""
+FROM cand JOIN embeddings a ON a.vec_id = cand.vec_a
+          JOIN embeddings b ON b.vec_id = cand.vec_b
+WHERE ({dot}) / (({na}) * ({nb})) > {NEARDUP_THRESHOLD}"""

@@ -161,21 +161,25 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     The score is a RATIONAL function of integer counts (no log), so
     IEEE division makes it bit-identical across engines.  Scale shape:
     explode → groupBy(doc, term) for tf, groupBy(term) for df (both
-    with map-side combine), df table joined back (broadcast-sized:
-    vocabulary, not corpus), N folded in as a literal via one scalar
-    aggregate."""
+    with map-side combine).  The df join carries NO broadcast hint: a
+    web-scale corpus vocabulary (typos, URLs, numbers) is billions of
+    rows, so the join strategy is left to Catalyst/AQE, which
+    broadcasts exactly when the measured df size is under
+    autoBroadcastJoinThreshold and sort-merge-joins otherwise.  N is a
+    1-row aggregate cross-joined in (broadcast of one row), keeping
+    the whole query a single lazy plan — no driver-side count()."""
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir)
-    n_docs = d.count()
+    n = d.agg(F.count("*").cast("double").alias("_n_docs"))
     toks = d.selectExpr("doc_id",
                         "explode(split(trim(text), '\\\\s+')) AS token")
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = toks.select("doc_id", "token").distinct() \
         .groupBy("token").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(df_), "token").selectExpr(
+    scored = tf.join(df_, "token").crossJoin(F.broadcast(n)).selectExpr(
         "doc_id", "token", "tf", "df",
-        f"CAST(tf AS DOUBLE) * (CAST({n_docs} AS DOUBLE) - df + 0.5)"
+        "CAST(tf AS DOUBLE) * (_n_docs - df + 0.5)"
         " / (df + 0.5) AS score")
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("score"), F.asc("token"))

@@ -122,6 +122,9 @@ def subdivide(zones: DataFrame, tiles: DataFrame, *,
     """One row per (zone, covered cell) with the covered piece's exact
     coverage fraction, bbox and polygon WKT.  Purely geometric — raster
     values are never read (the tile table supplies the windowing)."""
+    if strategy not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown strategy {strategy!r}: "
+                         "expected 'auto', 'broadcast' or 'shuffle'")
     spark = zones.sparkSession
     if grid is None:
         grid = tiles.select("grid_xmin", "grid_ymax", "dx", "dy",

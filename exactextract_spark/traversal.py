@@ -313,14 +313,27 @@ def left_hand_rings(box, coord_lists):
     if len(shells) == 1:
         return [[shells[0], *holes]]
     # multiple shells + holes: assign each hole to the shell containing
-    # its first vertex (reference uses GEOSPolygonize_valid)
+    # one of its vertices (reference uses GEOSPolygonize_valid).  A
+    # vertex lying exactly on a shell edge makes the even-odd test
+    # indeterminate, so try successive vertices; if NO vertex of the
+    # hole tests inside any shell, raise so the caller's
+    # Sutherland–Hodgman fallback kicks in instead of silently
+    # dropping the hole (which would overstate the covered area).
     polys = [[s] for s in shells]
     for h in holes:
-        hx, hy = h[0]
-        for poly in polys:
-            if _point_in_ring(hx, hy, poly[0]):
-                poly.append(h)
+        owner = None
+        for hx, hy in h[:-1]:
+            for poly in polys:
+                if _point_in_ring(hx, hy, poly[0]):
+                    owner = poly
+                    break
+            if owner is not None:
                 break
+        if owner is None:
+            raise ValueError(
+                "cannot assign hole to a shell (every hole vertex sits "
+                "on a shell boundary)")
+        owner.append(h)
     return polys
 
 

@@ -395,3 +395,86 @@ def test_write_geojson_roundtrip(spark, tmp_path):
     got = {r["zone_id"]: r["count"] for r in res2.collect()}
     # ids become the GeoJSON Feature id (strings preserved)
     assert got["a"] == 4.0 and got["b"] == 2.0 and got["h"] == 12.0
+
+
+def test_cli_csv_golden(spark, tmp_path):
+    """Transcribed reference CLI golden
+    (/root/reference/test/test_cli.py:519-545 test_coverage_fractions):
+    coverage+values over arange(9), CSV output — array stats unnest to
+    one row per cell (gdal_feature_unnester semantics), scalars repeat."""
+    import csv
+
+    from exactextract_spark.cli import main
+    from exactextract_spark.io import tiles_from_array
+
+    data = np.arange(9, dtype=np.float64).reshape(3, 3)
+    zones = spark.createDataFrame(
+        [("1", "POLYGON ((0.5 0.5, 2.5 0.5, 2.5 2.5, 0.5 2.5, 0.5 0.5))")],
+        ["zone_id", "geometry"])
+    zones.write.parquet(str(tmp_path / "zones.parquet"))
+    tiles_from_array(spark, data).write.parquet(str(tmp_path / "tiles.parquet"))
+
+    out = tmp_path / "out.csv"
+    rc = main(["--polygons", str(tmp_path / "zones.parquet"),
+               "--raster", f"v={tmp_path}/tiles.parquet",
+               "--stat", "coverage", "--stat", "values",
+               "--output", str(out), "--cores", "8"])
+    assert rc == 0
+    with open(out) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 9
+    assert list(rows[0].keys()) == ["zone_id", "coverage", "values"]
+    assert [r["zone_id"] for r in rows] == ["1"] * 9
+    # reference golden fractions (row-major over the 3x3 window)
+    assert [float(r["coverage"]) for r in rows] == \
+        [0.25, 0.5, 0.25, 0.5, 1.0, 0.5, 0.25, 0.5, 0.25]
+    assert [float(r["values"]) for r in rows] == [float(v) for v in range(9)]
+
+
+def test_cli_csv_scalar_stats(spark, tmp_path):
+    """CSV output without array stats: plain one-row-per-zone file."""
+    import csv
+
+    from exactextract_spark.cli import main
+    from exactextract_spark.io import tiles_from_array
+
+    zones = spark.createDataFrame([("z0", SQ)], ["zone_id", "geometry"])
+    zones.write.parquet(str(tmp_path / "zones.parquet"))
+    tiles_from_array(spark, ARANGE9).write.parquet(str(tmp_path / "tiles.parquet"))
+    out = tmp_path / "stats.csv"
+    rc = main(["--polygons", str(tmp_path / "zones.parquet"),
+               "--raster", f"v={tmp_path}/tiles.parquet",
+               "--stat", "mean", "--stat", "count",
+               "--output", str(out), "--cores", "8"])
+    assert rc == 0
+    with open(out) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 1
+    assert float(rows[0]["mean"]) == 5.0
+
+
+def test_cli_subdivide_rejects_unsupported_flags(spark, tmp_path):
+    from exactextract_spark.cli import main
+    from exactextract_spark.io import tiles_from_array
+
+    zones = spark.createDataFrame([("z0", SQ)], ["zone_id", "geometry"])
+    zones.write.parquet(str(tmp_path / "zones.parquet"))
+    tiles_from_array(spark, ARANGE9).write.parquet(str(tmp_path / "tiles.parquet"))
+    rc = main(["--polygons", str(tmp_path / "zones.parquet"),
+               "--raster", f"v={tmp_path}/tiles.parquet",
+               "--subdivide", "--include-geom",
+               "--output", str(tmp_path / "out.parquet"), "--cores", "8"])
+    assert rc == 2
+
+
+def test_bad_strategy_rejected(spark):
+    from exactextract_spark.extract import exact_extract
+    from exactextract_spark.io import tiles_from_array
+    from exactextract_spark.subdivide import subdivide
+
+    zones = spark.createDataFrame([("z0", SQ)], ["zone_id", "geometry"])
+    tiles = tiles_from_array(spark, ARANGE9)
+    with pytest.raises(ValueError, match="strategy"):
+        exact_extract(zones, tiles, ["mean"], strategy="brodcast")
+    with pytest.raises(ValueError, match="strategy"):
+        subdivide(zones, tiles, strategy="brodcast")

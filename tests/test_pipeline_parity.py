@@ -125,3 +125,52 @@ def test_connected_components_long_chain(spark):
     got = {r["doc_id"]: r["component"]
            for r in connected_components(edges, max_iter=10).collect()}
     assert got == {i: 100 for i in range(101, 141)}
+
+
+def _write_hot_embeddings(tmp_path):
+    """96 deterministic 8-dim vectors: 3 planted near-dup clusters of 4
+    (identical direction — guaranteed same hyperplane signs) + 84
+    spread vectors.  Only ~4 coarse (2-plane) buckets exist, so the
+    coarse scheme floods; the banded 8-plane buckets stay small."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for cl in range(3):
+        center = rng.normal(size=8)
+        for m in range(4):
+            rows.append((cl * 4 + m, [float(x) for x in center * (1.0 + 0.1 * m)]))
+    for i, v in enumerate(rng.normal(size=(84, 8))):
+        rows.append((100 + i, [float(x) for x in v]))
+    pd.DataFrame({"vec_id": [r[0] for r in rows],
+                  "embedding": [r[1] for r in rows]}) \
+        .to_parquet(tmp_path / "embeddings.parquet")
+
+
+def test_neardup_banding_bounds_hot_buckets(spark, tmp_path, monkeypatch):
+    """The banded LSH must (a) keep every planted near-dup pair as a
+    candidate (recall via the band union) and (b) produce FAR fewer
+    candidates than a coarse single-bucket scheme on the same data
+    (the hot-bucket quadratic the banding exists to kill)."""
+    import exactextract_spark.pipeline.similarity as sim
+
+    _write_hot_embeddings(tmp_path)
+    sf = str(tmp_path)
+
+    n_banded = sim.neardup_candidates(spark, sf).count()
+
+    monkeypatch.setattr(sim, "NEARDUP_BANDS", 1)
+    monkeypatch.setattr(sim, "NEARDUP_PLANES_PER_BAND", 2)
+    n_coarse = sim.neardup_candidates(spark, sf).count()
+    monkeypatch.undo()
+
+    # coarse: ~4 buckets over 96 vectors -> O(n^2/4) pairs; banded:
+    # 256-bucket bands -> little beyond the planted duplicates
+    assert n_coarse > 500, n_coarse
+    assert n_banded < n_coarse / 5, (n_banded, n_coarse)
+
+    verified = sim.embedding_neardup(spark, sf).toPandas()
+    got = {tuple(p) for p in verified[["vec_a", "vec_b"]].itertuples(index=False)}
+    for cl in range(3):
+        ids = [cl * 4 + m for m in range(4)]
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                assert (a, b) in got, (a, b, sorted(got))
