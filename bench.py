@@ -62,6 +62,28 @@ def star_zones(spark, cfg, n=2000, verts=12):
     return spark.createDataFrame(rows, ["zone_id", "geometry"])
 
 
+def coast_zones(spark, cfg, n=500, verts=800, rad_cells=20.0):
+    """Coastline-shaped zones: many short edges, boundary-cell-heavy —
+    the antarctica.wkt-shaped workload that exercises the batched
+    boundary-cell ring assembly (traversal.grid_cell_chains)."""
+    import numpy as np
+
+    G = cfg.G
+    rng = np.random.default_rng(7)
+    ang = np.linspace(0, 2 * np.pi, verts, endpoint=False)
+    rows = []
+    for i in range(n):
+        rad = (rad_cells + 0.3 * rad_cells * np.sin(5 * ang + i)
+               + 0.06 * rad_cells * np.sin(37 * ang)
+               + rng.uniform(-0.015 * rad_cells, 0.015 * rad_cells, verts))
+        cx, cy = rng.uniform(rad_cells + 2, G - rad_cells - 2, 2)
+        xs = cx + rad * np.cos(ang)
+        ys = cy + rad * np.sin(ang)
+        pts = ", ".join(f"{x:.4f} {y:.4f}" for x, y in zip(xs, ys))
+        rows.append((f"c{i}", f"POLYGON (({pts}, {xs[0]:.4f} {ys[0]:.4f}))"))
+    return spark.createDataFrame(rows, ["zone_id", "geometry"])
+
+
 def _best_of(fn, n=2):
     fn()  # warm
     best = float("inf")
@@ -117,6 +139,21 @@ def scale_point_subdivide(spark, cfg, tiles, grid):
     stars = star_zones(spark, cfg, n=2000, verts=10)
     df = subdivide(stars, tiles, grid=grid)
     n = df.count()  # before the timed runs — counting re-executes the pipeline
+    best = _best_of(lambda: df.write.format("noop").mode("overwrite").save())
+    return {"sec": round(best, 3), "pieces": int(n),
+            "pieces_per_sec": round(n / best, 1)}
+
+
+def scale_point_subdivide_coast(spark, cfg, tiles, grid):
+    """Boundary-dominated subdivide: 500 coastline zones (800 short
+    edges each) — measures the batched left-hand-rings assembly on the
+    shape where round 3 paid an O(edges) numpy scan per boundary
+    cell."""
+    from exactextract_spark.subdivide import subdivide
+
+    coasts = coast_zones(spark, cfg)
+    df = subdivide(coasts, tiles, grid=grid)
+    n = df.count()
     best = _best_of(lambda: df.write.format("noop").mode("overwrite").save())
     return {"sec": round(best, 3), "pieces": int(n),
             "pieces_per_sec": round(n / best, 1)}
@@ -233,6 +270,7 @@ def main():
             wtiles.unpersist()
             scale_points["poly_40k"] = scale_point_poly(spark, cfg, tiles, grid)
             scale_points["subdivide_1m"] = scale_point_subdivide(spark, cfg, tiles, grid)
+            scale_points["subdivide_coast"] = scale_point_subdivide_coast(spark, cfg, tiles, grid)
             tiles.unpersist()
             scale_points["rect_1e9"] = scale_point_rect(spark)
 

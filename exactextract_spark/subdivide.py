@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from .extract import BROADCAST_ZONE_LIMIT, attach_bbox, zone_tile_pairs
 from .geom import parse_wkt
 from .kernel import coverage_fraction
-from .traversal import covered_polygons, polygons_wkt
+from .traversal import grid_cell_chains, left_hand_rings, polygons_wkt
 
 __all__ = ["subdivide", "clip_ring_box"]
 
@@ -245,7 +245,15 @@ def subdivide(zones: DataFrame, tiles: DataFrame, *,
                     bi = np.flatnonzero(~full)
                     if bi.size == 0:
                         continue
-                    # boundary cells: exact left-hand-ring reassembly
+                    # boundary cells: exact left-hand-ring reassembly.
+                    # The traversal chains for ALL boundary cells come
+                    # from ONE batched incidence pass over the zone's
+                    # edge stream (grid_cell_chains) — per-cell Python
+                    # work is only the (tiny) chain walk + ring
+                    # assembly, so a coastline-shaped zone no longer
+                    # pays an O(edges) numpy scan per boundary cell
+                    cell_lists = grid_cell_chains(
+                        g.rings, gr[bi], gc[bi], gx, gy, dx, dy)
                     b_cid = []
                     b_cv = []
                     b_px0 = []
@@ -253,11 +261,12 @@ def subdivide(zones: DataFrame, tiles: DataFrame, *,
                     b_px1 = []
                     b_py1 = []
                     b_wkt = []
-                    for k in bi:
+                    for k, lists in zip(bi, cell_lists):
                         ex0, ey0 = float(cx0[k]), float(cy0[k])
                         ex1, ey1 = float(cx1[k]), float(cy1[k])
                         try:
-                            polys = covered_polygons(g.rings, ex0, ey0, ex1, ey1)
+                            polys = left_hand_rings(
+                                (ex0, ey0, ex1, ey1), lists)
                             if not polys:
                                 continue
                             wkt = polygons_wkt(polys)

@@ -40,7 +40,7 @@ import numpy as np
 
 __all__ = ["perimeter_distance", "box_traversals", "visit_rings",
            "left_hand_rings", "covered_polygons", "polygons_wkt",
-           "ring_area"]
+           "ring_area", "grid_cell_chains"]
 
 
 def perimeter_distance(x0: float, y0: float, x1: float, y1: float,
@@ -335,6 +335,214 @@ def left_hand_rings(box, coord_lists):
                 "on a shell boundary)")
         owner.append(h)
     return polys
+
+
+def _clip_segments_batch(ax, ay, bx, by, x0, y0, x1, y1):
+    """Vectorized _clip_segment over parallel arrays of segments and
+    boxes: the same Liang–Barsky parametrization, boundary snapping and
+    clamps, computed with numpy where-arithmetic.  Returns
+    (valid, plox, ploy, phix, phiy) — coordinates only meaningful where
+    ``valid``; produces bit-identical points to the scalar function."""
+    dx = bx - ax
+    dy = by - ay
+    dx0 = dx == 0.0
+    dy0 = dy == 0.0
+    bad = (dx0 & ((ax < x0) | (ax > x1))) | (dy0 & ((ay < y0) | (ay > y1)))
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ta_x = np.where(dx0, 0.0, (x0 - ax) / np.where(dx0, 1.0, dx))
+        tb_x = np.where(dx0, 1.0, (x1 - ax) / np.where(dx0, 1.0, dx))
+        ta_y = np.where(dy0, 0.0, (y0 - ay) / np.where(dy0, 1.0, dy))
+        tb_y = np.where(dy0, 1.0, (y1 - ay) / np.where(dy0, 1.0, dy))
+    xswap = ta_x > tb_x
+    t_xlo = np.where(xswap, tb_x, ta_x)
+    t_xhi = np.where(xswap, ta_x, tb_x)
+    b_xlo = np.where(xswap, x1, x0)
+    b_xhi = np.where(xswap, x0, x1)
+    yswap = ta_y > tb_y
+    t_ylo = np.where(yswap, tb_y, ta_y)
+    t_yhi = np.where(yswap, ta_y, tb_y)
+    b_ylo = np.where(yswap, y1, y0)
+    b_yhi = np.where(yswap, y0, y1)
+
+    t_lo = np.maximum(np.maximum(t_xlo, t_ylo), 0.0)
+    t_hi = np.minimum(np.minimum(t_xhi, t_yhi), 1.0)
+    valid = ~bad & (t_hi > t_lo)
+
+    snap_xlo = (t_lo == t_xlo) & ~dx0 & (t_lo > 0.0)
+    snap_ylo = (t_lo == t_ylo) & ~dy0 & (t_lo > 0.0)
+    snap_xhi = (t_hi == t_xhi) & ~dx0 & (t_hi < 1.0)
+    snap_yhi = (t_hi == t_yhi) & ~dy0 & (t_hi < 1.0)
+    plox = np.minimum(np.maximum(
+        np.where(snap_xlo, b_xlo, ax + t_lo * dx), x0), x1)
+    ploy = np.minimum(np.maximum(
+        np.where(snap_ylo, b_ylo, ay + t_lo * dy), y0), y1)
+    phix = np.minimum(np.maximum(
+        np.where(snap_xhi, b_xhi, ax + t_hi * dx), x0), x1)
+    phiy = np.minimum(np.maximum(
+        np.where(snap_yhi, b_yhi, ay + t_hi * dy), y0), y1)
+    return valid, plox, ploy, phix, phiy
+
+
+def _walk_chains(pair_edges, xs, ys, a_in_g, b_in_g,
+                 cv_g, plox_g, ploy_g, phix_g, phiy_g, v0_in: bool):
+    """Chain walk for ONE cell over its incident edges of ONE ring —
+    the inner loop of box_traversals, fed by the batched incidence
+    stream (clip points precomputed by _clip_segments_batch) instead
+    of per-cell numpy scans.  ``pair_edges`` are the ring's edge
+    indices incident to this cell (ascending); all inputs are plain
+    Python lists (converted once, C-level, by the caller)."""
+    chains: list[list[tuple[float, float]]] = []
+    cur: list[tuple[float, float]] | None = None
+    for t in range(len(pair_edges)):
+        i = pair_edges[t]
+        a_in, b_in = a_in_g[t], b_in_g[t]
+        if a_in and b_in:
+            if cur is None:
+                cur = [(xs[i], ys[i])]
+            cur.append((xs[i + 1], ys[i + 1]))
+            continue
+        if not cv_g[t]:
+            if cur is not None:
+                chains.append(cur)
+                cur = None
+            continue
+        if a_in:
+            if cur is None:
+                cur = [(xs[i], ys[i])]
+            cur.append((phix_g[t], phiy_g[t]))
+            chains.append(cur)
+            cur = None
+        elif b_in:
+            if cur is not None:
+                chains.append(cur)
+            cur = [(plox_g[t], ploy_g[t]), (xs[i + 1], ys[i + 1])]
+        else:
+            if cur is not None:
+                chains.append(cur)
+                cur = None
+            chains.append([(plox_g[t], ploy_g[t]), (phix_g[t], phiy_g[t])])
+    if cur is not None:
+        if chains and v0_in and chains[0][0] == (xs[0], ys[0]):
+            chains[0] = cur[:-1] + chains[0]
+        else:
+            chains.append(cur)
+    return [c for c in chains if any(p != c[0] for p in c[1:])]
+
+
+def grid_cell_chains(geom_rings, gr, gc, gx, gy, dx, dy):
+    """Batched box_traversals across MANY grid cells at once — the
+    subdivide boundary-cell scale path.
+
+    For each ring, the (edge -> cell) incidence is computed as one
+    vectorized pass (conservative integer bin ranges from the edge
+    bboxes, then the EXACT same closed-interval overlap comparison as
+    box_traversals), so a 20k-edge coastline ring costs O(edges +
+    incidences) total instead of O(edges) numpy work PER CELL.  The
+    per-cell chain walk then runs only over each cell's few incident
+    edges.
+
+    gr/gc: global row/col arrays of the target cells on the grid with
+    top-left (gx, gy) and cell size (dx, dy) — the cell boxes are
+    derived with the same arithmetic as the caller
+    (x0 = gx + gc*dx, y1 = gy - gr*dy, x1 = x0 + dx, y0 = y1 - dy).
+
+    Returns a list (len == gr.size) of coord_lists per cell, feedable
+    to left_hand_rings; behavior-identical to running box_traversals
+    per (ring, cell), including rings fully inside one cell (their
+    full closed coordinate list appears as a closed chain)."""
+    B = int(gr.size)
+    out: list[list] = [[] for _ in range(B)]
+    if B == 0:
+        return out
+    gr = np.asarray(gr, dtype=np.int64)
+    gc = np.asarray(gc, dtype=np.int64)
+    rmin, rmax = int(gr.min()), int(gr.max())
+    cmin, cmax = int(gc.min()), int(gc.max())
+    ordmap = np.full((rmax - rmin + 1, cmax - cmin + 1), -1, dtype=np.int64)
+    ordmap[gr - rmin, gc - cmin] = np.arange(B)
+    bx0 = gx + gc * dx
+    by1 = gy - gr * dy
+    bx1 = bx0 + dx
+    by0 = by1 - dy
+
+    for ring in geom_rings:
+        xs, ys = ring[:, 0], ring[:, 1]
+        eax, eay = xs[:-1], ys[:-1]
+        ebx, eby = xs[1:], ys[1:]
+        minx, maxx = np.minimum(eax, ebx), np.maximum(eax, ebx)
+        miny, maxy = np.minimum(eay, eby), np.maximum(eay, eby)
+        # conservative ranges widened by one cell (float rounding at
+        # exact gridlines), clamped to the target window; the exact
+        # overlap comparison below restores bit-identical candidacy
+        c_lo = np.clip(np.floor((minx - gx) / dx).astype(np.int64) - 1,
+                       cmin, cmax + 1)
+        c_hi = np.clip(np.floor((maxx - gx) / dx).astype(np.int64) + 1,
+                       cmin - 1, cmax)
+        r_lo = np.clip(np.floor((gy - maxy) / dy).astype(np.int64) - 1,
+                       rmin, rmax + 1)
+        r_hi = np.clip(np.floor((gy - miny) / dy).astype(np.int64) + 1,
+                       rmin - 1, rmax)
+        nw = c_hi - c_lo + 1
+        nh = r_hi - r_lo + 1
+        valid = (nw > 0) & (nh > 0)
+        ei = np.flatnonzero(valid)
+        if ei.size == 0:
+            continue
+        cnt = (nw[ei] * nh[ei]).astype(np.int64)
+        total = int(cnt.sum())
+        idx = np.repeat(ei, cnt)
+        k = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt)
+        w = nw[idx]
+        rr = r_lo[idx] + k // w
+        cc = c_lo[idx] + k % w
+        o = ordmap[rr - rmin, cc - cmin]
+        keep = o >= 0
+        idx, o = idx[keep], o[keep]
+        if idx.size == 0:
+            continue
+        px0, px1 = bx0[o], bx1[o]
+        py0, py1 = by0[o], by1[o]
+        # EXACT closed-interval bbox-overlap — identical comparisons to
+        # box_traversals' `overlap` pre-filter
+        keep = ((maxx[idx] >= px0) & (minx[idx] <= px1) &
+                (maxy[idx] >= py0) & (miny[idx] <= py1))
+        idx, o = idx[keep], o[keep]
+        if idx.size == 0:
+            continue
+        order = np.lexsort((idx, o))
+        idx, o = idx[order], o[order]
+        px0, px1 = bx0[o], bx1[o]
+        py0, py1 = by0[o], by1[o]
+        pax, pay = eax[idx], eay[idx]
+        pbx, pby = ebx[idx], eby[idx]
+        a_in = (pax >= px0) & (pax <= px1) & (pay >= py0) & (pay <= py1)
+        b_in = (pbx >= px0) & (pbx <= px1) & (pby >= py0) & (pby <= py1)
+        # one vectorized Liang–Barsky pass over the whole incidence
+        # stream — no per-pair Python clip calls in the walk below
+        cv, plox, ploy, phix, phiy = _clip_segments_batch(
+            pax, pay, pbx, pby, px0, py0, px1, py1)
+        v0x, v0y = float(xs[0]), float(ys[0])
+        starts = np.flatnonzero(np.r_[True, o[1:] != o[:-1]])
+        ends = np.r_[starts[1:], o.size]
+        # single C-level conversion to Python lists: the walk below
+        # touches every element exactly once, and list indexing is ~5x
+        # cheaper than numpy scalar extraction in a tight Python loop
+        xl, yl = xs.tolist(), ys.tolist()
+        idx_l, cv_l = idx.tolist(), cv.tolist()
+        a_l, b_l = a_in.tolist(), b_in.tolist()
+        plox_l, ploy_l = plox.tolist(), ploy.tolist()
+        phix_l, phiy_l = phix.tolist(), phiy.tolist()
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            cell = int(o[s])
+            v0_in = (bx0[cell] <= v0x <= bx1[cell]
+                     and by0[cell] <= v0y <= by1[cell])
+            out[cell].extend(_walk_chains(
+                idx_l[s:e], xl, yl, a_l[s:e], b_l[s:e],
+                cv_l[s:e], plox_l[s:e], ploy_l[s:e],
+                phix_l[s:e], phiy_l[s:e], v0_in))
+    return out
 
 
 def covered_polygons(geom_rings, x0, y0, x1, y1):

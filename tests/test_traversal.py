@@ -312,3 +312,73 @@ def test_covered_polygons_area_matches_kernel_fuzz(seed):
                 continue  # no traversals: coverage is 0 or 100%
             area = _total_area(polys)
             assert area == pytest.approx(cv, abs=2e-6), (seed, r, c)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_grid_cell_chains_matches_per_cell_fuzz(seed):
+    """The batched incidence producer must yield EXACTLY the same
+    coord_lists per cell (same floats, same order) as running
+    box_traversals per (ring, cell) — the subdivide boundary-cell
+    scale path is a pure reorganization, not an approximation."""
+    from exactextract_spark.geom import Geometry, parse_wkt
+    from exactextract_spark.spatial import points_in_geom
+    from exactextract_spark.traversal import box_traversals, grid_cell_chains
+
+    rng = np.random.default_rng(100 + seed)
+    G = 12
+    for _attempt in range(50):
+        m = int(rng.integers(3, 14))
+        cx, cy = rng.uniform(2, G - 2, 2)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, m))
+        rad = rng.uniform(0.8, G / 2, m)
+        xs = cx + rad * np.cos(ang)
+        ys = cy + rad * np.sin(ang)
+        if not _simple(xs, ys):
+            continue
+        pts = ", ".join(f"{x} {y}" for x, y in zip(xs, ys))
+        wkt = f"POLYGON (({pts}, {xs[0]} {ys[0]}))"
+        if rng.random() < 0.5 and rad.min() > 1.0:
+            hr = rad.min() / 3
+            hx = [cx - hr, cx + hr, cx + hr, cx - hr]
+            hy = [cy - hr, cy - hr, cy + hr, cy + hr]
+            shell = Geometry("areal", [parse_wkt(wkt).rings[0]])
+            if not points_in_geom(shell, np.array(hx), np.array(hy)).all():
+                continue
+            hole = ", ".join(f"{x} {y}" for x, y in zip(hx, hy))
+            wkt = (f"POLYGON (({pts}, {xs[0]} {ys[0]}), "
+                   f"({hole}, {hx[0]} {hy[0]}))")
+        break
+    else:
+        pytest.skip("no valid polygon drawn")
+    g = parse_wkt(wkt)
+
+    # every cell of the grid, including pure-interior and pure-exterior
+    gr = np.repeat(np.arange(G, dtype=np.int64), G)
+    gc = np.tile(np.arange(G, dtype=np.int64), G)
+    got = grid_cell_chains(g.rings, gr, gc, 0.0, float(G), 1.0, 1.0)
+    for i in range(G * G):
+        r, c = int(gr[i]), int(gc[i])
+        cell = (float(c), float(G - 1 - r), float(c + 1), float(G - r))
+        exp = []
+        for ring in g.rings:
+            chains, closed = box_traversals(ring, *cell)
+            exp.extend(chains)
+            exp.extend(closed)
+        assert got[i] == exp, (seed, r, c)
+
+
+def test_grid_cell_chains_tiny_ring_inside_cell():
+    """A ring entirely inside one target cell must surface as its full
+    closed coordinate list in that cell (and nowhere else)."""
+    from exactextract_spark.geom import parse_wkt
+    from exactextract_spark.traversal import grid_cell_chains
+
+    g = parse_wkt("POLYGON ((2.2 2.2, 2.8 2.2, 2.8 2.8, 2.2 2.8, 2.2 2.2))")
+    gr = np.array([0, 1, 2], dtype=np.int64)   # rows: y in [4,5],[3,4],[2,3]
+    gc = np.array([2, 2, 2], dtype=np.int64)
+    got = grid_cell_chains(g.rings, gr, gc, 0.0, 5.0, 1.0, 1.0)
+    assert got[0] == [] and got[1] == []
+    assert len(got[2]) == 1
+    coords = got[2][0]
+    assert coords[0] == coords[-1] == (2.2, 2.2)
+    assert len(coords) == 5
