@@ -167,6 +167,64 @@ def _zonal_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                          grid=grid, strategy="broadcast")
 
 
+def _zonal_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coverage_weight=area_cartesian over the COARSE raster wc0
+    (dx=dy=4 → cell area float32(16.0), an exact power of two so the
+    driver hash compare stays exact — reference raster_stats.h:277-296
+    area-multiply semantics)."""
+    cfg = SynthConfig.from_sf_dir(sf_dir)
+    docs = build_docs(spark, cfg)
+    zones = eio.zones_from_docs(docs)
+    meta = {r["raster_id"]: r.asDict()
+            for r in eio.raster_meta_from_docs(docs).collect()}
+    tiles = eio.tiles_from_docs(docs, "wc0", meta["wc0"])
+    from exactextract_spark.fixtures import REG_F
+    gc = (cfg.G + REG_F - 1) // REG_F
+    grid = dict(grid_xmin=0.0, grid_ymax=float(cfg.G),
+                dx=float(REG_F), dy=float(REG_F),
+                grid_nrows=gc, grid_ncols=gc, tile=cfg.tile, dtype="float64")
+    return exact_extract(
+        zones, tiles,
+        ["area_count=count(coverage_weight=area_cartesian)",
+         "area_sum=sum(coverage_weight=area_cartesian)",
+         "area_mean=mean(coverage_weight=area_cartesian)"],
+        grid=grid, strategy="broadcast")
+
+
+def _zonal_weights_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored weights array (raster_stats.h:759-765) alongside
+    cell_id/coverage, posexploded for the driver canonicalizer."""
+    cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
+    res = exact_extract(zones, tiles, ["cell_id", "weights", "coverage"],
+                        weight_tiles=wtiles, grid=grid, strategy="broadcast")
+    return (res.select(
+                "zone_id",
+                F.posexplode(F.arrays_zip("cell_id", "weights", "coverage"))
+                 .alias("pos", "e"))
+            .select("zone_id", F.col("pos").cast("int").alias("pos"),
+                    F.col("e.cell_id").alias("cell_id"),
+                    F.col("e.weights").alias("weight"),
+                    F.col("e.coverage").alias("coverage")))
+
+
+def _sumsq(values, cov):
+    """Custom-op body: weighted sum of squares (exact in float64 on the
+    quarter-aligned fixture, so the hash compare needs no tolerance)."""
+    import numpy as np
+    return float(np.sum(np.asarray(values, dtype=np.float64) ** 2 * cov))
+
+
+def _zonal_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python operation through the full distributed pipeline —
+    the reference PythonOperation contract (operation_bindings.cpp)."""
+    from exactextract_spark.ops import wrap_callable
+
+    cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
+    return exact_extract(zones, tiles,
+                         ["count", wrap_callable(_sumsq, name="sumsq")],
+                         grid=grid, strategy="broadcast")
+
+
 def _point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exactextract_spark.fixtures import build_points
     from exactextract_spark.spatial import point_in_polygon
@@ -226,6 +284,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_mixed_args": _zq(["count", "count_mc=count(min_coverage_frac=0.25)",
                                  "weighted_mean"], weighted=True),
         "tile_assignment": _tile_assignment,
+        "zonal_area": _zonal_area,
+        "zonal_weights_array": _zonal_weights_array,
+        "zonal_custom": _zonal_custom,
         "zonal_arrays": _zonal_arrays,
         "zonal_linear": _zonal_linear,
         "subdivide_rect": _subdivide,

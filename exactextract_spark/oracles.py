@@ -323,6 +323,55 @@ FROM zones z JOIN cells c
   ON c.cx1 > z.zx0 AND c.cx0 < z.zx1 AND c.cy1 > z.zy0 AND c.cy0 < z.zy1"""
 
 
+def zonal_area(cfg):
+    """coverage_weight=area_cartesian on the COARSE raster wc0 (dx=4):
+    the area factor is float32(16.0) — an exact power of two, so the
+    area-multiplied sums stay exact and hash-safe.  The effective
+    coverage cov*16 is simply the intersection AREA (not fraction);
+    mean cross-checks that a constant area factor cancels."""
+    from .fixtures import REG_F as f
+    G = cfg.G
+    gc = (G + f - 1) // f
+    return f"""WITH {zone_sql(cfg)},
+ccells AS (
+  SELECT CAST((r*13 + c*7) % 11 AS DOUBLE) AS val,
+         CAST(c*{f} AS DOUBLE) AS cx0, CAST((c+1)*{f} AS DOUBLE) AS cx1,
+         CAST({G} - (r+1)*{f} AS DOUBLE) AS cy0, CAST({G} - r*{f} AS DOUBLE) AS cy1
+  FROM (SELECT i // {gc} AS r, i % {gc} AS c
+        FROM (SELECT range AS i FROM range({gc}*{gc})))),
+cpairs AS (
+  SELECT z.zone_id, c.val,
+         (LEAST(z.zx1, c.cx1) - GREATEST(z.zx0, c.cx0))
+       * (LEAST(z.zy1, c.cy1) - GREATEST(z.zy0, c.cy0)) AS cov_area
+  FROM zones z JOIN ccells c
+    ON c.cx1 > z.zx0 AND c.cx0 < z.zx1 AND c.cy1 > z.zy0 AND c.cy0 < z.zy1)
+SELECT zone_id,
+  COALESCE(SUM(cov_area), 0.0) AS area_count,
+  COALESCE(SUM(val*cov_area), 0.0) AS area_sum,
+  CASE WHEN SUM(cov_area) > 0
+       THEN (SUM(val*cov_area)) / (SUM(cov_area)) END AS area_mean
+FROM cpairs GROUP BY zone_id"""
+
+
+def zonal_weights_array(cfg):
+    """Stored weights array (weighted fixture w0), exploded to scalar
+    rows with the cell_id sort order check."""
+    return f"""WITH {pairs_sql(cfg)}
+SELECT zone_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY cell_id) - 1 AS INT) AS pos,
+  cell_id, wgt AS weight, cov AS coverage
+FROM pairs WHERE val IS NOT NULL"""
+
+
+def zonal_custom(cfg):
+    """Custom Python op (PythonOperation contract): weighted sum of
+    squares Σ v²·c — every term is an exact multiple of 1/16, so the
+    sum is order-independent and hash-safe."""
+    return _agg(cfg, f"""
+  COALESCE(SUM(cov) {D}, 0.0) AS count,
+  SUM((val*val)*cov) {D} AS sumsq""")
+
+
 def zonal_linear(cfg):
     """Linear geometries: per-cell traversal length as coverage."""
     return f"""WITH {lines_sql(cfg)}
@@ -388,4 +437,7 @@ ZONAL_ORACLES = {
     "zonal_min_coverage": zonal_min_coverage,
     "zonal_mixed_args": zonal_mixed_args,
     "tile_assignment": tile_assignment,
+    "zonal_area": zonal_area,
+    "zonal_weights_array": zonal_weights_array,
+    "zonal_custom": zonal_custom,
 }
