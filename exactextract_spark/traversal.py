@@ -210,6 +210,11 @@ class _Chain:
         self.visited = False
 
 
+# set False to force the generic corner-chain walk everywhere (used by
+# the equivalence fuzz in tests/test_traversal.py)
+SINGLE_CHAIN_FAST = True
+
+
 def visit_rings(box, coord_lists):
     """Identify the CCW rings formed by the coordinate lists and the
     box boundary (reference traversal_areas.cpp:94-158).  Yields
@@ -234,6 +239,29 @@ def visit_rings(box, coord_lists):
     height = y1 - y0
     width = x1 - x0
     perimeter = 2.0 * (height + width)
+
+    if SINGLE_CHAIN_FAST and not rings and len(chains) == 1:
+        # fast path for the overwhelmingly common boundary-cell shape
+        # (one traversal in, one out): the generic walk with only
+        # corner chains left reduces to "append the corners that lie
+        # strictly CCW-before the chain's own entry, nearest first" —
+        # tie order matches the generic scan (chain_ref precedes the
+        # corners in list order, corners keep bl/tl/tr/br order)
+        ch = chains[0]
+        d_ref = _ccw_distance(ch.stop, ch.start, perimeter)
+        sel = []
+        for m, pt in ((0.0, (x0, y0)), (height, (x0, y1)),
+                      (height + width, (x1, y1)),
+                      (2.0 * height + width, (x1, y0))):
+            d = _ccw_distance(ch.stop, m, perimeter)
+            if d < d_ref:
+                sel.append((d, pt))
+        sel.sort(key=lambda t: t[0])
+        coords = ch.coords + [pt for _, pt in sel]
+        coords.append(coords[0])
+        if any(p != coords[0] for p in coords[1:]):
+            return [(coords, True)], True
+        return [], False
 
     # box corners as single-point chains
     chains.append(_Chain(0.0, 0.0, [(x0, y0)]))

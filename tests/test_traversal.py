@@ -382,3 +382,46 @@ def test_grid_cell_chains_tiny_ring_inside_cell():
     coords = got[2][0]
     assert coords[0] == coords[-1] == (2.2, 2.2)
     assert len(coords) == 5
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_single_chain_fast_path_matches_generic(seed, monkeypatch):
+    """visit_rings' single-chain fast path must return exactly what the
+    generic corner-chain walk returns, for every boundary cell of a
+    fuzzed polygon (the exact-equality fuzz above runs both sides
+    through the SAME visit_rings, so this toggles the flag)."""
+    import exactextract_spark.traversal as tv
+    from exactextract_spark.geom import parse_wkt
+    from exactextract_spark.kernel import coverage_fraction
+
+    rng = np.random.default_rng(300 + seed)
+    G = 12
+    for _attempt in range(50):
+        m = int(rng.integers(3, 14))
+        cx, cy = rng.uniform(2, G - 2, 2)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, m))
+        rad = rng.uniform(0.8, G / 2, m)
+        xs = cx + rad * np.cos(ang)
+        ys = cy + rad * np.sin(ang)
+        if _simple(xs, ys):
+            break
+    else:
+        pytest.skip("no valid polygon drawn")
+    pts = ", ".join(f"{x} {y}" for x, y in zip(xs, ys))
+    g = parse_wkt(f"POLYGON (({pts}, {xs[0]} {ys[0]}))")
+    cov = coverage_fraction(g, 0.0, float(G), 1.0, 1.0, G, G)
+    for r in range(G):
+        for c in range(G):
+            if not (0.0 < cov[r, c] < 1.0):
+                continue
+            cell = (float(c), float(G - 1 - r), float(c + 1), float(G - r))
+            def run():
+                try:
+                    return tv.covered_polygons(g.rings, *cell)
+                except ValueError as e:
+                    return ("raise", str(e))
+            fast = run()
+            monkeypatch.setattr(tv, "SINGLE_CHAIN_FAST", False)
+            slow = run()
+            monkeypatch.undo()
+            assert fast == slow, (seed, r, c)
