@@ -50,7 +50,10 @@ def main():
         "zone-list onto the tile scan (payloads never shuffle); "
         "HashAggregate(partial) directly above the Python kernel, "
         "Exchange only carries the tiny partial rows; final "
-        "HashAggregate(merge) then a small join back to zones.",
+        "HashAggregate(merge) then a small join back to zones.  Since "
+        "round 4 the zone-side bbox is pure JVM expressions (no "
+        "ArrowEvalPython in the zones branch — attach_bbox parses the "
+        "WKT token stream with split/try_cast/array_min).",
         plan_of(q)))
 
     qh = ext.extract(["variety", "majority", "median"])

@@ -11,16 +11,18 @@ mapInPandas kernel that emits one row per covered cell:
   identical to what the stats pipeline sees;
 - fully-covered cells (coverage == 1) and every cell of a rectangle
   zone are CLOSED-FORM and fully vectorized — cell ids, bboxes and the
-  WKT strings are built as flat numpy array operations (np.char), no
-  per-cell Python.  At scale interior cells dominate, so the Python
-  loop below runs only over the boundary cells of non-rectangular
-  zones (the analog of the reference's flood-fill interior);
+  WKT strings are built as flat array operations (pyarrow), no
+  per-cell Python;
 - boundary cells of general polygons are reassembled EXACTLY with the
   reference's left-hand-rings construction (traversal.py, reference
   traversal_areas.cpp:94-256): a concave polygon that exits and
   re-enters a cell yields a true MultiPolygon, matching the
-  reference's per-cell output (cell.cpp:186-190).  If ring assembly
-  fails on a degenerate input, the cell falls back to a
+  reference's per-cell output (cell.cpp:186-190).  The traversal
+  chains for ALL of a zone's boundary cells come from ONE batched
+  edge→cell incidence pass + vectorized segment clip
+  (traversal.grid_cell_chains), so a 20k-edge coastline ring costs
+  O(edges + incidences), not O(edges × boundary cells).  If ring
+  assembly fails on a degenerate input, the cell falls back to a
   Sutherland–Hodgman clip (area-identical, possibly bridged WKT).
 
 Zone-count scaling: below ``BROADCAST_ZONE_LIMIT`` zones the geometry

@@ -502,15 +502,25 @@ def grid_cell_chains(geom_rings, gr, gc, gx, gy, dx, dy):
         miny, maxy = np.minimum(eay, eby), np.maximum(eay, eby)
         # conservative ranges widened by one cell (float rounding at
         # exact gridlines), clamped to the target window; the exact
-        # overlap comparison below restores bit-identical candidacy
-        c_lo = np.clip(np.floor((minx - gx) / dx).astype(np.int64) - 1,
+        # overlap comparison below restores bit-identical candidacy.
+        # Clamp in FLOAT space BEFORE the int cast: ±1e300 coordinates
+        # would overflow the int64 cast (robustness corpus has them);
+        # NaN endpoints drop the edge, matching the original per-cell
+        # comparisons (NaN never satisfies the overlap predicate)
+        c_lo = np.clip(np.floor((minx - gx) / dx) - 1,
                        cmin, cmax + 1)
-        c_hi = np.clip(np.floor((maxx - gx) / dx).astype(np.int64) + 1,
+        c_hi = np.clip(np.floor((maxx - gx) / dx) + 1,
                        cmin - 1, cmax)
-        r_lo = np.clip(np.floor((gy - maxy) / dy).astype(np.int64) - 1,
+        r_lo = np.clip(np.floor((gy - maxy) / dy) - 1,
                        rmin, rmax + 1)
-        r_hi = np.clip(np.floor((gy - miny) / dy).astype(np.int64) + 1,
+        r_hi = np.clip(np.floor((gy - miny) / dy) + 1,
                        rmin - 1, rmax)
+        finite = (np.isfinite(c_lo) & np.isfinite(c_hi)
+                  & np.isfinite(r_lo) & np.isfinite(r_hi))
+        c_lo = np.where(finite, c_lo, 0.0).astype(np.int64)
+        c_hi = np.where(finite, c_hi, -1.0).astype(np.int64)
+        r_lo = np.where(finite, r_lo, 0.0).astype(np.int64)
+        r_hi = np.where(finite, r_hi, -1.0).astype(np.int64)
         nw = c_hi - c_lo + 1
         nh = r_hi - r_lo + 1
         valid = (nw > 0) & (nh > 0)

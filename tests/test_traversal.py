@@ -425,3 +425,29 @@ def test_single_chain_fast_path_matches_generic(seed, monkeypatch):
             slow = run()
             monkeypatch.undo()
             assert fast == slow, (seed, r, c)
+
+
+def test_grid_cell_chains_huge_coordinates():
+    """±1e30 vertices must not overflow the integer bin cast: the
+    batched producer must match per-cell box_traversals on a triangle
+    with two far-away vertices whose edges sweep through the window."""
+    from exactextract_spark.geom import parse_wkt
+    from exactextract_spark.traversal import box_traversals, grid_cell_chains
+
+    g = parse_wkt("POLYGON ((1.5 1.5, 1e30 1.7, 1.5 3.5, 1.5 1.5))")
+    G = 6
+    gr = np.repeat(np.arange(G, dtype=np.int64), G)
+    gc = np.tile(np.arange(G, dtype=np.int64), G)
+    got = grid_cell_chains(g.rings, gr, gc, 0.0, float(G), 1.0, 1.0)
+    any_nonempty = False
+    for i in range(G * G):
+        r, c = int(gr[i]), int(gc[i])
+        cell = (float(c), float(G - 1 - r), float(c + 1), float(G - r))
+        exp = []
+        for ring in g.rings:
+            chains, closed = box_traversals(ring, *cell)
+            exp.extend(chains)
+            exp.extend(closed)
+        assert got[i] == exp, (r, c)
+        any_nonempty = any_nonempty or bool(exp)
+    assert any_nonempty
