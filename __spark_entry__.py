@@ -225,6 +225,58 @@ def _zonal_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
                          grid=grid, strategy="broadcast")
 
 
+def _checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed extraction interrupted after 3 tiles, then resumed:
+    the finalize must equal the one-shot batch result (exact partial
+    merge; each commit maps to one Iceberg snapshot append —
+    checkpoint.py:10-17)."""
+    import tempfile
+
+    from exactextract_spark.checkpoint import CheckpointedExtraction
+    from exactextract_spark.extract import ZonalExtractor
+
+    cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
+    ext = ZonalExtractor(zones, tiles, grid=grid, strategy="broadcast")
+    ck = CheckpointedExtraction(ext, ["count", "sum", "mean"],
+                                tempfile.mkdtemp(prefix="ee_ck_"))
+    ck.step(limit_tiles=3)   # partial progress ("crash" after 3 tiles)
+    ck.step()                # resume processes only the remainder
+    return ck.finalize()
+
+
+def _streaming_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile docs arriving as a two-file stream (availableNow); the
+    snapshot over the committed micro-batches must equal the one-shot
+    batch result."""
+    import os
+    import tempfile
+
+    from exactextract_spark.streaming import (StreamingZonalWriter,
+                                              stream_zonal_from_dir)
+
+    cfg = SynthConfig.from_sf_dir(sf_dir)
+    docs = build_docs(spark, cfg)
+    zones = eio.zones_from_docs(docs)
+    meta = {r["raster_id"]: r.asDict()
+            for r in eio.raster_meta_from_docs(docs).collect()}
+    grid = cfg.grid_dict()
+    grid["dtype"] = "float64"
+
+    base = tempfile.mkdtemp(prefix="ee_stream_")
+    indir = os.path.join(base, "in")
+    rdocs = docs.where(docs.doc_id.startswith("r0:"))
+    n = rdocs.count()
+    a = rdocs.limit(n // 2)
+    a.write.parquet(os.path.join(indir, "f1.parquet"))
+    rdocs.subtract(a).write.parquet(os.path.join(indir, "f2.parquet"))
+
+    writer = StreamingZonalWriter(zones, grid, ["count", "sum", "mean"],
+                                  os.path.join(base, "state"), "r0", meta["r0"])
+    stream_zonal_from_dir(spark, indir + "/*", writer,
+                          os.path.join(base, "ck"))
+    return writer.snapshot()
+
+
 def _point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exactextract_spark.fixtures import build_points
     from exactextract_spark.spatial import point_in_polygon
@@ -287,6 +339,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_area": _zonal_area,
         "zonal_weights_array": _zonal_weights_array,
         "zonal_custom": _zonal_custom,
+        "zonal_binned": _zq(["variety(bin_width=2)", "majority(bin_width=2)",
+                             "minority(bin_width=2)"]),
+        "checkpoint_resume": _checkpoint_resume,
+        "streaming_snapshot": _streaming_snapshot,
         "zonal_arrays": _zonal_arrays,
         "zonal_linear": _zonal_linear,
         "subdivide_rect": _subdivide,

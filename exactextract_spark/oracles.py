@@ -323,6 +323,39 @@ FROM zones z JOIN cells c
   ON c.cx1 > z.zx0 AND c.cx0 < z.zx1 AND c.cy1 > z.zy0 AND c.cy0 < z.zy1"""
 
 
+def zonal_binned(cfg):
+    """bin_width histogram quantization (engine extension beyond the
+    reference — bounded state for continuous rasters): values floor to
+    the bin start BEFORE the histogram; ties follow the reference
+    (majority → larger value, minority → smaller)."""
+    return f"""WITH {pairs_sql(cfg)},
+h AS (
+  SELECT zone_id, FLOOR(val / 2.0) * 2.0 AS v, SUM(cov) AS ci
+  FROM pairs WHERE val IS NOT NULL GROUP BY zone_id, FLOOR(val / 2.0) * 2.0),
+m AS (
+  SELECT zone_id, v, ci,
+         ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY ci DESC, v DESC) AS rmaj,
+         ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY ci ASC, v ASC) AS rmin
+  FROM h)
+SELECT h2.zone_id,
+       CAST(COUNT(*) AS BIGINT) AS variety,
+       MAX(CASE WHEN m.rmaj = 1 THEN m.v END) AS majority,
+       MAX(CASE WHEN m.rmin = 1 THEN m.v END) AS minority
+FROM h h2 JOIN m ON h2.zone_id = m.zone_id AND h2.v = m.v
+GROUP BY h2.zone_id"""
+
+
+def zonal_incremental(cfg):
+    """Oracle for the checkpoint-resume AND streaming-snapshot queries:
+    incremental ingestion with exact partial-state merge must equal the
+    one-shot batch result, which this SQL recomputes directly."""
+    return _agg(cfg, f"""
+  COALESCE(SUM(cov) {D}, 0.0) AS count,
+  COALESCE(SUM(val*cov) {D}, 0.0) AS sum,
+  CASE WHEN SUM(cov) {D} > 0
+       THEN (SUM(val*cov) {D}) / (SUM(cov) {D}) END AS mean""")
+
+
 def zonal_area(cfg):
     """coverage_weight=area_cartesian on the COARSE raster wc0 (dx=4):
     the area factor is float32(16.0) — an exact power of two, so the
@@ -440,4 +473,7 @@ ZONAL_ORACLES = {
     "zonal_area": zonal_area,
     "zonal_weights_array": zonal_weights_array,
     "zonal_custom": zonal_custom,
+    "zonal_binned": zonal_binned,
+    "checkpoint_resume": zonal_incremental,
+    "streaming_snapshot": zonal_incremental,
 }
