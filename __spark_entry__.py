@@ -266,9 +266,14 @@ def _streaming_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     indir = os.path.join(base, "in")
     rdocs = docs.where(docs.doc_id.startswith("r0:"))
     n = rdocs.count()
-    a = rdocs.limit(n // 2)
-    a.write.parquet(os.path.join(indir, "f1.parquet"))
-    rdocs.subtract(a).write.parquet(os.path.join(indir, "f2.parquet"))
+    # deterministic split: an unordered limit() would re-evaluate to a
+    # different subset inside subtract(), dropping/duplicating tiles —
+    # write the first half, read it BACK, and subtract the materialized
+    # rows so f1 ∪ f2 == rdocs exactly
+    rdocs.limit(n // 2).write.parquet(os.path.join(indir, "f1.parquet"))
+    a = spark.read.parquet(os.path.join(indir, "f1.parquet"))
+    rdocs.join(a.select("doc_id"), "doc_id", "left_anti") \
+        .write.parquet(os.path.join(indir, "f2.parquet"))
 
     writer = StreamingZonalWriter(zones, grid, ["count", "sum", "mean"],
                                   os.path.join(base, "state"), "r0", meta["r0"])

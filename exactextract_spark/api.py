@@ -108,15 +108,25 @@ def exact_extract_multiband(zones: DataFrame, tiles: DataFrame, ops, *,
     return ext.extract(op_list, include_cols=include_cols)
 
 
-def unnest_arrays(df: DataFrame, array_cols: list[str],
+def unnest_arrays(df: DataFrame, array_cols: list[str] | None = None,
                   keep_cols: list[str] | None = None) -> DataFrame:
     """Explode parallel array result columns into one output row per
     element — the reference's GDALFeatureUnnester
     (src/gdal_feature_unnester.h:23-58); Spark-native as
-    explode(arrays_zip(...))."""
+    explode_outer(arrays_zip(...)).  explode_outer, not explode: a
+    feature whose arrays are NULL/empty (no intersecting cells) still
+    writes one row, like the reference writing a row per feature.
+    array_cols defaults to every ArrayType column in the schema."""
+    from pyspark.sql import types as T
+
+    if array_cols is None:
+        array_cols = [f.name for f in df.schema.fields
+                      if isinstance(f.dataType, T.ArrayType)]
+    if not array_cols:
+        return df
     keep = keep_cols if keep_cols is not None else \
         [c for c in df.columns if c not in array_cols]
-    z = F.explode(F.arrays_zip(*[F.col(c) for c in array_cols])).alias("_e")
+    z = F.explode_outer(F.arrays_zip(*[F.col(c).alias(c) for c in array_cols])).alias("_e")
     out = df.select(*keep, z)
     return out.select(*keep, *[F.col(f"_e.{c}").alias(c) for c in array_cols])
 

@@ -86,7 +86,12 @@ class CheckpointedExtraction:
         finalize time (the join below), so replays stay exactly-once."""
         todo = self.pending_tiles()
         if limit_tiles is not None:
-            keys = (todo.select("tile_row", "tile_col").distinct().limit(limit_tiles))
+            # deterministic limit: an unordered limit() re-evaluates to a
+            # DIFFERENT tile subset across the two consumers below
+            # (partials write vs the `empty` anti-join), which would mark
+            # never-processed tiles as done and silently drop their cells
+            keys = (todo.select("tile_row", "tile_col").distinct()
+                    .orderBy("tile_row", "tile_col").limit(limit_tiles))
             todo = todo.join(keys, ["tile_row", "tile_col"])
         batch = uuid.uuid4().hex[:12]
         partials = run_kernel(todo, self.keygroups,

@@ -122,7 +122,13 @@ def main(argv=None) -> int:
             ("--include-geom", args.include_geom),
             ("--include-col", bool(args.include_cols)),
             ("multiple --raster", len(multi) > 1),
-            ("--stat", bool(args.stats))) if on]
+            ("--stat", bool(args.stats)),
+            ("--weights", bool(args.weights)),
+            ("--frac-as-map", args.frac_as_map),
+            ("--undefined nan", args.undefined != "null"),
+            ("--dtype-results", args.dtype_results),
+            ("--preserve-order", args.preserve_order),
+            ("--compat", args.compat)) if on]
         if unsupported:
             print("not supported with --subdivide: " + ", ".join(unsupported),
                   file=sys.stderr)
@@ -133,7 +139,9 @@ def main(argv=None) -> int:
             res = res.withColumn("zone_id", F.col("zone_id").cast(args.id_type))
         if args.id_name:
             res = res.withColumnRenamed("zone_id", args.id_name)
-        _write_output(res, args.output, id_col=args.id_name or "zone_id")
+        # the covered piece's polygon lives in the `wkt` column
+        _write_output(res, args.output, id_col=args.id_name or "zone_id",
+                      geometry_col="wkt")
         return 0
 
     if len(multi) > 1:
@@ -170,27 +178,8 @@ def main(argv=None) -> int:
     return 0
 
 
-def unnest_arrays(df):
-    """Expand array-valued stat columns into one row per element, the
-    reference GDAL writer's unnest-if-needed behavior for formats
-    without list fields (/root/reference/src/gdal_feature_unnester.h,
-    gdal_writer.cpp:65-127): parallel arrays unnest TOGETHER (element i
-    of every array lands on output row i), scalar columns repeat.
-    No-op when the frame has no array columns."""
-    from pyspark.sql import functions as F, types as T
-
-    arr = [f.name for f in df.schema.fields
-           if isinstance(f.dataType, T.ArrayType)]
-    if not arr:
-        return df
-    scalars = [c for c in df.columns if c not in arr]
-    z = df.select(*scalars,
-                  F.explode(F.arrays_zip(*[F.col(c).alias(c) for c in arr]))
-                   .alias("_e"))
-    return z.select(*scalars, *[F.col(f"_e.{c}").alias(c) for c in arr])
-
-
-def _write_output(res, output: str, *, id_col: str = "zone_id") -> None:
+def _write_output(res, output: str, *, id_col: str = "zone_id",
+                  geometry_col: str = "geometry") -> None:
     """Route the result to parquet (default), newline-delimited GeoJSON,
     or a single CSV file (the reference CLI's default output format,
     exactextract.cpp + gdal_writer.cpp).  CSV cannot hold arrays, so
@@ -202,6 +191,8 @@ def _write_output(res, output: str, *, id_col: str = "zone_id") -> None:
     import shutil
 
     if output.endswith(".csv"):
+        from .api import unnest_arrays
+
         tmp = output + "._spark_tmp"
         (unnest_arrays(res).repartition(1).write.mode("overwrite")
          .option("header", True).csv(tmp))
@@ -210,7 +201,7 @@ def _write_output(res, output: str, *, id_col: str = "zone_id") -> None:
         shutil.rmtree(tmp)
     elif output.endswith((".geojson", ".jsonl", ".ndjson")):
         from .io import write_geojson
-        write_geojson(res, output, id_col=id_col)
+        write_geojson(res, output, id_col=id_col, geometry_col=geometry_col)
     else:
         res.write.mode("overwrite").parquet(output)
     print(f"wrote {output}")

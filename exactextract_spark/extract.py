@@ -123,6 +123,15 @@ _WKT_NUMS = ("filter(transform(split({c}, '[^-+.0-9eE]+'),"
              " s -> try_cast(s AS DOUBLE)), v -> v IS NOT NULL)")
 
 
+# supported geometry head tags (geom.parse_wkt dispatch): anything else
+# — POINT, MULTIPOINT, garbage — must raise at bbox time like the old
+# per-row parse did, because a zone whose bbox intersects no tile never
+# reaches the kernel's parse and would otherwise fail silently
+_WKT_HEAD_OK = ("upper(ltrim(geometry)) RLIKE "
+                "'^(MULTIPOLYGON|POLYGON|MULTILINESTRING|LINESTRING"
+                "|GEOMETRYCOLLECTION)[^A-Z]'")
+
+
 def _bbox_expr(minmax: str, parity: int) -> str:
     """One bbox component over the coordinate stream (x = even tokens,
     y = odd); array_min/array_max skip the NULLed-out other axis."""
@@ -130,6 +139,9 @@ def _bbox_expr(minmax: str, parity: int) -> str:
                 f" (v, i) -> IF(i % 2 = {parity}, v, CAST(NULL AS DOUBLE))))")
     inf = "'Infinity'" if minmax == "min" else "'-Infinity'"
     return f"""CASE
+      WHEN NOT ({_WKT_HEAD_OK})
+        THEN raise_error(concat('invalid zone geometry: ',
+                                substring(geometry, 1, 80)))
       WHEN size(_wkt_nums) >= 2 AND size(_wkt_nums) % 2 = 0 THEN {per_axis}
       WHEN size(_wkt_nums) = 0 AND upper(geometry) LIKE '%EMPTY%'
         THEN CAST({inf} AS DOUBLE)

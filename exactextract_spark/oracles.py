@@ -157,16 +157,15 @@ h AS (
 def zonal_histogram(cfg):
     return f"""{_hist_cte(cfg)},
 m AS (
-  SELECT zone_id, v, ci,
+  SELECT zone_id, v,
          ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY ci DESC, v DESC) AS rmaj,
          ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY ci ASC, v ASC) AS rmin
   FROM h)
-SELECT h2.zone_id,
+SELECT zone_id,
        CAST(COUNT(*) AS BIGINT) AS variety,
-       MAX(CASE WHEN m.rmaj = 1 THEN m.v END) AS majority,
-       MAX(CASE WHEN m.rmin = 1 THEN m.v END) AS minority
-FROM h h2 JOIN m ON h2.zone_id = m.zone_id AND h2.v = m.v
-GROUP BY h2.zone_id"""
+       MAX(CASE WHEN rmaj = 1 THEN v END) AS majority,
+       MAX(CASE WHEN rmin = 1 THEN v END) AS minority
+FROM m GROUP BY zone_id"""
 
 
 def zonal_frac(cfg):
@@ -333,16 +332,15 @@ h AS (
   SELECT zone_id, FLOOR(val / 2.0) * 2.0 AS v, SUM(cov) AS ci
   FROM pairs WHERE val IS NOT NULL GROUP BY zone_id, FLOOR(val / 2.0) * 2.0),
 m AS (
-  SELECT zone_id, v, ci,
+  SELECT zone_id, v,
          ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY ci DESC, v DESC) AS rmaj,
          ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY ci ASC, v ASC) AS rmin
   FROM h)
-SELECT h2.zone_id,
+SELECT zone_id,
        CAST(COUNT(*) AS BIGINT) AS variety,
-       MAX(CASE WHEN m.rmaj = 1 THEN m.v END) AS majority,
-       MAX(CASE WHEN m.rmin = 1 THEN m.v END) AS minority
-FROM h h2 JOIN m ON h2.zone_id = m.zone_id AND h2.v = m.v
-GROUP BY h2.zone_id"""
+       MAX(CASE WHEN rmaj = 1 THEN v END) AS majority,
+       MAX(CASE WHEN rmin = 1 THEN v END) AS minority
+FROM m GROUP BY zone_id"""
 
 
 def zonal_incremental(cfg):

@@ -182,7 +182,14 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
 WHERE rank <= {TOP_K}"""
 
 
-_PLANE = "((({i} * 37 + {p} * 101) % 13) - 6)"
+# modulus 31 (prime, > 16 planes) keeps every plane p in 0..30 distinct
+# — a 13-modulus would alias plane p with p+13, making band 1's planes
+# 13-15 copies of band 0's 0-2.  The i*p cross term gives each plane a
+# DIFFERENT per-dimension step (37+13p mod 31, nonzero for p<21), so
+# planes are genuinely distinct directions rather than cyclic shifts of
+# one base sequence (shifted planes collide far more often than
+# independent ones).
+_PLANE = "((({i} * 37 + {p} * 101 + {i} * {p} * 13) % 31) - 15)"
 
 _PROJ_SPARK = ("aggregate(zip_with(sequence(0, size({e}) - 1), {e},"
                " (i, x) -> CAST(" + _PLANE.format(i="i", p="{p}") + " AS DOUBLE)"

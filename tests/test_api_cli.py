@@ -478,3 +478,59 @@ def test_bad_strategy_rejected(spark):
         exact_extract(zones, tiles, ["mean"], strategy="brodcast")
     with pytest.raises(ValueError, match="strategy"):
         subdivide(zones, tiles, strategy="brodcast")
+
+
+def test_cli_csv_keeps_empty_zone_row(spark, tmp_path):
+    """A zone intersecting no raster cell must still write one CSV row
+    (explode_outer in the unnester — the reference writes a row per
+    feature)."""
+    import csv
+
+    from exactextract_spark.cli import main
+    from exactextract_spark.io import tiles_from_array
+
+    zones = spark.createDataFrame(
+        [("in", SQ), ("out", "POLYGON ((100 100, 101 100, 101 101, 100 101, 100 100))")],
+        ["zone_id", "geometry"])
+    zones.write.parquet(str(tmp_path / "zones.parquet"))
+    tiles_from_array(spark, ARANGE9).write.parquet(str(tmp_path / "tiles.parquet"))
+    out = tmp_path / "o.csv"
+    rc = main(["--polygons", str(tmp_path / "zones.parquet"),
+               "--raster", f"v={tmp_path}/tiles.parquet",
+               "--stat", "values", "--stat", "coverage",
+               "--output", str(out), "--cores", "8"])
+    assert rc == 0
+    with open(out) as f:
+        rows = list(csv.DictReader(f))
+    ids = {r["zone_id"] for r in rows}
+    assert ids == {"in", "out"}
+    empty = [r for r in rows if r["zone_id"] == "out"]
+    assert len(empty) == 1 and empty[0]["values"] == ""
+
+
+def test_cli_subdivide_geojson_carries_geometry(spark, tmp_path):
+    """--subdivide to .geojson must put the covered piece's polygon in
+    the Feature geometry (the wkt column), not leave geometry null."""
+    import glob
+    import json
+
+    from exactextract_spark.cli import main
+    from exactextract_spark.io import tiles_from_array
+
+    zones = spark.createDataFrame([("z0", SQ)], ["zone_id", "geometry"])
+    zones.write.parquet(str(tmp_path / "zones.parquet"))
+    tiles_from_array(spark, ARANGE9).write.parquet(str(tmp_path / "tiles.parquet"))
+    out = tmp_path / "cells.geojson"
+    rc = main(["--polygons", str(tmp_path / "zones.parquet"),
+               "--raster", f"v={tmp_path}/tiles.parquet",
+               "--subdivide", "--output", str(out), "--cores", "8"])
+    assert rc == 0
+    feats = []
+    for part in glob.glob(str(out) + "/part-*"):
+        with open(part) as f:
+            feats += [json.loads(line) for line in f if line.strip()]
+    assert feats
+    for ft in feats:
+        assert ft["geometry"] is not None
+        assert ft["geometry"]["type"] in ("Polygon", "MultiPolygon")
+        assert "wkt" not in ft["properties"] or ft["properties"]["wkt"] is None
