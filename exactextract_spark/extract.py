@@ -52,7 +52,7 @@ from .kernel import coverage_for_window
 from .ops import Op, group_ops_by_key, parse_ops
 
 __all__ = ["exact_extract", "attach_bbox", "zone_tile_pairs", "run_kernel",
-           "crs_matches"]
+           "crs_matches", "raise_on_invalid_zones"]
 
 BROADCAST_ZONE_LIMIT = 200_000
 
@@ -134,19 +134,24 @@ _WKT_HEAD_OK = ("upper(ltrim(geometry)) RLIKE "
 
 def _bbox_expr(minmax: str, parity: int) -> str:
     """One bbox component over the coordinate stream (x = even tokens,
-    y = odd); array_min/array_max skip the NULLed-out other axis."""
+    y = odd); array_min/array_max skip the NULLed-out other axis.
+
+    Invalid WKT (bad head tag, odd/missing coordinate tokens) yields a
+    NULL component, NOT an inline raise_error: Catalyst freely reorders
+    filter conjuncts and projections, so a raising expression can fire
+    on rows an earlier filter was meant to drop (e.g. the raster-doc
+    rows of an interleaved table before the zone filter).  The loud
+    failure lives in raise_on_invalid_zones(), which consumers run as a
+    driver-side action once the zone table is materialized."""
     per_axis = (f"array_{minmax}(transform(_wkt_nums,"
                 f" (v, i) -> IF(i % 2 = {parity}, v, CAST(NULL AS DOUBLE))))")
     inf = "'Infinity'" if minmax == "min" else "'-Infinity'"
     return f"""CASE
-      WHEN NOT ({_WKT_HEAD_OK})
-        THEN raise_error(concat('invalid zone geometry: ',
-                                substring(geometry, 1, 80)))
+      WHEN NOT ({_WKT_HEAD_OK}) THEN CAST(NULL AS DOUBLE)
       WHEN size(_wkt_nums) >= 2 AND size(_wkt_nums) % 2 = 0 THEN {per_axis}
       WHEN size(_wkt_nums) = 0 AND upper(geometry) LIKE '%EMPTY%'
         THEN CAST({inf} AS DOUBLE)
-      ELSE raise_error(concat('invalid zone geometry: ',
-                              substring(geometry, 1, 80)))
+      ELSE CAST(NULL AS DOUBLE)
     END"""
 
 
@@ -160,9 +165,10 @@ def attach_bbox(zones: DataFrame) -> DataFrame:
     table stays in whole-stage codegen.  EMPTY geometries get the
     inverted bbox (every tile-range predicate false; the zone flows to
     the final left join like the reference writing a row for every
-    feature).  WKT with no parsable coordinates raises here
-    (raise_error); structural invalidity that still yields numbers
-    (unbalanced parens, unsupported POINT zones) raises at kernel
+    feature).  Invalid WKT (unsupported POINT zones, garbage, odd
+    coordinate counts) gets a NULL bbox here; consumers fail loudly
+    via raise_on_invalid_zones(), and structural invalidity that still
+    yields a plausible bbox (e.g. unbalanced parens) raises at kernel
     parse time, which sees every zone that intersects any tile."""
     if "xmin" in zones.columns:
         return zones
@@ -173,6 +179,18 @@ def attach_bbox(zones: DataFrame) -> DataFrame:
                  F.expr(_bbox_expr("max", 0)).alias("xmax"),
                  F.expr(_bbox_expr("max", 1)).alias("ymax"))
     return z.drop("_wkt_nums")
+
+
+def raise_on_invalid_zones(zones_b: DataFrame) -> None:
+    """Fail loudly on invalid zone geometry like the reference
+    (test_exact_extract.py:1264-1274 semantics): a NULL xmin marks WKT
+    the JVM bbox parser rejected (attach_bbox).  One column-pruned
+    driver-side action — run it AFTER the zone table is filtered/
+    materialized so it cannot be reordered onto non-zone rows."""
+    bad = zones_b.where(F.col("xmin").isNull()) \
+                 .select("geometry").limit(1).collect()
+    if bad:
+        raise ValueError(f"invalid zone geometry {str(bad[0][0])[:80]!r}")
 
 
 def zone_tile_pairs(zones_bbox: DataFrame, grid: dict, tile: int) -> DataFrame:
@@ -744,6 +762,7 @@ class ZonalExtractor:
         # exact_extract.py:497-501).
         zones_b = attach_bbox(zones).withColumn(
             "_zone_ord", F.monotonically_increasing_id()).persist()
+        raise_on_invalid_zones(zones_b)
         self.zones_b = zones_b
 
         tiles_in = tiles

@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
-from .extract import attach_bbox, zone_tile_pairs
+from .extract import attach_bbox, raise_on_invalid_zones, zone_tile_pairs
 from .geom import Geometry, parse_wkt
 
 __all__ = ["point_in_polygon", "knn_tiles", "points_in_geom"]
@@ -99,6 +99,7 @@ def point_in_polygon(points: DataFrame, zones: DataFrame, *,
 
     spark = zones.sparkSession
     zb = attach_bbox(zones)
+    raise_on_invalid_zones(zb)
     n_zones = zb.count()
     if grid is not None:
         t = int(tile or grid.get("tile") or 64)

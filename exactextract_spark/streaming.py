@@ -25,7 +25,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import io as eio
-from .extract import aggregate_partials, attach_bbox, run_kernel, zone_tile_pairs
+from .extract import (aggregate_partials, attach_bbox,
+                      raise_on_invalid_zones, run_kernel, zone_tile_pairs)
 from .ops import group_ops_by_key, parse_ops
 
 __all__ = ["StreamingZonalWriter", "stream_zonal_from_dir"]
@@ -44,6 +45,7 @@ class StreamingZonalWriter:
         self.raster_id = raster_id
         self.meta = meta
         zones_b = attach_bbox(zones).persist()
+        raise_on_invalid_zones(zones_b)
         self.zones_b = zones_b
         geoms = {r["zone_id"]: r["geometry"]
                  for r in zones_b.select("zone_id", "geometry").collect()}

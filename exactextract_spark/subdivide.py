@@ -41,7 +41,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from .extract import BROADCAST_ZONE_LIMIT, attach_bbox, zone_tile_pairs
+from .extract import (BROADCAST_ZONE_LIMIT, attach_bbox,
+                      raise_on_invalid_zones, zone_tile_pairs)
 from .geom import parse_wkt
 from .kernel import coverage_fraction
 from .traversal import grid_cell_chains, left_hand_rings, polygons_wkt
@@ -135,6 +136,7 @@ def subdivide(zones: DataFrame, tiles: DataFrame, *,
         tile_size = grid.get("tile") or tiles.select(
             F.max(F.greatest("nrows", "ncols"))).first()[0]
     zones_b = attach_bbox(zones)
+    raise_on_invalid_zones(zones_b)
     if strategy == "auto":
         strategy = "broadcast" if zones_b.count() <= BROADCAST_ZONE_LIMIT \
             else "shuffle"

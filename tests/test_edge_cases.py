@@ -221,3 +221,15 @@ def test_weighted_stats_on_linear_zones(spark):
     assert r["weighted_sum"] == pytest.approx(want_ws)
     want_wc = 0.5*2 + 1*2 + 1*2 + 0.75*6
     assert r["weighted_mean"] == pytest.approx(want_ws / want_wc)
+
+
+def test_unsupported_geometry_type_raises_even_outside_raster(spark):
+    """A POINT zone (unsupported type) must raise loudly even when its
+    bbox intersects no tile — validation is a driver-side action over
+    the materialized zone table (raise_on_invalid_zones), so it cannot
+    be skipped by bbox pruning nor misfire on pre-filter rows."""
+    tiles = tiles_from_array(spark, ARANGE9)
+    zones = spark.createDataFrame(
+        [("z0", SQ), ("pt", "POINT (200 200)")], ["zone_id", "geometry"])
+    with pytest.raises(ValueError, match="invalid zone geometry"):
+        exact_extract(zones, tiles, ["count"])
