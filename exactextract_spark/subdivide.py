@@ -45,7 +45,7 @@ from .extract import (BROADCAST_ZONE_LIMIT, attach_bbox,
                       raise_on_invalid_zones, zone_tile_pairs)
 from .geom import parse_wkt
 from .kernel import coverage_fraction
-from .traversal import grid_cell_chains, left_hand_rings, polygons_wkt
+from .traversal import grid_cell_chains, left_hand_rings
 
 __all__ = ["subdivide", "clip_ring_box"]
 
@@ -103,6 +103,38 @@ def _box_wkt_vec(px0, py0, px1, py1):
     return pc.binary_join_element_wise(
         "POLYGON ((", x0s, " ", y0s, ", ", x1s, " ", y0s, ", ",
         x1s, " ", y1s, ", ", x0s, " ", y1s, ", ", x0s, " ", y0s, "))", "")
+
+
+def _batch_polygons_wkt(cell_poly_counts, poly_ring_counts,
+                        ring_coord_counts, coord_x, coord_y):
+    """Vectorized polygons_wkt for MANY cells at once: one Arrow
+    float→string cast over the flat coordinate stream (shortest
+    round-trip repr, same as _box_wkt_vec), then three levels of
+    C-level list joins (coords→ring, rings→poly, polys→cell).  Returns
+    an Arrow string array, one WKT per cell."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    xs = pc.cast(pa.array(coord_x), pa.string())
+    ys = pc.cast(pa.array(coord_y), pa.string())
+    coord_str = pc.binary_join_element_wise(xs, ys, " ")
+
+    def _join(counts, values, prefix, suffix):
+        off = np.zeros(len(counts) + 1, dtype=np.int32)
+        np.cumsum(counts, out=off[1:])
+        body = pc.binary_join(pa.ListArray.from_arrays(pa.array(off), values), ", ")
+        return pc.binary_join_element_wise(prefix, body, suffix, "")
+
+    ring_str = _join(ring_coord_counts, coord_str, "(", ")")
+    poly_str = _join(poly_ring_counts, ring_str, "(", ")")
+    off = np.zeros(len(cell_poly_counts) + 1, dtype=np.int32)
+    np.cumsum(cell_poly_counts, out=off[1:])
+    cell_body = pc.binary_join(pa.ListArray.from_arrays(pa.array(off), poly_str), ", ")
+    single = pa.array(np.asarray(cell_poly_counts, dtype=np.int64) == 1)
+    return pc.if_else(
+        single,
+        pc.binary_join_element_wise("POLYGON ", cell_body, ""),
+        pc.binary_join_element_wise("MULTIPOLYGON (", cell_body, ")", ""))
 
 
 _SCHEMA = T.StructType([
@@ -258,13 +290,25 @@ def subdivide(zones: DataFrame, tiles: DataFrame, *,
                     # pays an O(edges) numpy scan per boundary cell
                     cell_lists = grid_cell_chains(
                         g.rings, gr[bi], gc[bi], gx, gy, dx, dy)
+                    # assembled cells: record the polygon STRUCTURE
+                    # (counts + flat coordinate stream); strings, bboxes
+                    # and arrays are built in one vectorized pass below
                     b_cid = []
                     b_cv = []
-                    b_px0 = []
-                    b_py0 = []
-                    b_px1 = []
-                    b_py1 = []
-                    b_wkt = []
+                    cell_np = []      # polys per cell
+                    poly_nr = []      # rings per poly
+                    ring_nc = []      # coords per ring
+                    co_x = []         # flat coordinate stream
+                    co_y = []
+                    # Sutherland–Hodgman fallback cells (rare): per-cell
+                    # python strings, emitted separately
+                    f_cid = []
+                    f_cv = []
+                    f_px0 = []
+                    f_py0 = []
+                    f_px1 = []
+                    f_py1 = []
+                    f_wkt = []
                     for k, lists in zip(bi, cell_lists):
                         ex0, ey0 = float(cx0[k]), float(cy0[k])
                         ex1, ey1 = float(cx1[k]), float(cy1[k])
@@ -273,9 +317,6 @@ def subdivide(zones: DataFrame, tiles: DataFrame, *,
                                 (ex0, ey0, ex1, ey1), lists)
                             if not polys:
                                 continue
-                            wkt = polygons_wkt(polys)
-                            xs = [p[0] for poly in polys for p in poly[0]]
-                            ys = [p[1] for poly in polys for p in poly[0]]
                         except ValueError:
                             # degenerate traversal: Sutherland–Hodgman
                             # fallback (area-identical, bridged WKT)
@@ -286,21 +327,61 @@ def subdivide(zones: DataFrame, tiles: DataFrame, *,
                                     parts.append(pts)
                             if not parts:
                                 continue
-                            wkt = _ring_wkt(parts)
                             xs = [p[0] for pts in parts for p in pts]
                             ys = [p[1] for pts in parts for p in pts]
+                            f_cid.append(cid[k])
+                            f_cv.append(cv[k])
+                            f_px0.append(min(xs))
+                            f_py0.append(min(ys))
+                            f_px1.append(max(xs))
+                            f_py1.append(max(ys))
+                            f_wkt.append(_ring_wkt(parts))
+                            continue
                         b_cid.append(cid[k])
                         b_cv.append(cv[k])
-                        b_px0.append(min(xs))
-                        b_py0.append(min(ys))
-                        b_px1.append(max(xs))
-                        b_py1.append(max(ys))
-                        b_wkt.append(wkt)
+                        cell_np.append(len(polys))
+                        for poly in polys:
+                            poly_nr.append(len(poly))
+                            for ring in poly:
+                                ring_nc.append(len(ring))
+                                rxs, rys = zip(*ring)
+                                co_x.extend(rxs)
+                                co_y.extend(rys)
                     import pyarrow as pa
-                    emit(zid, np.array(b_cid, dtype=np.int64),
-                         np.array(b_cv), np.array(b_px0), np.array(b_py0),
-                         np.array(b_px1), np.array(b_py1),
-                         pa.array(b_wkt, type=pa.string()))
+                    if b_cid:
+                        cxf = np.asarray(co_x)
+                        cyf = np.asarray(co_y)
+                        # per-cell coord spans -> vectorized bbox (holes
+                        # never extend beyond their shell, so using all
+                        # rings equals the shell-only min/max)
+                        spans = np.zeros(len(b_cid) + 1, dtype=np.int64)
+                        ric = np.asarray(ring_nc, dtype=np.int64)
+                        pnr = np.asarray(poly_nr, dtype=np.int64)
+                        # coords per poly, then per cell
+                        pc_off = np.zeros(len(pnr) + 1, dtype=np.int64)
+                        np.cumsum(pnr, out=pc_off[1:])
+                        coords_per_poly = np.add.reduceat(
+                            ric, pc_off[:-1]) if len(pnr) else ric[:0]
+                        cnp = np.asarray(cell_np, dtype=np.int64)
+                        cp_off = np.zeros(len(cnp) + 1, dtype=np.int64)
+                        np.cumsum(cnp, out=cp_off[1:])
+                        coords_per_cell = np.add.reduceat(
+                            coords_per_poly, cp_off[:-1])
+                        np.cumsum(coords_per_cell, out=spans[1:])
+                        emit(zid, np.array(b_cid, dtype=np.int64),
+                             np.array(b_cv),
+                             np.minimum.reduceat(cxf, spans[:-1]),
+                             np.minimum.reduceat(cyf, spans[:-1]),
+                             np.maximum.reduceat(cxf, spans[:-1]),
+                             np.maximum.reduceat(cyf, spans[:-1]),
+                             _batch_polygons_wkt(cell_np, poly_nr,
+                                                 ring_nc, cxf, cyf))
+                    if f_cid:
+                        emit(zid, np.array(f_cid, dtype=np.int64),
+                             np.array(f_cv), np.array(f_px0),
+                             np.array(f_py0), np.array(f_px1),
+                             np.array(f_py1),
+                             pa.array(f_wkt, type=pa.string()))
 
             if not acc["cell_id"]:
                 yield pd.DataFrame(columns=_COLS)

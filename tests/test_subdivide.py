@@ -120,3 +120,52 @@ def test_subdivide_cli(spark, tmp_path):
     rows = spark.read.parquet(str(tmp_path / "o.parquet")).collect()
     assert len(rows) == 9
     assert sum(r["coverage"] for r in rows) == pytest.approx(4.0)
+
+
+def test_batch_polygons_wkt_matches_scalar():
+    """_batch_polygons_wkt must encode the same geometry as
+    polygons_wkt for every boundary cell of a concave+hole polygon
+    (string formatting may differ — shortest repr vs %.17g — but the
+    PARSED coordinates must be identical floats)."""
+    import numpy as np
+
+    from exactextract_spark.kernel import coverage_fraction
+    from exactextract_spark.subdivide import _batch_polygons_wkt
+    from exactextract_spark.traversal import (covered_polygons,
+                                              polygons_wkt)
+
+    wkt = ("POLYGON ((1 2, 9 2, 9 17, 6 17, 6 8, 3 8, 3 18, 1 18, 1 2), "
+           "(1.5 3, 2.5 3, 2.5 4.5, 1.5 4.5, 1.5 3))")
+    g = parse_wkt(wkt)
+    G = 20
+    cov = coverage_fraction(g, 0.0, float(G), 1.0, 1.0, G, G)
+    cells, cell_np, poly_nr, ring_nc, cx, cy = [], [], [], [], [], []
+    for r in range(G):
+        for c in range(G):
+            if not (0.0 < cov[r, c] < 1.0):
+                continue
+            box = (float(c), float(G - 1 - r), float(c + 1), float(G - r))
+            try:
+                polys = covered_polygons(g.rings, *box)
+            except ValueError:
+                continue
+            if not polys:
+                continue
+            cells.append(polygons_wkt(polys))
+            cell_np.append(len(polys))
+            for poly in polys:
+                poly_nr.append(len(poly))
+                for ring in poly:
+                    ring_nc.append(len(ring))
+                    xs, ys = zip(*ring)
+                    cx.extend(xs)
+                    cy.extend(ys)
+    assert cells
+    batch = _batch_polygons_wkt(cell_np, poly_nr, ring_nc,
+                                np.asarray(cx), np.asarray(cy)).to_pylist()
+    assert len(batch) == len(cells)
+    for got, want in zip(batch, cells):
+        gg, gw = parse_wkt(got), parse_wkt(want)
+        assert len(gg.rings) == len(gw.rings)
+        for ra, rb in zip(gg.rings, gw.rings):
+            assert np.array_equal(ra, rb), (got, want)
