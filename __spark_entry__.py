@@ -300,8 +300,14 @@ def _knn_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exactextract_spark.extract import raise_on_invalid_zones
+
     cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
-    pairs = zone_tile_pairs(attach_bbox(zones), grid, cfg.tile)
+    zones_b = attach_bbox(zones)
+    # zone_tile_pairs alone would silently drop an invalid zone (NULL
+    # bbox fails every range predicate) — keep the loud-failure contract
+    raise_on_invalid_zones(zones_b)
+    pairs = zone_tile_pairs(zones_b, grid, cfg.tile)
     return pairs.select("zone_id", "tile_row", "tile_col").distinct()
 
 

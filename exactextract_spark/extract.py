@@ -52,7 +52,7 @@ from .kernel import coverage_for_window
 from .ops import Op, group_ops_by_key, parse_ops
 
 __all__ = ["exact_extract", "attach_bbox", "zone_tile_pairs", "run_kernel",
-           "crs_matches", "raise_on_invalid_zones"]
+           "crs_matches", "raise_on_invalid_zones", "count_and_validate"]
 
 BROADCAST_ZONE_LIMIT = 200_000
 
@@ -191,6 +191,23 @@ def raise_on_invalid_zones(zones_b: DataFrame) -> None:
                  .select("geometry").limit(1).collect()
     if bad:
         raise ValueError(f"invalid zone geometry {str(bad[0][0])[:80]!r}")
+
+
+def count_and_validate(zones_b: DataFrame, validate: bool = True) -> int:
+    """Zone count and invalid-geometry check in ONE action (consumers
+    that need both would otherwise scan the zone table twice).
+    ``validate=False`` for tables whose bbox columns were supplied by
+    the CALLER (attach_bbox passed them through): a user NULL bbox
+    there is not the engine's invalid-WKT marker."""
+    aggs = [F.count("*").alias("n")]
+    if validate:
+        aggs += [F.sum(F.col("xmin").isNull().cast("long")).alias("bad"),
+                 F.first(F.when(F.col("xmin").isNull(), F.col("geometry")),
+                         ignorenulls=True).alias("ex")]
+    row = zones_b.agg(*aggs).first()
+    if validate and row["bad"]:
+        raise ValueError(f"invalid zone geometry {str(row['ex'])[:80]!r}")
+    return row["n"]
 
 
 def zone_tile_pairs(zones_bbox: DataFrame, grid: dict, tile: int) -> DataFrame:
@@ -760,9 +777,9 @@ class ZonalExtractor:
         # input row order for preserve_order output (the reference's
         # pandas writer reindexes to the input GeoDataFrame,
         # exact_extract.py:497-501).
+        had_bbox = "xmin" in zones.columns
         zones_b = attach_bbox(zones).withColumn(
             "_zone_ord", F.monotonically_increasing_id()).persist()
-        raise_on_invalid_zones(zones_b)
         self.zones_b = zones_b
 
         tiles_in = tiles
@@ -792,7 +809,11 @@ class ZonalExtractor:
                 .drop("w_tile_row", "w_tile_col")
 
         if strategy == "auto":
-            strategy = "broadcast" if zones_b.count() <= BROADCAST_ZONE_LIMIT else "shuffle"
+            strategy = "broadcast" \
+                if count_and_validate(zones_b, validate=not had_bbox) \
+                <= BROADCAST_ZONE_LIMIT else "shuffle"
+        elif not had_bbox:
+            raise_on_invalid_zones(zones_b)
         self.strategy = strategy
 
         self.geom_lookup = None

@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
-from .extract import attach_bbox, raise_on_invalid_zones, zone_tile_pairs
+from .extract import attach_bbox, count_and_validate, zone_tile_pairs
 from .geom import Geometry, parse_wkt
 
 __all__ = ["point_in_polygon", "knn_tiles", "points_in_geom"]
@@ -98,9 +98,10 @@ def point_in_polygon(points: DataFrame, zones: DataFrame, *,
     import math
 
     spark = zones.sparkSession
+    had_bbox = "xmin" in zones.columns
     zb = attach_bbox(zones)
-    raise_on_invalid_zones(zb)
-    n_zones = zb.count()
+    # one action: count for the lattice sizing + invalid-geometry check
+    n_zones = count_and_validate(zb, validate=not had_bbox)
     if grid is not None:
         t = int(tile or grid.get("tile") or 64)
         gx, gy = float(grid["grid_xmin"]), float(grid["grid_ymax"])

@@ -44,8 +44,10 @@ class StreamingZonalWriter:
         self.path = path.rstrip("/")
         self.raster_id = raster_id
         self.meta = meta
+        had_bbox = "xmin" in zones.columns
         zones_b = attach_bbox(zones).persist()
-        raise_on_invalid_zones(zones_b)
+        if not had_bbox:
+            raise_on_invalid_zones(zones_b)
         self.zones_b = zones_b
         geoms = {r["zone_id"]: r["geometry"]
                  for r in zones_b.select("zone_id", "geometry").collect()}

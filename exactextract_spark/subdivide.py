@@ -41,7 +41,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from .extract import (BROADCAST_ZONE_LIMIT, attach_bbox,
+from .extract import (BROADCAST_ZONE_LIMIT, attach_bbox, count_and_validate,
                       raise_on_invalid_zones, zone_tile_pairs)
 from .geom import parse_wkt
 from .kernel import coverage_fraction
@@ -105,13 +105,21 @@ def _box_wkt_vec(px0, py0, px1, py1):
         x1s, " ", y1s, ", ", x0s, " ", y1s, ", ", x0s, " ", y0s, "))", "")
 
 
-def _batch_polygons_wkt(cell_poly_counts, poly_ring_counts,
-                        ring_coord_counts, coord_x, coord_y):
+def _offsets(counts) -> np.ndarray:
+    """[0, cumsum(counts)] as int32 (Arrow ListArray offset dtype)."""
+    off = np.zeros(len(counts) + 1, dtype=np.int32)
+    np.cumsum(counts, out=off[1:])
+    return off
+
+
+def _batch_polygons_wkt(cell_poly_off, poly_ring_off, ring_coord_off,
+                        coord_x, coord_y):
     """Vectorized polygons_wkt for MANY cells at once: one Arrow
     float→string cast over the flat coordinate stream (shortest
     round-trip repr, same as _box_wkt_vec), then three levels of
-    C-level list joins (coords→ring, rings→poly, polys→cell).  Returns
-    an Arrow string array, one WKT per cell."""
+    C-level list joins (coords→ring, rings→poly, polys→cell), driven
+    by the precomputed offset hierarchy (see _offsets).  Returns an
+    Arrow string array, one WKT per cell."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -119,18 +127,15 @@ def _batch_polygons_wkt(cell_poly_counts, poly_ring_counts,
     ys = pc.cast(pa.array(coord_y), pa.string())
     coord_str = pc.binary_join_element_wise(xs, ys, " ")
 
-    def _join(counts, values, prefix, suffix):
-        off = np.zeros(len(counts) + 1, dtype=np.int32)
-        np.cumsum(counts, out=off[1:])
+    def _join(off, values, prefix, suffix):
         body = pc.binary_join(pa.ListArray.from_arrays(pa.array(off), values), ", ")
         return pc.binary_join_element_wise(prefix, body, suffix, "")
 
-    ring_str = _join(ring_coord_counts, coord_str, "(", ")")
-    poly_str = _join(poly_ring_counts, ring_str, "(", ")")
-    off = np.zeros(len(cell_poly_counts) + 1, dtype=np.int32)
-    np.cumsum(cell_poly_counts, out=off[1:])
-    cell_body = pc.binary_join(pa.ListArray.from_arrays(pa.array(off), poly_str), ", ")
-    single = pa.array(np.asarray(cell_poly_counts, dtype=np.int64) == 1)
+    ring_str = _join(ring_coord_off, coord_str, "(", ")")
+    poly_str = _join(poly_ring_off, ring_str, "(", ")")
+    cell_body = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(cell_poly_off), poly_str), ", ")
+    single = pa.array(np.diff(cell_poly_off) == 1)
     return pc.if_else(
         single,
         pc.binary_join_element_wise("POLYGON ", cell_body, ""),
@@ -167,11 +172,16 @@ def subdivide(zones: DataFrame, tiles: DataFrame, *,
     if tile_size is None:
         tile_size = grid.get("tile") or tiles.select(
             F.max(F.greatest("nrows", "ncols"))).first()[0]
+    had_bbox = "xmin" in zones.columns
     zones_b = attach_bbox(zones)
-    raise_on_invalid_zones(zones_b)
     if strategy == "auto":
-        strategy = "broadcast" if zones_b.count() <= BROADCAST_ZONE_LIMIT \
-            else "shuffle"
+        # one action: zone count for the strategy choice + loud
+        # invalid-geometry check (skipped for caller-supplied bboxes)
+        strategy = "broadcast" \
+            if count_and_validate(zones_b, validate=not had_bbox) \
+            <= BROADCAST_ZONE_LIMIT else "shuffle"
+    elif not had_bbox:
+        raise_on_invalid_zones(zones_b)
 
     lookup = None
     if strategy == "broadcast":
@@ -351,31 +361,23 @@ def subdivide(zones: DataFrame, tiles: DataFrame, *,
                     if b_cid:
                         cxf = np.asarray(co_x)
                         cyf = np.asarray(co_y)
-                        # per-cell coord spans -> vectorized bbox (holes
-                        # never extend beyond their shell, so using all
-                        # rings equals the shell-only min/max)
-                        spans = np.zeros(len(b_cid) + 1, dtype=np.int64)
-                        ric = np.asarray(ring_nc, dtype=np.int64)
-                        pnr = np.asarray(poly_nr, dtype=np.int64)
-                        # coords per poly, then per cell
-                        pc_off = np.zeros(len(pnr) + 1, dtype=np.int64)
-                        np.cumsum(pnr, out=pc_off[1:])
-                        coords_per_poly = np.add.reduceat(
-                            ric, pc_off[:-1]) if len(pnr) else ric[:0]
-                        cnp = np.asarray(cell_np, dtype=np.int64)
-                        cp_off = np.zeros(len(cnp) + 1, dtype=np.int64)
-                        np.cumsum(cnp, out=cp_off[1:])
-                        coords_per_cell = np.add.reduceat(
-                            coords_per_poly, cp_off[:-1])
-                        np.cumsum(coords_per_cell, out=spans[1:])
+                        # one offset hierarchy drives both the WKT list
+                        # joins and the bbox spans: the coord index at
+                        # cell k's start is rc_off[pr_off[cp_off[k]]]
+                        cp_off = _offsets(cell_np)
+                        pr_off = _offsets(poly_nr)
+                        rc_off = _offsets(ring_nc)
+                        spans = rc_off[pr_off[cp_off]]
+                        # per-cell bbox (holes never extend beyond their
+                        # shell, so all-ring min/max == shell-only)
                         emit(zid, np.array(b_cid, dtype=np.int64),
                              np.array(b_cv),
                              np.minimum.reduceat(cxf, spans[:-1]),
                              np.minimum.reduceat(cyf, spans[:-1]),
                              np.maximum.reduceat(cxf, spans[:-1]),
                              np.maximum.reduceat(cyf, spans[:-1]),
-                             _batch_polygons_wkt(cell_np, poly_nr,
-                                                 ring_nc, cxf, cyf))
+                             _batch_polygons_wkt(cp_off, pr_off,
+                                                 rc_off, cxf, cyf))
                     if f_cid:
                         emit(zid, np.array(f_cid, dtype=np.int64),
                              np.array(f_cv), np.array(f_px0),

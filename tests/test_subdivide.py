@@ -124,22 +124,66 @@ def test_subdivide_cli(spark, tmp_path):
 
 def test_batch_polygons_wkt_matches_scalar():
     """_batch_polygons_wkt must encode the same geometry as
-    polygons_wkt for every boundary cell of a concave+hole polygon
-    (string formatting may differ — shortest repr vs %.17g — but the
-    PARSED coordinates must be identical floats)."""
+    polygons_wkt — including the MULTIPOLYGON and hole (multi-ring)
+    branches, exercised explicitly below since boundary cells of
+    grid-aligned fixtures rarely produce them (string formatting may
+    differ — shortest repr vs %.17g — but the PARSED coordinates must
+    be identical floats)."""
     import numpy as np
 
     from exactextract_spark.kernel import coverage_fraction
-    from exactextract_spark.subdivide import _batch_polygons_wkt
-    from exactextract_spark.traversal import (covered_polygons,
-                                              polygons_wkt)
+    from exactextract_spark.subdivide import _batch_polygons_wkt, _offsets
+    from exactextract_spark.traversal import covered_polygons, polygons_wkt
 
-    wkt = ("POLYGON ((1 2, 9 2, 9 17, 6 17, 6 8, 3 8, 3 18, 1 18, 1 2), "
-           "(1.5 3, 2.5 3, 2.5 4.5, 1.5 4.5, 1.5 3))")
+    def compare(cells_polys):
+        want = [polygons_wkt(p) for p in cells_polys]
+        cell_np, poly_nr, ring_nc, cx, cy = [], [], [], [], []
+        for polys in cells_polys:
+            cell_np.append(len(polys))
+            for poly in polys:
+                poly_nr.append(len(poly))
+                for ring in poly:
+                    ring_nc.append(len(ring))
+                    xs, ys = zip(*ring)
+                    cx.extend(xs)
+                    cy.extend(ys)
+        got = _batch_polygons_wkt(
+            _offsets(cell_np), _offsets(poly_nr), _offsets(ring_nc),
+            np.asarray(cx), np.asarray(cy)).to_pylist()
+        assert len(got) == len(want)
+        for g_wkt, w_wkt in zip(got, want):
+            gg, gw = parse_wkt(g_wkt), parse_wkt(w_wkt)
+            assert len(gg.rings) == len(gw.rings), (g_wkt, w_wkt)
+            for ra, rb in zip(gg.rings, gw.rings):
+                assert np.array_equal(ra, rb), (g_wkt, w_wkt)
+        return got
+
+    # explicit structural coverage: single poly / poly+hole /
+    # MULTIPOLYGON / MULTIPOLYGON with a hole in the second part
+    sq = [(0.1, 0.2), (0.9, 0.2), (0.9, 0.8), (0.1, 0.8), (0.1, 0.2)]
+    sq2 = [(x + 2, y) for x, y in sq]
+    hole = [(0.3, 0.4), (0.3, 0.6), (0.6, 0.6), (0.6, 0.4), (0.3, 0.4)]
+    got = compare([
+        [[sq]],
+        [[sq, hole]],
+        [[sq], [sq2]],
+        [[sq], [sq2, [(x + 2, y) for x, y in hole]]],
+    ])
+    assert got[0].startswith("POLYGON ((")
+    assert got[1].count("(") == 3  # shell + hole
+    assert got[2].startswith("MULTIPOLYGON (((")
+    assert got[3].startswith("MULTIPOLYGON")
+
+    # plus every boundary cell of a real concave+hole polygon through
+    # the actual traversal pipeline (off-gridline coords so concave
+    # re-entry cells genuinely occur)
+    wkt = ("POLYGON ((1.2 2.3, 9.4 2.3, 9.4 17.3, 6.4 17.3, 6.4 8.3, "
+           "3.4 8.3, 3.4 17.7, 1.2 17.7, 1.2 2.3), "
+           "(1.5 3.1, 2.5 3.1, 2.5 4.6, 1.5 4.6, 1.5 3.1))")
     g = parse_wkt(wkt)
     G = 20
     cov = coverage_fraction(g, 0.0, float(G), 1.0, 1.0, G, G)
-    cells, cell_np, poly_nr, ring_nc, cx, cy = [], [], [], [], [], []
+    cells_polys = []
     for r in range(G):
         for c in range(G):
             if not (0.0 < cov[r, c] < 1.0):
@@ -149,23 +193,7 @@ def test_batch_polygons_wkt_matches_scalar():
                 polys = covered_polygons(g.rings, *box)
             except ValueError:
                 continue
-            if not polys:
-                continue
-            cells.append(polygons_wkt(polys))
-            cell_np.append(len(polys))
-            for poly in polys:
-                poly_nr.append(len(poly))
-                for ring in poly:
-                    ring_nc.append(len(ring))
-                    xs, ys = zip(*ring)
-                    cx.extend(xs)
-                    cy.extend(ys)
-    assert cells
-    batch = _batch_polygons_wkt(cell_np, poly_nr, ring_nc,
-                                np.asarray(cx), np.asarray(cy)).to_pylist()
-    assert len(batch) == len(cells)
-    for got, want in zip(batch, cells):
-        gg, gw = parse_wkt(got), parse_wkt(want)
-        assert len(gg.rings) == len(gw.rings)
-        for ra, rb in zip(gg.rings, gw.rings):
-            assert np.array_equal(ra, rb), (got, want)
+            if polys:
+                cells_polys.append(polys)
+    assert cells_polys
+    compare(cells_polys)
