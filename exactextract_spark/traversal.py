@@ -521,20 +521,66 @@ def grid_cell_chains(geom_rings, gr, gc, gx, gy, dx, dy):
         c_hi = np.where(finite, c_hi, -1.0).astype(np.int64)
         r_lo = np.where(finite, r_lo, 0.0).astype(np.int64)
         r_hi = np.where(finite, r_hi, -1.0).astype(np.int64)
-        nw = c_hi - c_lo + 1
         nh = r_hi - r_lo + 1
-        valid = (nw > 0) & (nh > 0)
+        valid = (c_hi >= c_lo) & (nh > 0)
         ei = np.flatnonzero(valid)
         if ei.size == 0:
             continue
-        cnt = (nw[ei] * nh[ei]).astype(np.int64)
-        total = int(cnt.sum())
-        idx = np.repeat(ei, cnt)
-        k = np.arange(total, dtype=np.int64) - np.repeat(
-            np.cumsum(cnt) - cnt, cnt)
-        w = nw[idx]
-        rr = r_lo[idx] + k // w
-        cc = c_lo[idx] + k % w
+        # --- scanline expansion, level 1: edges × rows.  A long
+        # diagonal chord's bbox RECT is quadratically conservative
+        # (a 50-cell chord touches ~100 cells but its bbox holds 2500);
+        # clipping the segment to each row band and expanding only that
+        # band's column interval keeps the stream near the true
+        # supercover.  Dropped (edge, cell) pairs are provably no-ops
+        # in the walk: an edge can only affect a cell's chains when an
+        # endpoint lies in the cell or the segment intersects it, and
+        # both imply a non-empty clipped interval in that cell's row. ---
+        nh_e = nh[ei]
+        n_er = int(nh_e.sum())
+        e1 = np.repeat(ei, nh_e)
+        k1 = np.arange(n_er, dtype=np.int64) - np.repeat(
+            np.cumsum(nh_e) - nh_e, nh_e)
+        rr1 = r_lo[e1] + k1
+        yhi_b = gy - rr1 * dy
+        ylo_b = yhi_b - dy
+        ax1, ay1 = eax[e1], eay[e1]
+        bx_1, by_1 = ebx[e1], eby[e1]
+        dye = by_1 - ay1
+        dy0m = dye == 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t1 = np.where(dy0m, 0.0,
+                          (ylo_b - ay1) / np.where(dy0m, 1.0, dye))
+            t2 = np.where(dy0m, 1.0,
+                          (yhi_b - ay1) / np.where(dy0m, 1.0, dye))
+        tlo = np.maximum(np.minimum(t1, t2), 0.0)
+        thi = np.minimum(np.maximum(t1, t2), 1.0)
+        # closed comparisons keep grazing contacts; horizontal edges
+        # are in a band iff their y is (closed-interval)
+        band_ok = np.where(dy0m, (ay1 >= ylo_b) & (ay1 <= yhi_b),
+                           thi >= tlo)
+        dxe = bx_1 - ax1
+        x1r = ax1 + tlo * dxe
+        x2r = ax1 + thi * dxe
+        c_lo_r = np.clip(np.floor((np.minimum(x1r, x2r) - gx) / dx) - 1,
+                         cmin, cmax + 1)
+        c_hi_r = np.clip(np.floor((np.maximum(x1r, x2r) - gx) / dx) + 1,
+                         cmin - 1, cmax)
+        ok_r = band_ok & np.isfinite(c_lo_r) & np.isfinite(c_hi_r)
+        c_lo_r = np.where(ok_r, c_lo_r, 0.0).astype(np.int64)
+        c_hi_r = np.where(ok_r, c_hi_r, -1.0).astype(np.int64)
+        nw_r = c_hi_r - c_lo_r + 1
+        pr = np.flatnonzero(nw_r > 0)
+        if pr.size == 0:
+            continue
+        # --- level 2: (edge, row) × columns ---
+        nw_p = nw_r[pr]
+        total = int(nw_p.sum())
+        p2 = np.repeat(pr, nw_p)
+        k2 = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(nw_p) - nw_p, nw_p)
+        idx = e1[p2]
+        rr = rr1[p2]
+        cc = c_lo_r[p2] + k2
         o = ordmap[rr - rmin, cc - cmin]
         keep = o >= 0
         idx, o = idx[keep], o[keep]
