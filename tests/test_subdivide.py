@@ -197,3 +197,31 @@ def test_batch_polygons_wkt_matches_scalar():
                 cells_polys.append(polys)
     assert cells_polys
     compare(cells_polys)
+
+
+def test_subdivide_long_chord_zone(spark):
+    """A triangle with ~50-cell chords through the FULL pipeline (the
+    scanline edge expansion path): per-cell WKT area must equal the
+    kernel coverage for every boundary piece, and total area must be
+    conserved."""
+    from exactextract_spark.io import tiles_from_array
+    from exactextract_spark.subdivide import subdivide
+
+    G = 64
+    data = np.arange(G * G, dtype=np.float64).reshape(G, G)
+    tiles = tiles_from_array(spark, data)
+    wkt = "POLYGON ((1.3 1.7, 62.4 5.2, 30.8 61.1, 1.3 1.7))"
+    zones = spark.createDataFrame([("t", wkt)], ["zone_id", "geometry"])
+    rows = subdivide(zones, tiles).collect()
+    assert len(rows) > 1000
+    total = 0.0
+    for r in rows:
+        total += r["coverage"]
+        if 0.0 < r["coverage"] < 1.0:
+            assert _wkt_area(r["wkt"]) == pytest.approx(
+                r["coverage"], abs=2e-6), r["cell_id"]
+    from exactextract_spark.geom import parse_wkt as _p
+    from exactextract_spark.traversal import ring_area
+    shell = _p(wkt).rings[0]
+    want = abs(ring_area([tuple(p) for p in shell]))
+    assert total == pytest.approx(want, rel=1e-6)
