@@ -194,11 +194,17 @@ def _write_output(res, output: str, *, id_col: str = "zone_id",
         from .api import unnest_arrays
 
         tmp = output + "._spark_tmp"
-        (unnest_arrays(res).repartition(1).write.mode("overwrite")
-         .option("header", True).csv(tmp))
-        part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
-        shutil.move(part, output)
-        shutil.rmtree(tmp)
+        try:
+            # force an uncompressed part file: a session-level CSV codec
+            # would produce part-*.csv.gz and break the single-file move
+            (unnest_arrays(res).repartition(1).write.mode("overwrite")
+             .option("header", True).option("compression", "none").csv(tmp))
+            parts = glob.glob(os.path.join(tmp, "part-*"))
+            if not parts:
+                raise RuntimeError(f"CSV write produced no part file in {tmp}")
+            shutil.move(parts[0], output)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
     elif output.endswith((".geojson", ".jsonl", ".ndjson")):
         from .io import write_geojson
         write_geojson(res, output, id_col=id_col, geometry_col=geometry_col)

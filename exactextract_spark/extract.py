@@ -126,10 +126,14 @@ _WKT_NUMS = ("filter(transform(split({c}, '[^-+.0-9eE]+'),"
 # supported geometry head tags (geom.parse_wkt dispatch): anything else
 # — POINT, MULTIPOINT, garbage — must raise at bbox time like the old
 # per-row parse did, because a zone whose bbox intersects no tile never
-# reaches the kernel's parse and would otherwise fail silently
+# reaches the kernel's parse and would otherwise fail silently.  The
+# tag must be followed directly by EMPTY or '(' so dimension-qualified
+# WKT ('POLYGON Z (...)', 'POLYGON ZM (...)') — which parse_wkt rejects
+# loudly — cannot slip through with a plausible-but-wrong bbox from
+# x/y/z token-parity mixing (ADVICE r4).
 _WKT_HEAD_OK = ("upper(ltrim(geometry)) RLIKE "
                 "'^(MULTIPOLYGON|POLYGON|MULTILINESTRING|LINESTRING"
-                "|GEOMETRYCOLLECTION)[^A-Z]'")
+                "|GEOMETRYCOLLECTION) *(EMPTY|[(])'")
 
 
 def _bbox_expr(minmax: str, parity: int) -> str:

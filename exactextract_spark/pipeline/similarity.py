@@ -29,8 +29,20 @@ _DOT_DUCK = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
              " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)")
 
 
+TOPK_SALTS = 32
+
+
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k for the first N_QUERIES vectors."""
+    """Brute-force cosine top-k for the first N_QUERIES vectors.
+
+    Two-phase top-k: a single ``Window.partitionBy(query_id)`` over the
+    full scored set would sort |corpus| rows per query in N_QUERIES
+    tasks — the one shuffle whose per-task size grows with the corpus.
+    Instead each (query, salt) shard keeps its local top-k (salt =
+    neighbor_id % TOPK_SALTS, deterministic), and the final rank runs
+    over ≤ k·TOPK_SALTS rows per query.  Identical output: every global
+    top-k row is within its shard's top-k under the same total order
+    (cosine DESC, neighbor_id ASC)."""
     e = _emb(spark, sf_dir)
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
@@ -42,11 +54,18 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = j.selectExpr("query_id", "neighbor_id",
                           f"({dot}) / (({nq}) * ({nc})) AS cosine")
     from pyspark.sql import Window
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-                  .where(F.col("rank") <= TOP_K)
-                  .select("query_id", "neighbor_id",
-                          F.col("rank").cast("int").alias("rank"), "cosine"))
+    order = [F.desc("cosine"), F.asc("neighbor_id")]
+    wl = Window.partitionBy("query_id", "_salt").orderBy(*order)
+    local = (scored
+             .withColumn("_salt", F.col("neighbor_id") % TOPK_SALTS)
+             .withColumn("_lrank", F.row_number().over(wl))
+             .where(F.col("_lrank") <= TOP_K)
+             .drop("_salt", "_lrank"))
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (local.withColumn("rank", F.row_number().over(w))
+                 .where(F.col("rank") <= TOP_K)
+                 .select("query_id", "neighbor_id",
+                         F.col("rank").cast("int").alias("rank"), "cosine"))
 
 
 def ann_topk_oracle() -> str:
@@ -235,6 +254,46 @@ NEARDUP_BANDS = 2
 NEARDUP_PLANES_PER_BAND = 8
 NEARDUP_THRESHOLD = 0.9
 
+# --- planted near-duplicates ---------------------------------------
+# The synthesized embeddings are (near-)unit random vectors, so no two
+# distinct rows exceed cosine 0.9 and the verify join used to pass
+# VACUOUSLY (0 rows in both engines).  We plant true near-duplicates
+# deterministically INSIDE the query: every vec_id ≡ 3 (mod 83) gains a
+# perturbed copy at vec_id + 1_000_000 whose first coordinate is bumped
+# by +1/32 (exact in float32 and float64).  For a unit vector the pair's
+# cosine is ≥ (1 - δ)/sqrt(1 - 2δ + δ²+δ²) ≈ 0.9997 — always above the
+# 0.9 threshold — so the verify output is provably non-empty and the
+# driver's hash compare checks real pairs, not an empty set.  The same
+# derivation runs in the DuckDB oracle (same IEEE ops on the same float
+# inputs → bit-identical cosines).
+PLANT_MOD = 83
+PLANT_RESIDUE = 3
+PLANT_OFFSET = 1_000_000
+_PLANT_DELTA = "0.03125"  # 1/32: exact in binary floating point
+
+
+def _emb_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    passthrough = [c for c in e.columns if c not in ("vec_id", "embedding")]
+    dup = e.where((F.col("vec_id") % PLANT_MOD) == PLANT_RESIDUE).selectExpr(
+        f"vec_id + {PLANT_OFFSET} AS vec_id",
+        "transform(embedding, (x, i) -> IF(i = 0,"
+        f" CAST(CAST(x AS DOUBLE) + {_PLANT_DELTA} AS FLOAT), x)) AS embedding",
+        *passthrough)
+    return e.unionByName(dup.select(*e.columns))
+
+
+_EMB_PLANTED_SQL = f"""emb AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET} AS vec_id,
+         list_transform(range(1, len(embedding) + 1),
+           i -> CASE WHEN i = 1
+                     THEN CAST(CAST(embedding[i] AS DOUBLE) + {_PLANT_DELTA} AS REAL)
+                     ELSE embedding[i] END) AS embedding,
+         label
+  FROM embeddings WHERE vec_id % {PLANT_MOD} = {PLANT_RESIDUE})"""
+
 
 def _band_bucket_spark(e: str, band: int) -> str:
     base = band * NEARDUP_PLANES_PER_BAND
@@ -250,11 +309,12 @@ def _band_bucket_duck(e: str, band: int) -> str:
         for p in range(NEARDUP_PLANES_PER_BAND))
 
 
-def neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def neardup_candidates(spark: SparkSession, sf_dir: str,
+                       emb: DataFrame | None = None) -> DataFrame:
     """Distinct candidate id-pairs from the banded LSH: a union of one
     bucket equi-self-join per band, deduplicated.  Pure id pairs — the
     embeddings are fetched only for the (much smaller) verify join."""
-    e = _emb(spark, sf_dir)
+    e = emb if emb is not None else _emb(spark, sf_dir)
     bands = e.selectExpr(
         "vec_id",
         *[f"CAST({_band_bucket_spark('embedding', b)} AS INT) AS band{b}"
@@ -274,9 +334,11 @@ def neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs with cosine above NEARDUP_THRESHOLD —
     banded-LSH candidates + exact cosine verification (the
-    embedding-space analog of dedup.minhash_verified_pairs)."""
-    cand = neardup_candidates(spark, sf_dir)
-    e = _emb(spark, sf_dir)
+    embedding-space analog of dedup.minhash_verified_pairs).  Runs over
+    the PLANTED corpus (_emb_planted) so the verify join's output is
+    non-empty and the driver gate checks real pairs."""
+    e = _emb_planted(spark, sf_dir)
+    cand = neardup_candidates(spark, sf_dir, emb=e)
     j = (cand.join(e.select(F.col("vec_id").alias("vec_a"),
                             F.col("embedding").alias("ea")), "vec_a")
              .join(e.select(F.col("vec_id").alias("vec_b"),
@@ -299,14 +361,15 @@ def embedding_neardup_oracle() -> str:
     band_cols = ",\n         ".join(
         f"CAST({_band_bucket_duck('embedding', b)} AS INT) AS band{b}"
         for b in range(NEARDUP_BANDS))
-    return f"""WITH bk AS (
+    return f"""WITH {_EMB_PLANTED_SQL},
+bk AS (
   SELECT vec_id,
          {band_cols}
-  FROM embeddings),
+  FROM emb),
 cand AS (
 {band_joins})
 SELECT cand.vec_a, cand.vec_b,
        ({dot}) / (({na}) * ({nb})) AS cosine
-FROM cand JOIN embeddings a ON a.vec_id = cand.vec_a
-          JOIN embeddings b ON b.vec_id = cand.vec_b
+FROM cand JOIN emb a ON a.vec_id = cand.vec_a
+          JOIN emb b ON b.vec_id = cand.vec_b
 WHERE ({dot}) / (({na}) * ({nb})) > {NEARDUP_THRESHOLD}"""

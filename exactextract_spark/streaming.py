@@ -24,8 +24,9 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from . import extract as _extract
 from . import io as eio
-from .extract import (aggregate_partials, attach_bbox,
+from .extract import (aggregate_partials, attach_bbox, count_and_validate,
                       raise_on_invalid_zones, run_kernel, zone_tile_pairs)
 from .ops import group_ops_by_key, parse_ops
 
@@ -36,7 +37,11 @@ class StreamingZonalWriter:
     """foreachBatch sink: incremental per-tile partial states."""
 
     def __init__(self, zones: DataFrame, grid: dict, ops, path: str,
-                 raster_id: str, meta: dict, tile_size: int | None = None):
+                 raster_id: str, meta: dict, tile_size: int | None = None,
+                 strategy: str = "auto"):
+        if strategy not in ("auto", "broadcast", "shuffle"):
+            raise ValueError(f"unknown strategy {strategy!r}: "
+                             "expected auto|broadcast|shuffle")
         self.spark = zones.sparkSession
         self.grid = grid
         self.tile_size = tile_size or grid.get("tile") or 64
@@ -46,17 +51,39 @@ class StreamingZonalWriter:
         self.meta = meta
         had_bbox = "xmin" in zones.columns
         zones_b = attach_bbox(zones).persist()
-        if not had_bbox:
+        # same guard as the batch path (extract.py ZonalExtractor): the
+        # zone geometries are collected to the driver ONLY below the
+        # broadcast limit; above it the (zone_id, geometry) structs ride
+        # the per-tile hit-list through the shuffle instead — a 10⁸-zone
+        # streaming job must never OOM the driver at construction.
+        if strategy == "auto":
+            strategy = ("broadcast"
+                        if count_and_validate(zones_b, validate=not had_bbox)
+                        <= _extract.BROADCAST_ZONE_LIMIT else "shuffle")
+        elif not had_bbox:
             raise_on_invalid_zones(zones_b)
+        self.strategy = strategy
         self.zones_b = zones_b
-        geoms = {r["zone_id"]: r["geometry"]
-                 for r in zones_b.select("zone_id", "geometry").collect()}
-        self.geom_lookup = self.spark.sparkContext.broadcast(geoms)
-        self.pairs = zone_tile_pairs(
-            zones_b.select("zone_id", "xmin", "ymin", "xmax", "ymax"),
-            grid, self.tile_size)
-        self.pairs_agg = (self.pairs.groupBy("tile_row", "tile_col")
-                          .agg(F.collect_list("zone_id").alias("zone_ids"))).persist()
+        self.geom_lookup = None
+        if strategy == "broadcast":
+            geoms = {r["zone_id"]: r["geometry"]
+                     for r in zones_b.select("zone_id", "geometry").collect()}
+            self.geom_lookup = self.spark.sparkContext.broadcast(geoms)
+            pairs = zone_tile_pairs(
+                zones_b.select("zone_id", "xmin", "ymin", "xmax", "ymax"),
+                grid, self.tile_size)
+            self.pairs_agg = (pairs.groupBy("tile_row", "tile_col")
+                              .agg(F.collect_list("zone_id")
+                                   .alias("zone_ids"))).persist()
+        else:
+            pairs = zone_tile_pairs(
+                zones_b.select("zone_id", "geometry",
+                               "xmin", "ymin", "xmax", "ymax"),
+                grid, self.tile_size)
+            self.pairs_agg = (pairs.groupBy("tile_row", "tile_col")
+                              .agg(F.collect_list(
+                                   F.struct("zone_id", "geometry"))
+                                   .alias("zone_structs"))).persist()
 
     def process_batch(self, docs_batch: DataFrame, batch_id: int) -> None:
         # Exactly-once under foreachBatch replay: partials are stamped
@@ -75,7 +102,9 @@ class StreamingZonalWriter:
             pass
         attempt = uuid.uuid4().hex[:12]
         tiles = eio.tiles_from_docs(docs_batch, self.raster_id, self.meta)
-        joined = tiles.join(F.broadcast(self.pairs_agg), ["tile_row", "tile_col"])
+        rhs = (F.broadcast(self.pairs_agg) if self.strategy == "broadcast"
+               else self.pairs_agg)
+        joined = tiles.join(rhs, ["tile_row", "tile_col"])
         partials = run_kernel(joined, self.keygroups,
                               geom_lookup=self.geom_lookup, has_weights=False,
                               passthrough=("tile_row", "tile_col")) \

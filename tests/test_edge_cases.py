@@ -233,3 +233,36 @@ def test_unsupported_geometry_type_raises_even_outside_raster(spark):
         [("z0", SQ), ("pt", "POINT (200 200)")], ["zone_id", "geometry"])
     with pytest.raises(ValueError, match="invalid zone geometry"):
         exact_extract(zones, tiles, ["count"])
+
+
+def test_dimension_qualified_wkt_raises(spark):
+    """'POLYGON Z ((...))' / 'POLYGON ZM' must raise loudly (ADVICE r4):
+    with an even total token count the x/y/z parity mixing used to
+    yield a plausible-but-wrong bbox that could prune the zone to zero
+    tiles and silently emit an empty-stats row instead of raising."""
+    tiles = tiles_from_array(spark, ARANGE9)
+    for wkt in (
+        # 4 vertices x 3 coords = 12 tokens (even) — the silent case
+        "POLYGON Z ((0 0 1, 2 0 1, 2 2 1, 0 0 1))",
+        "POLYGON ZM ((0 0 1 2, 2 0 1 2, 2 2 1 2, 0 0 1 2))",
+        "LINESTRING Z (0 0 1, 2 2 1)",
+    ):
+        zones = spark.createDataFrame(
+            [("z0", SQ), ("zdim", wkt)], ["zone_id", "geometry"])
+        with pytest.raises(ValueError, match="invalid zone geometry"):
+            exact_extract(zones, tiles, ["count"])
+
+
+def test_plain_wkt_heads_still_accepted(spark):
+    """The tightened head check must keep accepting tag-adjacent '(',
+    spaced '(', and EMPTY forms."""
+    tiles = tiles_from_array(spark, ARANGE9)
+    zones = spark.createDataFrame(
+        [("a", "POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))"),
+         ("b", "POLYGON  ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+         ("c", "POLYGON EMPTY")], ["zone_id", "geometry"])
+    got = {r["zone_id"]: r["count"]
+           for r in exact_extract(zones, tiles, ["count"]).collect()}
+    assert got["a"] == pytest.approx(4.0)
+    assert got["b"] == pytest.approx(4.0)
+    assert got["c"] == 0.0

@@ -174,3 +174,21 @@ def test_neardup_banding_bounds_hot_buckets(spark, tmp_path, monkeypatch):
         for i, a in enumerate(ids):
             for b in ids[i + 1:]:
                 assert (a, b) in got, (a, b, sorted(got))
+
+
+def test_embedding_neardup_nonvacuous_on_testdata(spark):
+    """The driver-gated query must verify REAL pairs on the real
+    embeddings table: every planted near-duplicate (vec_id ≡ 3 mod 83
+    → perturbed copy at +PLANT_OFFSET) is recovered by the banded LSH
+    and passes the exact-cosine verify — a 0-row hash match would prove
+    nothing about the verify join."""
+    import exactextract_spark.pipeline.similarity as sim
+
+    res = entry_mod.queries()["embedding_neardup"](spark, SF_DIR).toPandas()
+    assert len(res) > 0
+    assert (res["cosine"] > sim.NEARDUP_THRESHOLD).all()
+    n_src = (pd.read_parquet(f"{SF_DIR}/embeddings.parquet")["vec_id"]
+             % sim.PLANT_MOD == sim.PLANT_RESIDUE).sum()
+    assert n_src >= 3
+    planted = res[res["vec_b"] - res["vec_a"] == sim.PLANT_OFFSET]
+    assert len(planted) == n_src, (len(planted), n_src)

@@ -122,3 +122,59 @@ def test_replay_after_crash_between_appends(spark, tmp_path):
     want = {r["zone_id"]: (r["count"], r["sum"])
             for r in exact_extract(zones, tiles, ["count", "sum"], grid=grid).collect()}
     assert got == {z: (pytest.approx(c), pytest.approx(s)) for z, (c, s) in want.items()}
+
+
+def test_streaming_shuffle_strategy_matches_batch(spark, tmp_path, monkeypatch):
+    """Above the broadcast zone limit the writer must NOT collect the
+    zone geometries to the driver (the batch path's guard,
+    extract.py BROADCAST_ZONE_LIMIT): auto falls back to the shuffle
+    strategy — (zone_id, geometry) structs ride the per-tile hit-list —
+    and the snapshot still equals the batch result."""
+    from exactextract_spark import extract as _extract
+
+    cfg = SynthConfig(G=64, Z=20)
+    docs = build_docs(spark, cfg).cache()
+    zones = eio.zones_from_docs(docs)
+    meta = {r["raster_id"]: r.asDict()
+            for r in eio.raster_meta_from_docs(docs).collect()}
+    grid = cfg.grid_dict()
+    grid["dtype"] = "float64"
+    rdocs = docs.where(docs.doc_id.startswith("r0"))
+
+    monkeypatch.setattr(_extract, "BROADCAST_ZONE_LIMIT", 5)
+    w = StreamingZonalWriter(zones, grid, ["count", "sum", "variance"],
+                             str(tmp_path / "st"), "r0", meta["r0"])
+    assert w.strategy == "shuffle"
+    assert w.geom_lookup is None  # nothing collected to the driver
+    assert "zone_structs" in w.pairs_agg.columns
+    monkeypatch.undo()
+
+    w.process_batch(rdocs, 0)
+    got = {r["zone_id"]: r.asDict() for r in w.snapshot().collect()}
+
+    tiles = eio.tiles_from_docs(docs, "r0", meta["r0"])
+    want = {r["zone_id"]: r.asDict()
+            for r in exact_extract(zones, tiles, ["count", "sum", "variance"],
+                                   grid=grid).collect()}
+    assert set(got) == set(want)
+    for z, row in want.items():
+        for k, v in row.items():
+            if k == "zone_id":
+                continue
+            if v is None:
+                assert got[z][k] is None, (z, k)
+            else:
+                assert got[z][k] == pytest.approx(v), (z, k)
+
+
+def test_streaming_rejects_unknown_strategy(spark, tmp_path):
+    cfg = SynthConfig(G=64, Z=10)
+    docs = build_docs(spark, cfg).cache()
+    zones = eio.zones_from_docs(docs)
+    meta = {r["raster_id"]: r.asDict()
+            for r in eio.raster_meta_from_docs(docs).collect()}
+    grid = cfg.grid_dict()
+    grid["dtype"] = "float64"
+    with pytest.raises(ValueError, match="strategy"):
+        StreamingZonalWriter(zones, grid, ["count"], str(tmp_path / "st"),
+                             "r0", meta["r0"], strategy="bogus")
