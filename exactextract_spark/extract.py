@@ -587,6 +587,69 @@ def _quantile_udf(q: float):
     return qf
 
 
+def _quantiles_via_window(ops_in_key) -> bool:
+    """True when quantile-type ops are the ONLY sorted-histogram
+    consumers in the key: the per-zone quantile then comes from pure
+    JVM window expressions instead of collect_list(struct) + a pandas
+    UDF.  Measured on the q_hist bench shape (sf0.1, 150k zones × ≤97
+    buckets): the collect+UDF finalizer was 2.2 s of q_hist's 2.9 s —
+    the array<struct> Arrow transfer converts every element to a Python
+    dict.  When unique/frac also run, the collect happens anyway and
+    quantiles keep reading it."""
+    stats = {o.stat for o in ops_in_key}
+    return bool(stats & {"median", "quantile"}) \
+        and not (stats & {"unique", "frac", "weighted_frac"})
+
+
+def _window_quantiles(h: DataFrame, p: str, ops_in_key) -> DataFrame:
+    """Exact weighted quantiles over the per-zone (value, coverage)
+    histogram with window functions — digit-for-digit the reference
+    algorithm (weighted_quantiles.cpp:21-75) and the exact expression
+    sequence of the DuckDB oracle (oracles._quantile_cte), so results
+    are bit-identical to both the pandas-UDF path and the oracle:
+
+        i        = row_number over (zone ORDER BY v) - 1
+        s_i      = i*w_i + (n-1)*cumsum_{i-1}        (nondecreasing)
+        t        = q * sw*(n-1)
+        left     = the single row with s <= t < next s (or the last)
+        result   = x_left + (t-s_left)*(x_next-x_left)/(s_next-s_left)
+
+    One window pass over the (zone, value) rows (≤ variety per zone)
+    and one per-zone max-aggregation for ALL requested quantiles —
+    no Python, no array<struct> serialization."""
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy("zone_id").orderBy("v")
+    wp = Window.partitionBy("zone_id")
+    o = h.select(
+        "zone_id", "v", "ci",
+        (F.row_number().over(wo) - 1).alias("i"),
+        F.sum("ci").over(wo.rowsBetween(Window.unboundedPreceding, -1))
+         .alias("cumprev"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("ci").over(wp).alias("sw"))
+    o = o.select(
+        "zone_id", "v",
+        (F.col("i") * F.col("ci")
+         + (F.col("n") - 1) * F.coalesce(F.col("cumprev"), F.lit(0.0))).alias("s"),
+        (F.col("sw") * (F.col("n") - 1)).alias("sn"))
+    q2 = o.select(
+        "zone_id", F.col("v").alias("x"), "s", "sn",
+        F.lead("v").over(wo).alias("nx"),
+        F.lead("s").over(wo).alias("ns"))
+    aggs = []
+    for op in ops_in_key:
+        if op.stat not in ("median", "quantile"):
+            continue
+        t = F.lit(0.5 if op.stat == "median" else op.q) * F.col("sn")
+        hit = (F.col("s") <= t) & (F.col("ns").isNull() | (F.col("ns") > t))
+        val = F.when(F.col("ns").isNull(), F.col("x")).otherwise(
+            F.col("x") + (t - F.col("s")) * (F.col("nx") - F.col("x"))
+            / (F.col("ns") - F.col("s")))
+        aggs.append(F.max(F.when(hit, val)).alias(f"{p}q_{op.name}"))
+    return q2.groupBy("zone_id").agg(*aggs)
+
+
 def _python_op_udf(fn, weighted: bool, result_type: str):
     """Custom-op finalizer: calls the user function once per zone with
     masked numpy arrays — the reference PythonOperation contract
@@ -699,7 +762,11 @@ def _finalize_exprs(i: int, ops_in_key: list[Op], int_values: bool = False,
         elif s == "weighted_frac":
             e = F.expr(f"transform({p}hist_sorted, s -> s.ciw / {p}hist_sum_ciw)")
         elif s in ("median", "quantile"):
-            e = _quantile_udf(0.5 if s == "median" else op.q)(F.col(p + "hist_sorted"))
+            if _quantiles_via_window(ops_in_key):
+                e = F.col(f"{p}q_{op.name}")
+            else:
+                e = _quantile_udf(0.5 if s == "median" else op.q)(
+                    F.col(p + "hist_sorted"))
             if int_values:
                 # result type is the cell type (operation.cpp:115-206):
                 # interpolated quantiles truncate toward zero for integer
@@ -1152,11 +1219,18 @@ def aggregate_partials(zones_b, partials, keygroups, *, int_values=False,
                 hz_aggs.append(F.sum("ci").alias(p + "hist_sum_ci"))
             if "weighted_frac" in stats:
                 hz_aggs.append(F.sum("ciw").alias(p + "hist_sum_ciw"))
-            if stats & _SORTED_STATS:
+            if stats & {"unique", "frac", "weighted_frac"}:
+                # the array consumers genuinely need the sorted histogram
+                # materialized per zone; quantiles then read it too (no
+                # benefit splitting the paths when the collect happens
+                # anyway)
                 hz_aggs.append(F.array_sort(F.collect_list(
                     F.struct("v", "ci", "ciw"))).alias(p + "hist_sorted"))
             hz = h.groupBy("zone_id").agg(*hz_aggs)
             result = result.join(hz, "zone_id", "left")
+            if _quantiles_via_window(ops_in_key):
+                result = result.join(
+                    _window_quantiles(h, p, ops_in_key), "zone_id", "left")
         if req.cells:
             cz = (partials.select("zone_id", F.explode(p + "cells").alias("c"))
                   .groupBy("zone_id")

@@ -192,3 +192,16 @@ def test_embedding_neardup_nonvacuous_on_testdata(spark):
     assert n_src >= 3
     planted = res[res["vec_b"] - res["vec_a"] == sim.PLANT_OFFSET]
     assert len(planted) == n_src, (len(planted), n_src)
+
+
+def test_ann_topk_plan_is_two_phase(spark):
+    """No task may sort the full scored corpus per query: the physical
+    plan must contain the salted local-top-k window (partitioned by
+    (query_id, _salt)) below the final per-query rank."""
+    import exactextract_spark.pipeline.similarity as sim
+
+    plan = sim.ann_topk(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan, plan
+    # the final rank's window runs over the pre-filtered local top-k,
+    # i.e. there are exactly two Window operators in the plan
+    assert plan.count("Window") >= 2

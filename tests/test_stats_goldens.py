@@ -228,3 +228,29 @@ def test_tiled_merge_equivalence(extract_mem):
     tiled = extract_mem(data, z, ops, tile=3)
     for k in whole:
         assert tiled[k] == pytest.approx(whole[k]), k
+
+
+def test_median_same_with_and_without_array_consumers(spark):
+    """median/quantile switch to the JVM-window path when they are the
+    only sorted-histogram consumers; adding frac to the op list routes
+    them back through collect_list + the pandas-UDF finalizer.  Both
+    paths must be bit-identical."""
+    from exactextract_spark.fixtures import SynthConfig, build_docs
+    from exactextract_spark import io as eio
+    from exactextract_spark.extract import exact_extract
+
+    cfg = SynthConfig(G=96, Z=25)
+    docs = build_docs(spark, cfg).cache()
+    zones = eio.zones_from_docs(docs)
+    meta = {r["raster_id"]: r.asDict()
+            for r in eio.raster_meta_from_docs(docs).collect()}
+    tiles = eio.tiles_from_docs(docs, "r0", meta["r0"])
+    grid = cfg.grid_dict()
+    grid["dtype"] = "float64"
+    ops = ["median", "q25=quantile(q=0.25)", "q9=quantile(q=0.9)"]
+    win = {r["zone_id"]: (r["median"], r["q25"], r["q9"])
+           for r in exact_extract(zones, tiles, ops, grid=grid).collect()}
+    udf = {r["zone_id"]: (r["median"], r["q25"], r["q9"])
+           for r in exact_extract(zones, tiles, ops + ["frac"], grid=grid)
+           .select("zone_id", "median", "q25", "q9").collect()}
+    assert win == udf  # exact equality, no tolerance
