@@ -164,8 +164,17 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored2 = cand.selectExpr("query_id", "neighbor_id",
                               f"({qdot}) / (({nq}) * ({nn})) AS cosine") \
         .dropDuplicates(["query_id", "neighbor_id"])
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (scored2.withColumn("rank", F.row_number().over(w2))
+    # two-phase rank like ann_topk: a hot posting list would otherwise
+    # funnel all its candidates into one task per query
+    order = [F.desc("cosine"), F.asc("neighbor_id")]
+    wl = Window.partitionBy("query_id", "_salt").orderBy(*order)
+    local = (scored2
+             .withColumn("_salt", F.col("neighbor_id") % TOPK_SALTS)
+             .withColumn("_lrank", F.row_number().over(wl))
+             .where(F.col("_lrank") <= TOP_K)
+             .drop("_salt", "_lrank"))
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (local.withColumn("rank", F.row_number().over(w2))
             .where(F.col("rank") <= TOP_K)
             .select("query_id", "neighbor_id",
                     F.col("rank").cast("int").alias("rank"), "cosine"))
