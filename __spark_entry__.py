@@ -282,6 +282,42 @@ def _streaming_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return writer.snapshot()
 
 
+def _streaming_weighted_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted zonal stats with a STATIC weight raster (w0) and
+    STREAMED value tiles (two micro-batches): the snapshot's exact
+    partial merge must equal the one-shot weighted batch SQL."""
+    import os
+    import tempfile
+
+    from exactextract_spark.streaming import (StreamingZonalWriter,
+                                              stream_zonal_from_dir)
+
+    cfg = SynthConfig.from_sf_dir(sf_dir)
+    docs = build_docs(spark, cfg)
+    zones = eio.zones_from_docs(docs)
+    meta = {r["raster_id"]: r.asDict()
+            for r in eio.raster_meta_from_docs(docs).collect()}
+    grid = cfg.grid_dict()
+    grid["dtype"] = "float64"
+    wtiles = eio.tiles_from_docs(docs, "w0", meta["w0"])
+
+    base = tempfile.mkdtemp(prefix="ee_wstream_")
+    indir = os.path.join(base, "in")
+    rdocs = docs.where(docs.doc_id.startswith("r0:"))
+    n = rdocs.count()
+    rdocs.limit(n // 2).write.parquet(os.path.join(indir, "f1.parquet"))
+    a = spark.read.parquet(os.path.join(indir, "f1.parquet"))
+    rdocs.join(a.select("doc_id"), "doc_id", "left_anti") \
+        .write.parquet(os.path.join(indir, "f2.parquet"))
+
+    writer = StreamingZonalWriter(
+        zones, grid, ["weighted_count", "weighted_sum", "weighted_mean"],
+        os.path.join(base, "state"), "r0", meta["r0"], weight_tiles=wtiles)
+    stream_zonal_from_dir(spark, indir + "/*", writer,
+                          os.path.join(base, "ck"))
+    return writer.snapshot()
+
+
 def _point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exactextract_spark.fixtures import build_points
     from exactextract_spark.spatial import point_in_polygon
@@ -354,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              "minority(bin_width=2)"]),
         "checkpoint_resume": _checkpoint_resume,
         "streaming_snapshot": _streaming_snapshot,
+        "streaming_weighted_snapshot": _streaming_weighted_snapshot,
         "zonal_arrays": _zonal_arrays,
         "zonal_linear": _zonal_linear,
         "subdivide_rect": _subdivide,

@@ -214,6 +214,41 @@ def count_and_validate(zones_b: DataFrame, validate: bool = True) -> int:
     return row["n"]
 
 
+def prepare_weight_frame(weight_tiles: DataFrame, grid: dict,
+                         tile_size: int) -> DataFrame:
+    """Weight tile payloads renamed to the w_* columns the kernel
+    consumes, with transparent common-grid handling (reference consumes
+    a coarser weight raster lazily via common_grid + RasterView,
+    grid.h:278-305, raster.h:327-395): a weight table on a
+    different-resolution/offset grid is regridded onto the value grid
+    automatically.  Shared by the batch extractor and the streaming
+    writer (which prepares it once and joins per micro-batch)."""
+    from .regrid import grids_equal, regrid_to
+    wmeta = weight_tiles.select(
+        "grid_xmin", "grid_ymax", "dx", "dy",
+        "grid_nrows", "grid_ncols").first().asDict()
+    vgrid = {k: grid.get(k) for k in wmeta}
+    if None not in vgrid.values() and not grids_equal(wmeta, vgrid):
+        weight_tiles = regrid_to(weight_tiles, vgrid, tile=tile_size)
+    wextra = [F.col(c).alias(f"w_{c}") for c in
+              ("scale", "offset", "mask_values")
+              if c in weight_tiles.columns]
+    return weight_tiles.select(
+        F.col("tile_row").alias("w_tile_row"), F.col("tile_col").alias("w_tile_col"),
+        F.col("values").alias("w_values"), F.col("dtype").alias("w_dtype"),
+        F.col("nodata").alias("w_nodata"), *wextra)
+
+
+def join_weight_frame(tiles: DataFrame, w: DataFrame) -> DataFrame:
+    """Left-join prepared w_* payloads onto value tiles (missing weight
+    tile → NULL w_values → undefined weighted stats, reference NaN
+    semantics)."""
+    return tiles.join(
+        w, (F.col("tile_row") == F.col("w_tile_row")) &
+           (F.col("tile_col") == F.col("w_tile_col")), "left") \
+        .drop("w_tile_row", "w_tile_col")
+
+
 def zone_tile_pairs(zones_bbox: DataFrame, grid: dict, tile: int) -> DataFrame:
     """bbox → covered tile-index range → explode.  Pure JVM expressions;
     Catalyst folds the constants.  Equivalent of Grid::crop +
@@ -855,29 +890,8 @@ class ZonalExtractor:
 
         tiles_in = tiles
         if self.has_weights:
-            # transparent common-grid handling (reference consumes a
-            # coarser weight raster lazily via common_grid + RasterView,
-            # grid.h:278-305, raster.h:327-395): a weight table on a
-            # different-resolution/offset grid is regridded onto the
-            # value grid automatically
-            from .regrid import grids_equal, regrid_to
-            wmeta = weight_tiles.select(
-                "grid_xmin", "grid_ymax", "dx", "dy",
-                "grid_nrows", "grid_ncols").first().asDict()
-            vgrid = {k: grid.get(k) for k in wmeta}
-            if None not in vgrid.values() and not grids_equal(wmeta, vgrid):
-                weight_tiles = regrid_to(weight_tiles, vgrid, tile=tile_size)
-            wextra = [F.col(c).alias(f"w_{c}") for c in
-                      ("scale", "offset", "mask_values")
-                      if c in weight_tiles.columns]
-            w = weight_tiles.select(
-                F.col("tile_row").alias("w_tile_row"), F.col("tile_col").alias("w_tile_col"),
-                F.col("values").alias("w_values"), F.col("dtype").alias("w_dtype"),
-                F.col("nodata").alias("w_nodata"), *wextra)
-            tiles_in = tiles.join(
-                w, (F.col("tile_row") == F.col("w_tile_row")) &
-                   (F.col("tile_col") == F.col("w_tile_col")), "left") \
-                .drop("w_tile_row", "w_tile_col")
+            w = prepare_weight_frame(weight_tiles, grid, tile_size)
+            tiles_in = join_weight_frame(tiles, w)
 
         if strategy == "auto":
             strategy = "broadcast" \

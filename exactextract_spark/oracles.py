@@ -474,4 +474,7 @@ ZONAL_ORACLES = {
     "zonal_binned": zonal_binned,
     "checkpoint_resume": zonal_incremental,
     "streaming_snapshot": zonal_incremental,
+    # streamed value tiles weighted by a STATIC weight raster (w0):
+    # incremental merge must equal the one-shot weighted batch SQL
+    "streaming_weighted_snapshot": zonal_weighted,
 }

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import extract as _extract
 from . import io as eio
 from .extract import (aggregate_partials, attach_bbox, count_and_validate,
+                      join_weight_frame, prepare_weight_frame,
                       raise_on_invalid_zones, run_kernel, zone_tile_pairs)
 from .ops import group_ops_by_key, parse_ops
 
@@ -38,14 +39,23 @@ class StreamingZonalWriter:
 
     def __init__(self, zones: DataFrame, grid: dict, ops, path: str,
                  raster_id: str, meta: dict, tile_size: int | None = None,
-                 strategy: str = "auto"):
+                 strategy: str = "auto", weight_tiles: DataFrame | None = None):
         if strategy not in ("auto", "broadcast", "shuffle"):
             raise ValueError(f"unknown strategy {strategy!r}: "
                              "expected auto|broadcast|shuffle")
         self.spark = zones.sparkSession
         self.grid = grid
         self.tile_size = tile_size or grid.get("tile") or 64
-        self.keygroups = group_ops_by_key(parse_ops(ops))
+        # weights are a STATIC dimension of a streaming job (e.g. a
+        # population raster weighting streamed acquisitions): prepared
+        # once here (regrid + w_* rename, same as the batch path) and
+        # joined onto every micro-batch's value tiles
+        self._wframe = None
+        if weight_tiles is not None:
+            self._wframe = prepare_weight_frame(
+                weight_tiles, grid, self.tile_size).persist()
+        wname = "weights" if weight_tiles is not None else None
+        self.keygroups = group_ops_by_key(parse_ops(ops, weights=wname))
         self.path = path.rstrip("/")
         self.raster_id = raster_id
         self.meta = meta
@@ -102,11 +112,14 @@ class StreamingZonalWriter:
             pass
         attempt = uuid.uuid4().hex[:12]
         tiles = eio.tiles_from_docs(docs_batch, self.raster_id, self.meta)
+        if self._wframe is not None:
+            tiles = join_weight_frame(tiles, self._wframe)
         rhs = (F.broadcast(self.pairs_agg) if self.strategy == "broadcast"
                else self.pairs_agg)
         joined = tiles.join(rhs, ["tile_row", "tile_col"])
         partials = run_kernel(joined, self.keygroups,
-                              geom_lookup=self.geom_lookup, has_weights=False,
+                              geom_lookup=self.geom_lookup,
+                              has_weights=self._wframe is not None,
                               passthrough=("tile_row", "tile_col")) \
             .withColumn("batch_id", F.lit(str(batch_id))) \
             .withColumn("attempt_id", F.lit(attempt)).persist()

@@ -178,3 +178,48 @@ def test_streaming_rejects_unknown_strategy(spark, tmp_path):
     with pytest.raises(ValueError, match="strategy"):
         StreamingZonalWriter(zones, grid, ["count"], str(tmp_path / "st"),
                              "r0", meta["r0"], strategy="bogus")
+
+
+def test_streaming_weighted_matches_batch(spark, tmp_path):
+    """Weighted stats over a STATIC weight raster with streamed value
+    tiles (the batch/streaming asymmetry closed in r5): snapshot after
+    two micro-batches equals one weighted batch run, including the
+    coarse-grid regrid path (wc0 at 4x resolution)."""
+    cfg = SynthConfig(G=64, Z=25)
+    docs = build_docs(spark, cfg).cache()
+    zones = eio.zones_from_docs(docs)
+    meta = {r["raster_id"]: r.asDict()
+            for r in eio.raster_meta_from_docs(docs).collect()}
+    grid = cfg.grid_dict()
+    grid["dtype"] = "float64"
+    ops = ["count", "weighted_sum", "weighted_mean", "weighted_variance"]
+
+    for wid in ("w0", "wc0"):  # same-grid and 4x-coarser weight rasters
+        wtiles = eio.tiles_from_docs(docs, wid, meta[wid])
+        tiles = eio.tiles_from_docs(docs, "r0", meta["r0"])
+        want = {r["zone_id"]: r.asDict()
+                for r in exact_extract(zones, tiles, ops, weight_tiles=wtiles,
+                                       grid=grid).collect()}
+
+        rdocs = docs.where(docs.doc_id.startswith("r0:"))
+        n = rdocs.count()
+        half = rdocs.orderBy("doc_id").limit(n // 2)
+        rest = rdocs.join(half.select("doc_id"), "doc_id", "left_anti")
+
+        w = StreamingZonalWriter(zones, grid, ops, str(tmp_path / f"st_{wid}"),
+                                 "r0", meta["r0"], weight_tiles=wtiles)
+        w.process_batch(half, 0)
+        w.process_batch(rest, 1)
+        got = {r["zone_id"]: r.asDict() for r in w.snapshot().collect()}
+
+        assert set(got) == set(want)
+        for z, row in want.items():
+            for k, v in row.items():
+                if k == "zone_id":
+                    continue
+                if v is None:
+                    assert got[z][k] is None, (wid, z, k)
+                elif v != v:  # NaN (undefined weight propagation)
+                    assert got[z][k] != got[z][k], (wid, z, k)
+                else:
+                    assert got[z][k] == pytest.approx(v), (wid, z, k)
