@@ -268,18 +268,24 @@ FROM walk GROUP BY node"""
 def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep/drop decision per near-dup cluster: the representative is
     the longest document (ties → lowest doc_id) — the standard
-    quality-aware winner selection after clustering.  One window
-    shuffle keyed by component."""
-    from pyspark.sql import Window
+    quality-aware winner selection after clustering.
 
+    Scale shape: top-1-per-group via max_by (partial-aggregatable, so a
+    giant boilerplate cluster combines map-side) + an equi-join of the
+    tiny winner table back onto the rows — NOT a window, whose
+    partitionBy(component) would funnel a hot component into one task
+    and sort it.  max_by on struct(n_chars, -doc_id) is exactly the
+    window's (n_chars DESC, doc_id ASC) ordering."""
     comp = dedup_clusters(spark, sf_dir).select("doc_id", "component")
     docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
     j = comp.join(docs, "doc_id")
-    w = Window.partitionBy("component").orderBy(
-        F.desc("n_chars"), F.asc("doc_id"))
-    return (j.withColumn("rnk", F.row_number().over(w))
+    winner = j.groupBy("component").agg(
+        F.max_by("doc_id", F.struct(F.col("n_chars"),
+                                    (-F.col("doc_id")).alias("nid")))
+        .alias("rep_id"))
+    return (j.join(winner, "component")
             .select("doc_id", "component", "n_chars",
-                    (F.col("rnk") == 1).alias("keep")))
+                    (F.col("doc_id") == F.col("rep_id")).alias("keep")))
 
 
 def cluster_representatives_oracle() -> str:
