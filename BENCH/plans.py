@@ -60,9 +60,23 @@ def main():
     sections.append((
         "q_hist — histogram stats",
         "Histogram arrays explode to (zone, value) rows, partial-agg "
-        "before each exchange; exact quantile runs as a scalar pandas "
-        "UDF over the per-zone sorted histogram (bounded by variety).",
+        "before each exchange.  Since round 5 the exact quantile is "
+        "pure JVM window expressions over the per-zone (value, "
+        "coverage) rows (bounded by variety) — no ArrowEvalPython and "
+        "no ObjectHashAggregate collect_list in this plan; the pandas-"
+        "UDF finalizer remains only when unique/frac need the "
+        "materialized array anyway.",
         plan_of(qh)))
+
+    from exactextract_spark.pipeline.similarity import ann_topk
+    qt = ann_topk(spark, "/root/testdata/sf0.01")
+    sections.append((
+        "ann_topk — two-phase top-k",
+        "Two Window operators: the first partitions by (query_id, "
+        "_salt) and keeps each shard's local top-k, the second ranks "
+        "<= k*salts rows per query — no task ever sorts the full "
+        "scored corpus for a query.",
+        plan_of(qt)))
 
     ext_s = ZonalExtractor(zones, tiles, grid=grid, strategy="shuffle")
     qs = ext_s.extract(["count", "mean"])

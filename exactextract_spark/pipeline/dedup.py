@@ -28,14 +28,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact duplicate grouping: md5 digest → min doc_id is canonical."""
+    """Exact duplicate grouping: md5 digest → min doc_id is canonical.
+
+    Scale shape: per-hash min via groupBy (partial-aggregatable — a hot
+    digest like the empty document combines map-side) joined back onto
+    the rows, not a window whose partitionBy(text_hash) would funnel
+    billions of identical boilerplate docs into one sorting task."""
     d = _docs(spark, sf_dir).select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash"))
-    from pyspark.sql import Window
-    w = Window.partitionBy("text_hash")
-    return d.select("doc_id", "text_hash",
-                    F.min("doc_id").over(w).alias("canonical_id")) \
-            .withColumn("is_duplicate", F.col("doc_id") != F.col("canonical_id"))
+    canon = d.groupBy("text_hash").agg(F.min("doc_id").alias("canonical_id"))
+    return d.join(canon, "text_hash") \
+            .select("doc_id", "text_hash", "canonical_id",
+                    (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"))
 
 
 def exact_dedup_oracle() -> str:

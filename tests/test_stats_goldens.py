@@ -254,3 +254,41 @@ def test_median_same_with_and_without_array_consumers(spark):
            for r in exact_extract(zones, tiles, ops + ["frac"], grid=grid)
            .select("zone_id", "median", "q25", "q9").collect()}
     assert win == udf  # exact equality, no tolerance
+
+
+def test_quantile_window_vs_udf_fuzz(spark):
+    """Differential fuzz of the two quantile implementations (JVM-window
+    vs collect+pandas-UDF) on random rasters with heavy value repeats,
+    nodata holes, and irregular polygon zones — guards the window
+    formulation's edge cases (single-value zones, duplicate s
+    positions, q at the extremes) beyond the quarter-aligned fixture."""
+    import numpy as np
+    from exactextract_spark.io import tiles_from_array
+    from exactextract_spark.extract import exact_extract
+
+    rng = np.random.default_rng(42)
+    for trial in range(4):
+        n = 40
+        # few distinct values -> many duplicate histogram buckets
+        vals = rng.integers(0, 6, size=(n, n)).astype(np.float64)
+        vals[rng.random((n, n)) < 0.15] = -1  # nodata holes
+        tiles = tiles_from_array(spark, vals, nodata=-1.0, tile=16)
+        zones = []
+        for z in range(12):
+            m = 6
+            ang = (np.arange(m) + rng.uniform(0.1, 0.9, m)) * (2 * np.pi / m)
+            rad = rng.uniform(1.5, 12.0, m)
+            cx, cy = rng.uniform(5, n - 5, 2)
+            xs = np.clip(cx + rad * np.cos(ang), 0, n)
+            ys = np.clip(cy + rad * np.sin(ang), 0, n)
+            pts = ", ".join(f"{x:.3f} {y:.3f}" for x, y in zip(xs, ys))
+            zones.append((f"z{z}", f"POLYGON (({pts}, {xs[0]:.3f} {ys[0]:.3f}))"))
+        zdf = spark.createDataFrame(zones, ["zone_id", "geometry"])
+        qa, qb = sorted(rng.uniform(0.01, 0.99, 2))
+        ops = ["median", f"qa=quantile(q={qa:.4f})", f"qb=quantile(q={qb:.4f})"]
+        win = {r["zone_id"]: (r["median"], r["qa"], r["qb"])
+               for r in exact_extract(zdf, tiles, ops).collect()}
+        udf = {r["zone_id"]: (r["median"], r["qa"], r["qb"])
+               for r in exact_extract(zdf, tiles, ops + ["unique"])
+               .select("zone_id", "median", "qa", "qb").collect()}
+        assert win == udf, (trial, qa, qb)  # exact equality, no tolerance
