@@ -68,15 +68,17 @@ def main():
         "materialized array anyway.",
         plan_of(qh)))
 
-    from exactextract_spark.pipeline.similarity import ann_topk
-    qt = ann_topk(spark, "/root/testdata/sf0.01")
-    sections.append((
-        "ann_topk — two-phase top-k",
-        "Two Window operators: the first partitions by (query_id, "
-        "_salt) and keeps each shard's local top-k, the second ranks "
-        "<= k*salts rows per query — no task ever sorts the full "
-        "scored corpus for a query.",
-        plan_of(qt)))
+    emb_dir = "/root/testdata/sf0.01"
+    if (Path(emb_dir) / "embeddings.parquet").exists():
+        from exactextract_spark.pipeline.similarity import ann_topk
+        qt = ann_topk(spark, emb_dir)
+        sections.append((
+            "ann_topk — two-phase top-k",
+            "Two Window operators: the first partitions by (query_id, "
+            "_salt) and keeps each shard's local top-k, the second ranks "
+            "<= k*salts rows per query — no task ever sorts the full "
+            "scored corpus for a query.",
+            plan_of(qt)))
 
     ext_s = ZonalExtractor(zones, tiles, grid=grid, strategy="shuffle")
     qs = ext_s.extract(["count", "mean"])
@@ -92,12 +94,14 @@ def main():
 
     # parquet scan pushdown check
     pq = "/root/testdata/sf0.01/documents.parquet"
-    d = spark.read.parquet(pq).where(F.col("lang") == "en").select("doc_id", "n_chars")
-    sections.append((
-        "parquet scan — pushdown/pruning sanity",
-        "PushedFilters and a pruned ReadSchema must appear on the scan: "
-        "filters and column selection reach the source.",
-        plan_of(d)))
+    if Path(pq).exists():
+        d = spark.read.parquet(pq).where(F.col("lang") == "en") \
+            .select("doc_id", "n_chars")
+        sections.append((
+            "parquet scan — pushdown/pruning sanity",
+            "PushedFilters and a pruned ReadSchema must appear on the scan: "
+            "filters and column selection reach the source.",
+            plan_of(d)))
 
     md = ["# BENCH/PLANS.md — physical plans of the headline queries\n"]
     for title, note, plan in sections:

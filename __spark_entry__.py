@@ -244,10 +244,11 @@ def _checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ck.finalize()
 
 
-def _streaming_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tile docs arriving as a two-file stream (availableNow); the
-    snapshot over the committed micro-batches must equal the one-shot
-    batch result."""
+def _run_streaming(spark: SparkSession, sf_dir: str, ops: list[str],
+                   weight_id: str | None = None) -> DataFrame:
+    """Shared streaming-query plumbing: tile docs arriving as a
+    two-file stream (availableNow); the snapshot over the committed
+    micro-batches must equal the one-shot batch result."""
     import os
     import tempfile
 
@@ -261,6 +262,8 @@ def _streaming_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in eio.raster_meta_from_docs(docs).collect()}
     grid = cfg.grid_dict()
     grid["dtype"] = "float64"
+    wtiles = (eio.tiles_from_docs(docs, weight_id, meta[weight_id])
+              if weight_id else None)
 
     base = tempfile.mkdtemp(prefix="ee_stream_")
     indir = os.path.join(base, "in")
@@ -275,47 +278,25 @@ def _streaming_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     rdocs.join(a.select("doc_id"), "doc_id", "left_anti") \
         .write.parquet(os.path.join(indir, "f2.parquet"))
 
-    writer = StreamingZonalWriter(zones, grid, ["count", "sum", "mean"],
-                                  os.path.join(base, "state"), "r0", meta["r0"])
+    writer = StreamingZonalWriter(zones, grid, ops,
+                                  os.path.join(base, "state"), "r0",
+                                  meta["r0"], weight_tiles=wtiles)
     stream_zonal_from_dir(spark, indir + "/*", writer,
                           os.path.join(base, "ck"))
     return writer.snapshot()
+
+
+def _streaming_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_streaming(spark, sf_dir, ["count", "sum", "mean"])
 
 
 def _streaming_weighted_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted zonal stats with a STATIC weight raster (w0) and
     STREAMED value tiles (two micro-batches): the snapshot's exact
     partial merge must equal the one-shot weighted batch SQL."""
-    import os
-    import tempfile
-
-    from exactextract_spark.streaming import (StreamingZonalWriter,
-                                              stream_zonal_from_dir)
-
-    cfg = SynthConfig.from_sf_dir(sf_dir)
-    docs = build_docs(spark, cfg)
-    zones = eio.zones_from_docs(docs)
-    meta = {r["raster_id"]: r.asDict()
-            for r in eio.raster_meta_from_docs(docs).collect()}
-    grid = cfg.grid_dict()
-    grid["dtype"] = "float64"
-    wtiles = eio.tiles_from_docs(docs, "w0", meta["w0"])
-
-    base = tempfile.mkdtemp(prefix="ee_wstream_")
-    indir = os.path.join(base, "in")
-    rdocs = docs.where(docs.doc_id.startswith("r0:"))
-    n = rdocs.count()
-    rdocs.limit(n // 2).write.parquet(os.path.join(indir, "f1.parquet"))
-    a = spark.read.parquet(os.path.join(indir, "f1.parquet"))
-    rdocs.join(a.select("doc_id"), "doc_id", "left_anti") \
-        .write.parquet(os.path.join(indir, "f2.parquet"))
-
-    writer = StreamingZonalWriter(
-        zones, grid, ["weighted_count", "weighted_sum", "weighted_mean"],
-        os.path.join(base, "state"), "r0", meta["r0"], weight_tiles=wtiles)
-    stream_zonal_from_dir(spark, indir + "/*", writer,
-                          os.path.join(base, "ck"))
-    return writer.snapshot()
+    return _run_streaming(
+        spark, sf_dir, ["weighted_count", "weighted_sum", "weighted_mean"],
+        weight_id="w0")
 
 
 def _point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:

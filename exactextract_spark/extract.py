@@ -133,7 +133,7 @@ _WKT_NUMS = ("filter(transform(split({c}, '[^-+.0-9eE]+'),"
 # x/y/z token-parity mixing (ADVICE r4).
 _WKT_HEAD_OK = ("upper(ltrim(geometry)) RLIKE "
                 "'^(MULTIPOLYGON|POLYGON|MULTILINESTRING|LINESTRING"
-                "|GEOMETRYCOLLECTION) *(EMPTY|[(])'")
+                "|GEOMETRYCOLLECTION)\\\\s*(EMPTY|[(])'")
 
 
 def _bbox_expr(minmax: str, parity: int) -> str:
@@ -1222,6 +1222,11 @@ def aggregate_partials(zones_b, partials, keygroups, *, int_values=False,
                      F.col(p + "hist_ciw").alias("ciw"))).alias("h"))
                  .groupBy("zone_id", F.col("h.v").alias("v"))
                  .agg(F.sum("h.ci").alias("ci"), F.sum("h.ciw").alias("ciw")))
+            if _quantiles_via_window(ops_in_key):
+                # h feeds two plans (the per-zone agg AND the window
+                # quantiles) — persist the small merged histogram so the
+                # explode + two-level agg doesn't execute twice
+                h = h.persist()
             hz_aggs = [F.count("*").alias(p + "variety")]
             if stats & {"majority", "mode"}:
                 hz_aggs.append(

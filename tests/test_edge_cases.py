@@ -260,9 +260,14 @@ def test_plain_wkt_heads_still_accepted(spark):
     zones = spark.createDataFrame(
         [("a", "POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))"),
          ("b", "POLYGON  ((0 0, 2 0, 2 2, 0 2, 0 0))"),
-         ("c", "POLYGON EMPTY")], ["zone_id", "geometry"])
+         ("c", "POLYGON EMPTY"),
+         ("d", "POLYGON\t((0 0, 2 0, 2 2, 0 2, 0 0))"),
+         ("e", "POLYGON\n((0 0, 2 0, 2 2, 0 2, 0 0))")],
+        ["zone_id", "geometry"])
     got = {r["zone_id"]: r["count"]
            for r in exact_extract(zones, tiles, ["count"]).collect()}
     assert got["a"] == pytest.approx(4.0)
     assert got["b"] == pytest.approx(4.0)
     assert got["c"] == 0.0
+    assert got["d"] == pytest.approx(4.0)  # tab/newline after tag is valid WKT
+    assert got["e"] == pytest.approx(4.0)

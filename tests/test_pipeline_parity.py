@@ -191,7 +191,11 @@ def test_embedding_neardup_nonvacuous_on_testdata(spark):
              % sim.PLANT_MOD == sim.PLANT_RESIDUE).sum()
     assert n_src >= 3
     planted = res[res["vec_b"] - res["vec_a"] == sim.PLANT_OFFSET]
-    assert len(planted) == n_src, (len(planted), n_src)
+    # LSH recall of a perturbed pair is not guaranteed 100% by
+    # construction (the 1/32 bump could flip a near-zero projection in
+    # both bands) — on the current testdata it IS 100%, but only the
+    # majority bound is robust to fixture regeneration
+    assert len(planted) >= max(1, n_src // 2), (len(planted), n_src)
 
 
 def test_ann_topk_plan_is_two_phase(spark):

@@ -194,7 +194,10 @@ def test_streaming_weighted_matches_batch(spark, tmp_path):
     grid["dtype"] = "float64"
     ops = ["count", "weighted_sum", "weighted_mean", "weighted_variance"]
 
-    for wid in ("w0", "wc0"):  # same-grid and 4x-coarser weight rasters
+    # wc0 additionally forces the shuffle strategy, covering the
+    # weighted x shuffle combination (weight payloads joined onto value
+    # tiles whose zone hit-list carries geometry structs)
+    for wid, strat in (("w0", "broadcast"), ("wc0", "shuffle")):
         wtiles = eio.tiles_from_docs(docs, wid, meta[wid])
         tiles = eio.tiles_from_docs(docs, "r0", meta["r0"])
         want = {r["zone_id"]: r.asDict()
@@ -207,7 +210,9 @@ def test_streaming_weighted_matches_batch(spark, tmp_path):
         rest = rdocs.join(half.select("doc_id"), "doc_id", "left_anti")
 
         w = StreamingZonalWriter(zones, grid, ops, str(tmp_path / f"st_{wid}"),
-                                 "r0", meta["r0"], weight_tiles=wtiles)
+                                 "r0", meta["r0"], weight_tiles=wtiles,
+                                 strategy=strat)
+        assert w.strategy == strat
         w.process_batch(half, 0)
         w.process_batch(rest, 1)
         got = {r["zone_id"]: r.asDict() for r in w.snapshot().collect()}
