@@ -292,3 +292,21 @@ def test_quantile_window_vs_udf_fuzz(spark):
                for r in exact_extract(zdf, tiles, ops + ["unique"])
                .select("zone_id", "median", "qa", "qb").collect()}
         assert win == udf, (trial, qa, qb)  # exact equality, no tolerance
+
+
+def test_quantile_window_path_with_bin_width(spark):
+    """bin_width-quantized histograms flow through the window quantile
+    path too — both routes must agree exactly."""
+    import numpy as np
+    from exactextract_spark.io import tiles_from_array
+    from exactextract_spark.extract import exact_extract
+
+    vals = (np.arange(81, dtype=np.float64) % 13).reshape(9, 9)
+    tiles = tiles_from_array(spark, vals)
+    zones = spark.createDataFrame(
+        [("z", "POLYGON ((0.25 0.25, 8.5 0.25, 8.5 8.5, 0.25 8.5, 0.25 0.25))")],
+        ["zone_id", "geometry"])
+    ops = ["m=median(bin_width=3)", "q=quantile(q=0.7,bin_width=3)"]
+    a = exact_extract(zones, tiles, ops).collect()[0]
+    b = exact_extract(zones, tiles, ops + ["u=unique(bin_width=3)"]).collect()[0]
+    assert (a["m"], a["q"]) == (b["m"], b["q"])
