@@ -299,6 +299,50 @@ def _streaming_weighted_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight_id="w0")
 
 
+def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful Structured-Streaming exact dedup
+    (applyInPandasWithState): the testdata has no exact-duplicate texts
+    at this SF, so — like embedding_neardup — the corpus is PLANTED
+    inside the query (originals ∪ copies of doc_id≡3 mod 97 re-idd at
+    +1e6), streamed as SEPARATE files so every duplicate digest spans
+    micro-batches and the snapshot equality proves the cross-batch
+    state merge (canonical min and dup_count both live in the state
+    store).  The oracle derives the identical corpus in a CTE."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from exactextract_spark.pipeline.streaming_dedup import (
+        dedup_state_snapshot, stream_dedup_exact)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = (docs.where(F.col("doc_id") % 97 == 3)
+               .withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+    base = tempfile.mkdtemp(prefix="ee_sdedup_")
+    indir = os.path.join(base, "in")
+    docs.coalesce(1).write.parquet(os.path.join(indir, "f1.parquet"))
+    planted.coalesce(1).write.parquet(os.path.join(indir, "f2.parquet"))
+    stream_dedup_exact(spark, indir + "/*", os.path.join(base, "upd"),
+                       os.path.join(base, "ck"))
+    return dedup_state_snapshot(spark, docs.unionByName(planted),
+                                os.path.join(base, "upd"))
+
+
+def _streaming_dedup_oracle() -> str:
+    return """WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 97 = 3
+)
+SELECT doc_id, md5(text) AS text_hash,
+  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+  COUNT(*) OVER (PARTITION BY md5(text)) AS dup_count,
+  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+FROM corpus"""
+
+
 def _point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exactextract_spark.fixtures import build_points
     from exactextract_spark.spatial import point_in_polygon
@@ -372,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume": _checkpoint_resume,
         "streaming_snapshot": _streaming_snapshot,
         "streaming_weighted_snapshot": _streaming_weighted_snapshot,
+        "streaming_dedup": _streaming_dedup,
         "zonal_arrays": _zonal_arrays,
         "zonal_linear": _zonal_linear,
         "subdivide_rect": _subdivide,
@@ -413,6 +458,7 @@ PIPELINE_ORACLES = {
     "token_histogram": ptext.token_histogram_oracle,
     "quality_filter": ptext.quality_filter_oracle,
     "dedup_exact": pdedup.exact_dedup_oracle,
+    "streaming_dedup": _streaming_dedup_oracle,
     "dedup_minhash_sig": pdedup.minhash_signature_oracle,
     "dedup_minhash_pairs": pdedup.minhash_pairs_oracle,
     "dedup_verified_pairs": pdedup.minhash_verified_pairs_oracle,

@@ -209,3 +209,53 @@ def test_ann_topk_plan_is_two_phase(spark):
     # the final rank's window runs over the pre-filtered local top-k,
     # i.e. there are exactly two Window operators in the plan
     assert plan.count("Window") >= 2
+
+
+def test_streaming_dedup_state_accumulates(spark, tmp_path):
+    """The keyed state store must carry (min doc_id, count) ACROSS
+    micro-batches: a text present in all three files emits increasing
+    cumulative dup_counts, and the canonical drops to the lowest doc_id
+    even though it arrives in the LAST batch."""
+    import os
+    import time
+
+    from exactextract_spark.pipeline.streaming_dedup import (
+        DOCS_TEXT_SCHEMA, dedup_state_snapshot, stream_dedup_exact)
+
+    indir = str(tmp_path / "in")
+    frames = []
+    for k, common_id in enumerate((102, 101, 100)):  # min arrives last
+        df = spark.createDataFrame(
+            [(common_id, "common text", "en", "s", 11),
+             (200 + k, f"only in file {k}", "en", "s", 15)],
+            DOCS_TEXT_SCHEMA)
+        frames.append(df)
+        path = os.path.join(indir, f"f{k}.parquet")
+        df.coalesce(1).write.parquet(path)
+        # distinct mtimes → FileStreamSource processes f0, f1, f2 in
+        # order, one per micro-batch (maxFilesPerTrigger=1)
+        t = time.time() + k
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+    stream_dedup_exact(spark, indir + "/*", str(tmp_path / "upd"),
+                       str(tmp_path / "ck"))
+
+    upd = spark.read.parquet(str(tmp_path / "upd")).toPandas()
+    assert upd["batch_seq"].nunique() == 3
+    common = (upd[upd.groupby("text_hash")["dup_count"].transform("max") == 3]
+              .sort_values("batch_seq"))
+    # one digest seen in every batch, cumulative count 1 → 2 → 3,
+    # canonical min ratcheting down as lower ids arrive
+    assert list(common["dup_count"]) == [1, 2, 3]
+    assert list(common["canonical_id"]) == [102, 101, 100]
+
+    docs_all = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    snap = dedup_state_snapshot(spark, docs_all,
+                                str(tmp_path / "upd")).toPandas()
+    assert len(snap) == 6
+    com = snap[snap["dup_count"] == 3].sort_values("doc_id")
+    assert list(com["doc_id"]) == [100, 101, 102]
+    assert set(com["canonical_id"]) == {100}
+    assert list(com["is_duplicate"]) == [False, True, True]
+    assert not snap[snap["dup_count"] == 1]["is_duplicate"].any()
