@@ -329,6 +329,62 @@ def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 os.path.join(base, "upd"))
 
 
+def _streaming_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed rollup with watermark-gated late data: the
+    events table streams as three files (days 1–10, 11–20, 21–30), with
+    a deterministic subset of days 9–10 held back into the SECOND file
+    — genuinely late arrivals, inside the 2-day allowed lateness, that
+    must merge into their still-open day windows before those finalize.
+    Append-mode output = windows whose end precedes (max ts − delay);
+    the oracle's WHERE clause is exactly that inequality, so the gate
+    checks the watermark semantics, not just the arithmetic."""
+    import os
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from exactextract_spark.pipeline.streaming_events import (
+        rollup_snapshot, stream_windowed_rollup)
+
+    # day windows over naive parquet timestamps match the oracle's
+    # date_trunc only under UTC (streaming_events.py module docstring)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    late = ((F.col("ts") >= F.lit("2024-01-09"))
+            & (F.col("ts") < F.lit("2024-01-11"))
+            & (F.crc32(F.col("event_id").cast("string").cast("binary"))
+               % 4 == 0))
+    splits = [
+        ev.where((F.col("ts") < F.lit("2024-01-11")) & ~late),
+        ev.where(((F.col("ts") >= F.lit("2024-01-11"))
+                  & (F.col("ts") < F.lit("2024-01-21"))) | late),
+        ev.where(F.col("ts") >= F.lit("2024-01-21")),
+    ]
+    base = tempfile.mkdtemp(prefix="ee_sevents_")
+    indir = os.path.join(base, "in")
+    for k, df in enumerate(splits):
+        p = os.path.join(indir, f"f{k}.parquet")
+        df.coalesce(1).write.parquet(p)
+        t = time.time() + k  # distinct mtimes → in-order micro-batches
+        for root, _, files in os.walk(p):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t, t))
+    stream_windowed_rollup(spark, indir + "/*", os.path.join(base, "upd"),
+                           os.path.join(base, "ck"))
+    return rollup_snapshot(spark, os.path.join(base, "upd"))
+
+
+def _streaming_event_rollup_oracle() -> str:
+    return """WITH mx AS (SELECT max(ts) AS m FROM events)
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events, mx
+WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= m - INTERVAL 2 DAY
+GROUP BY 1, 2"""
+
+
 def _streaming_dedup_oracle() -> str:
     return """WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -417,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_snapshot": _streaming_snapshot,
         "streaming_weighted_snapshot": _streaming_weighted_snapshot,
         "streaming_dedup": _streaming_dedup,
+        "streaming_event_rollup": _streaming_event_rollup,
         "zonal_arrays": _zonal_arrays,
         "zonal_linear": _zonal_linear,
         "subdivide_rect": _subdivide,
@@ -459,6 +516,7 @@ PIPELINE_ORACLES = {
     "quality_filter": ptext.quality_filter_oracle,
     "dedup_exact": pdedup.exact_dedup_oracle,
     "streaming_dedup": _streaming_dedup_oracle,
+    "streaming_event_rollup": _streaming_event_rollup_oracle,
     "dedup_minhash_sig": pdedup.minhash_signature_oracle,
     "dedup_minhash_pairs": pdedup.minhash_pairs_oracle,
     "dedup_verified_pairs": pdedup.minhash_verified_pairs_oracle,

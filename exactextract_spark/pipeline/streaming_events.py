@@ -1,0 +1,82 @@
+"""Event-time windowed aggregation with watermark-gated late data.
+
+The third streaming shape a 100 TB pipeline needs (after the
+foreachBatch zonal ingest in streaming.py and the keyed-state dedup in
+streaming_dedup.py): a rolling per-day rollup over an event stream
+where events can arrive LATE.
+
+    events readStream
+      → withWatermark(ts, delay)
+      → groupBy(window(ts, "1 day"), event_type).agg(count, exact sum)
+      → append mode: a window emits exactly once, when the watermark
+        passes its end — late events inside the allowed lateness merge
+        into the still-open window state first
+
+The finalized output therefore equals the batch GROUP BY restricted to
+windows whose end precedes (max event time − delay): that inequality
+is the oracle's WHERE clause, so the driver gate checks the watermark
+semantics themselves, not just the arithmetic.
+
+Determinism notes: sums run over DECIMAL(12,2) (exact, order-free —
+a float sum would differ between engines in the last ulp depending on
+combine order).  Spark requires the event-time column to be TIMESTAMP
+(LTZ; TIMESTAMP_NTZ is rejected by withWatermark), and window
+boundaries are epoch-aligned — so day windows over naive parquet
+timestamps match DuckDB's date_trunc only when the session timezone is
+UTC.  Callers pin ``spark.sql.session.timeZone = UTC`` (the entry
+query does) — the read-interpretation and date_format render then
+cancel and boundaries land on naive midnights.
+
+Scale notes (100 TB): state is O(open windows × event types) — bounded
+by the watermark delay, not the stream length; the watermark evicts
+window state as it advances.  The only shuffle is the keyed state
+exchange on (window, event_type), with partial aggregation map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["EVENTS_SCHEMA", "stream_windowed_rollup", "rollup_snapshot"]
+
+# events.parquet shape (TESTDATA.md)
+EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                 "event_type string, value double, props string")
+
+
+def stream_windowed_rollup(spark: SparkSession, input_glob: str,
+                           out_path: str, checkpoint_dir: str,
+                           delay: str = "2 days", window: str = "1 day",
+                           max_files_per_trigger: int = 1):
+    """Run the watermarked rollup stream (availableNow;
+    ``max_files_per_trigger`` forces one micro-batch per file so the
+    watermark actually advances between batches and late arrivals are
+    really late).  Append-mode emissions — finalized windows only —
+    land in replay-idempotent per-batch partition directories."""
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(input_glob))
+    rolled = (stream
+              .withWatermark("ts", delay)
+              .groupBy(F.window("ts", window).alias("w"), "event_type")
+              .agg(F.count("*").alias("n"),
+                   F.sum(F.col("value").cast("decimal(12,2)")).alias("sv")))
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.write.mode("overwrite")
+         .parquet(f"{out_path}/batch_seq={batch_id}"))
+
+    q = (rolled.writeStream.outputMode("append").foreachBatch(_append)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return q
+
+
+def rollup_snapshot(spark: SparkSession, out_path: str) -> DataFrame:
+    """Finalized windows (each emitted exactly once — no latest-wins
+    resolution needed, unlike the update-mode dedup snapshot)."""
+    return (spark.read.parquet(out_path)
+            .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+                    "event_type", "n",
+                    F.col("sv").cast("double").alias("sum_value")))

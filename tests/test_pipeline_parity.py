@@ -15,7 +15,7 @@ PIPELINE_NAMES = sorted(entry_mod.PIPELINE_ORACLES)
 
 def _duck():
     con = duckdb.connect()
-    for t in ("documents", "embeddings"):
+    for t in ("documents", "embeddings", "events"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
     return con
 
@@ -259,3 +259,53 @@ def test_streaming_dedup_state_accumulates(spark, tmp_path):
     assert set(com["canonical_id"]) == {100}
     assert list(com["is_duplicate"]) == [False, True, True]
     assert not snap[snap["dup_count"] == 1]["is_duplicate"].any()
+
+
+def test_streaming_rollup_watermark_merge_and_drop(spark, tmp_path):
+    """Watermark contract, both sides: late events merge into their
+    window as long as its state is live (even in the eviction batch
+    itself); once the watermark evicts the window it has emitted
+    EXACTLY ONCE, and later stragglers are dropped — no duplicate
+    emission, no resurrected state."""
+    import os
+    import time
+
+    from exactextract_spark.pipeline.streaming_events import (
+        EVENTS_SCHEMA, rollup_snapshot, stream_windowed_rollup)
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, ts, 1, "click", 1.0, "{}") for i, ts in rows],
+            EVENTS_SCHEMA.replace("ts timestamp", "ts string")
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    files = [
+        mk([(1, "2024-01-01 10:00:00"), (2, "2024-01-01 14:00:00")]),
+        # watermark still behind Jan 1 -> this straggler merges
+        mk([(3, "2024-01-05 12:00:00"), (4, "2024-01-01 16:00:00")]),
+        # wm (Jan 3 12:00) now past the day-1 window end: this batch
+        # both merges the in-batch straggler and EVICTS day 1
+        mk([(5, "2024-01-09 12:00:00"), (6, "2024-01-01 18:00:00")]),
+        # day-1 state is gone -> this straggler is DROPPED (no second
+        # day-1 emission); day-13 pushes wm past day 9
+        mk([(7, "2024-01-13 12:00:00"), (8, "2024-01-01 20:00:00")]),
+    ]
+    indir = str(tmp_path / "in")
+    for k, df in enumerate(files):
+        p = os.path.join(indir, f"f{k}.parquet")
+        df.coalesce(1).write.parquet(p)
+        t = time.time() + k
+        for root, _, fs in os.walk(p):
+            for fn in fs:
+                os.utime(os.path.join(root, fn), (t, t))
+    stream_windowed_rollup(spark, indir + "/*", str(tmp_path / "upd"),
+                           str(tmp_path / "ck"))
+    snap = rollup_snapshot(spark, str(tmp_path / "upd")).toPandas()
+    assert len(snap) == len(snap["day"].unique())  # exactly-once per window
+    got = {r.day: r.n for r in snap.itertuples()}
+    # day 1: ids 1,2,4,6 merged, id 8 dropped after eviction; day 13
+    # never finalizes (watermark ends at Jan 11 12:00)
+    assert got == {"2024-01-01": 4, "2024-01-05": 1, "2024-01-09": 1}
