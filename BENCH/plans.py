@@ -92,6 +92,40 @@ def main():
         "shuffle join with skew splitting).",
         plan_of(qs)))
 
+    # streaming plan templates (explain on the unstarted stream shows
+    # the per-micro-batch physical template incl. the state operators)
+    from exactextract_spark.pipeline.streaming_dedup import (
+        DOCS_TEXT_SCHEMA, _update_digest_state, _OUT_SCHEMA, _STATE_SCHEMA)
+    from exactextract_spark.pipeline.streaming_events import EVENTS_SCHEMA
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sev = spark.readStream.schema(EVENTS_SCHEMA).parquet("/tmp/_plan_stub/*")
+    rolled = (sev.withWatermark("ts", "2 days")
+              .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+              .agg(F.count("*").alias("n"),
+                   F.sum(F.col("value").cast("decimal(12,2)")).alias("sv")))
+    sections.append((
+        "streaming_event_rollup — watermarked windowed agg (template)",
+        "EventTimeWatermark gates late data; HashAggregate(partial) "
+        "sits BELOW the Exchange (map-side combine before the keyed "
+        "state shuffle); StateStoreRestore/Save hold only open windows "
+        "— state is bounded by the watermark delay, not stream length.",
+        plan_of(rolled)))
+
+    sdd = spark.readStream.schema(DOCS_TEXT_SCHEMA).parquet("/tmp/_plan_stub/*")
+    dig = sdd.select("doc_id",
+                     F.md5(F.col("text").cast("binary")).alias("text_hash"))
+    upd = dig.groupBy("text_hash").applyInPandasWithState(
+        _update_digest_state, _OUT_SCHEMA, _STATE_SCHEMA,
+        "update", GroupStateTimeout.NoTimeout)
+    sections.append((
+        "streaming_dedup — keyed-state dedup (template)",
+        "One Exchange on the digest (same shuffle shape as the batch "
+        "groupBy) feeding FlatMapGroupsInPandasWithState; a hot digest "
+        "is one state row, and update-mode emission is bounded by the "
+        "digests touched per batch, not total state size.",
+        plan_of(upd)))
+
     # parquet scan pushdown check
     pq = "/root/testdata/sf0.01/documents.parquet"
     if Path(pq).exists():
