@@ -651,7 +651,15 @@ def _window_quantiles(h: DataFrame, p: str, ops_in_key) -> DataFrame:
 
     One window pass over the (zone, value) rows (≤ variety per zone)
     and one per-zone max-aggregation for ALL requested quantiles —
-    no Python, no array<struct> serialization."""
+    no Python, no array<struct> serialization.
+
+    Scale note: the per-zone sort is bounded by value VARIETY, the same
+    bound as the reference's in-memory histogram map (raster_stats.h) —
+    exact on categorical/quantized rasters at any zone size.  For
+    continuous float rasters (variety ≈ cell count) the documented
+    escape hatch is ``quantile(q=..., bin_width=...)``: the histogram
+    quantizes before this window, bounding per-zone rows by the value
+    range / bin_width."""
     from pyspark.sql import Window
 
     wo = Window.partitionBy("zone_id").orderBy("v")

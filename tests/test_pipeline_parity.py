@@ -309,3 +309,47 @@ def test_streaming_rollup_watermark_merge_and_drop(spark, tmp_path):
     # day 1: ids 1,2,4,6 merged, id 8 dropped after eviction; day 13
     # never finalizes (watermark ends at Jan 11 12:00)
     assert got == {"2024-01-01": 4, "2024-01-05": 1, "2024-01-09": 1}
+
+
+@pytest.mark.parametrize("seed", [11, 29])
+def test_streaming_dedup_split_invariance(spark, tmp_path, seed):
+    """Snapshot == batch dedup for an ARBITRARY assignment of docs to
+    micro-batches (min/count state merges are order-free): 60 docs over
+    17 digests scattered into 3 files by a seeded rng."""
+    import os
+    import time
+
+    from exactextract_spark.pipeline.streaming_dedup import (
+        DOCS_TEXT_SCHEMA, dedup_state_snapshot, stream_dedup_exact)
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(seed)
+    rows = [(i, f"text {i % 17}", "en", "s", 9) for i in range(60)]
+    assign = rng.integers(0, 3, size=60)
+    indir = str(tmp_path / "in")
+    frames = []
+    for k in range(3):
+        df = spark.createDataFrame(
+            [r for r, a in zip(rows, assign) if a == k], DOCS_TEXT_SCHEMA)
+        frames.append(df)
+        p = os.path.join(indir, f"f{k}.parquet")
+        df.coalesce(1).write.parquet(p)
+        t = time.time() + k
+        for root, _, fs in os.walk(p):
+            for fn in fs:
+                os.utime(os.path.join(root, fn), (t, t))
+    stream_dedup_exact(spark, indir + "/*", str(tmp_path / "upd"),
+                       str(tmp_path / "ck"))
+    docs_all = spark.createDataFrame(rows, DOCS_TEXT_SCHEMA)
+    snap = dedup_state_snapshot(spark, docs_all, str(tmp_path / "upd"))
+
+    d = docs_all.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash"))
+    canon = d.groupBy("text_hash").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("dup_count"))
+    batch = d.join(canon, "text_hash").select(
+        "doc_id", "text_hash", "canonical_id", "dup_count",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"))
+    assert snap.exceptAll(batch).count() == 0
+    assert batch.exceptAll(snap).count() == 0
