@@ -385,6 +385,27 @@ WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= m - INTERVAL 2 DAY
 GROUP BY 1, 2"""
 
 
+def _event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exactextract_spark.pipeline.streaming_events import event_sessions
+    return event_sessions(spark, sf_dir)
+
+
+def _event_sessions_oracle() -> str:
+    return """WITH o AS (
+  SELECT user_id, ts, value,
+    CASE WHEN LAG(ts) OVER w IS NULL
+         OR ts - LAG(ts) OVER w > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid"""
+
+
 def _streaming_dedup_oracle() -> str:
     return """WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -474,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_weighted_snapshot": _streaming_weighted_snapshot,
         "streaming_dedup": _streaming_dedup,
         "streaming_event_rollup": _streaming_event_rollup,
+        "event_sessions": _event_sessions,
         "zonal_arrays": _zonal_arrays,
         "zonal_linear": _zonal_linear,
         "subdivide_rect": _subdivide,
@@ -517,6 +539,7 @@ PIPELINE_ORACLES = {
     "dedup_exact": pdedup.exact_dedup_oracle,
     "streaming_dedup": _streaming_dedup_oracle,
     "streaming_event_rollup": _streaming_event_rollup_oracle,
+    "event_sessions": _event_sessions_oracle,
     "dedup_minhash_sig": pdedup.minhash_signature_oracle,
     "dedup_minhash_pairs": pdedup.minhash_pairs_oracle,
     "dedup_verified_pairs": pdedup.minhash_verified_pairs_oracle,

@@ -37,7 +37,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["EVENTS_SCHEMA", "stream_windowed_rollup", "rollup_snapshot"]
+__all__ = ["EVENTS_SCHEMA", "stream_windowed_rollup", "rollup_snapshot",
+           "event_sessions"]
 
 # events.parquet shape (TESTDATA.md)
 EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
@@ -71,6 +72,36 @@ def stream_windowed_rollup(spark: SparkSession, input_glob: str,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return q
+
+
+def event_sessions(spark: SparkSession, sf_dir: str,
+                   gap: str = "2 hours") -> DataFrame:
+    """Sessionization: per-user session windows over the events table
+    (``F.session_window`` — sessions merge transitively while
+    consecutive gaps are <= ``gap``: a gap of exactly ``gap`` still
+    MERGES (measured; the successor's window [t, t+gap) abuts the
+    predecessor's inclusive end), so the oracle's island boundary is
+    ``diff > gap``).
+
+    The same expression works unchanged on a stream (session_window +
+    withWatermark); gated here in batch form because the batch output
+    is complete and deterministic — the gaps-and-islands SQL (LAG →
+    boundary flag → running sum → per-island agg) is the DuckDB
+    oracle.
+
+    Scale shape (100 TB): one keyed shuffle on user_id; session
+    merging happens inside the aggregation per key, bounded by a
+    single user's activity, never by the table.  Sums over
+    DECIMAL(12,2) — exact, combine-order-free."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(12,2)")).alias("sv"))
+            .select("user_id",
+                    F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                     .alias("session_start"),
+                    "n_events",
+                    F.col("sv").cast("double").alias("sum_value")))
 
 
 def rollup_snapshot(spark: SparkSession, out_path: str) -> DataFrame:

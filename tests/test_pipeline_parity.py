@@ -353,3 +353,37 @@ def test_streaming_dedup_split_invariance(spark, tmp_path, seed):
         (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"))
     assert snap.exceptAll(batch).count() == 0
     assert batch.exceptAll(snap).count() == 0
+
+
+def test_event_sessions_merge_and_boundary(spark, tmp_path):
+    """Session semantics: events 1h50m apart chain TRANSITIVELY into
+    one session far longer than the gap; a gap of exactly 2h still
+    MERGES while 2h + 1s splits (session_window's boundary is
+    inclusive — the oracle's island flag is diff > gap); users never
+    mix."""
+    from exactextract_spark.pipeline.streaming_events import (
+        EVENTS_SCHEMA, event_sessions)
+    from pyspark.sql import functions as F
+
+    rows = []
+    # user 1: 5 events every 110 min -> ONE session spanning ~7.3h
+    for i in range(5):
+        rows.append((i, f"2024-01-01 {divmod(110 * i, 60)[0]:02d}:"
+                        f"{divmod(110 * i, 60)[1]:02d}:00", 1))
+    # user 2: exactly 2h apart -> MERGES; then 2h1s -> splits
+    rows.append((10, "2024-01-01 00:00:00", 2))
+    rows.append((11, "2024-01-01 02:00:00", 2))
+    rows.append((12, "2024-01-01 04:00:01", 2))
+    df = spark.createDataFrame(
+        [(i, ts, u, "click", 1.0, "{}") for i, ts, u in rows],
+        EVENTS_SCHEMA.replace("ts timestamp", "ts string")
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.parquet(str(tmp_path / "events.parquet"))
+
+    res = event_sessions(spark, str(tmp_path)).toPandas()
+    u1 = res[res.user_id == 1]
+    u2 = res[res.user_id == 2].sort_values("session_start")
+    assert len(u1) == 1 and int(u1.n_events.iloc[0]) == 5
+    assert list(u2.n_events) == [2, 1]
+    assert list(u2.session_start.str[:19]) == ["2024-01-01 00:00:00",
+                                               "2024-01-01 04:00:01"]
