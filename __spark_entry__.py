@@ -385,6 +385,23 @@ WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= m - INTERVAL 2 DAY
 GROUP BY 1, 2"""
 
 
+def _pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exactextract_spark.pipeline.packing import pack_documents
+    return pack_documents(spark, sf_dir)
+
+
+def _pack_documents_oracle() -> str:
+    return """WITH c AS (
+  SELECT doc_id, n_chars,
+    SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      - n_chars AS start
+  FROM documents)
+SELECT doc_id, n_chars,
+  start // 4096 AS shard_id,
+  start % 4096 AS shard_offset
+FROM c"""
+
+
 def _event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exactextract_spark.pipeline.streaming_events import event_sessions
     return event_sessions(spark, sf_dir)
@@ -496,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _streaming_dedup,
         "streaming_event_rollup": _streaming_event_rollup,
         "event_sessions": _event_sessions,
+        "pack_documents": _pack_documents,
         "zonal_arrays": _zonal_arrays,
         "zonal_linear": _zonal_linear,
         "subdivide_rect": _subdivide,
@@ -540,6 +558,7 @@ PIPELINE_ORACLES = {
     "streaming_dedup": _streaming_dedup_oracle,
     "streaming_event_rollup": _streaming_event_rollup_oracle,
     "event_sessions": _event_sessions_oracle,
+    "pack_documents": _pack_documents_oracle,
     "dedup_minhash_sig": pdedup.minhash_signature_oracle,
     "dedup_minhash_pairs": pdedup.minhash_pairs_oracle,
     "dedup_verified_pairs": pdedup.minhash_verified_pairs_oracle,

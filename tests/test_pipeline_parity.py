@@ -387,3 +387,24 @@ def test_event_sessions_merge_and_boundary(spark, tmp_path):
     assert list(u2.n_events) == [2, 1]
     assert list(u2.session_start.str[:19]) == ["2024-01-01 00:00:00",
                                                "2024-01-01 04:00:01"]
+
+
+def test_pack_documents_contiguous_and_partition_invariant(spark):
+    """The distributed prefix sum must be (a) contiguous — each doc
+    starts exactly where the previous one ended — and (b) identical
+    for ANY range partition count (prefix sum is associative; the
+    sampled range boundaries must not leak into the result)."""
+    from exactextract_spark.pipeline.packing import pack_documents
+
+    B = 4096
+    base = pack_documents(spark, SF_DIR, budget=B, num_partitions=8) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    starts = base.shard_id * B + base.shard_offset
+    assert starts.iloc[0] == 0
+    assert (starts.iloc[1:].values
+            == (starts + base.n_chars).iloc[:-1].values).all()
+    for nparts in (1, 3):
+        alt = pack_documents(spark, SF_DIR, budget=B,
+                             num_partitions=nparts) \
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        assert base.equals(alt), nparts
