@@ -126,6 +126,21 @@ def main():
         "digests touched per batch, not total state size.",
         plan_of(upd)))
 
+    pq_docs = "/root/testdata/sf0.01/documents.parquet"
+    if Path(pq_docs).exists():
+        from exactextract_spark.pipeline.packing import pack_documents
+        pk = pack_documents(spark, "/root/testdata/sf0.01")
+        sections.append((
+            "pack_documents — distributed prefix sum",
+            "ONE full-table exchange: the deterministic id-range block "
+            "column drives both the hash repartition and the window "
+            "partitioning, so Catalyst adds no second exchange (the "
+            "spark_partition_id variant paid two).  Block totals join "
+            "back via BroadcastHashJoin (one row per block); the only "
+            "single-task Window sorts <= num_partitions total rows — "
+            "there is NO global-order window over the table.",
+            plan_of(pk)))
+
     # parquet scan pushdown check
     pq = "/root/testdata/sf0.01/documents.parquet"
     if Path(pq).exists():

@@ -11,17 +11,26 @@ For each document (ordered by doc_id):
 
 The prefix sum is computed DISTRIBUTED, not with a global
 single-partition window (which would funnel the whole table through
-one sorting task): range-partition by doc_id, per-partition cumulative
-sums in parallel, then a tiny per-partition-totals table (one row per
-partition) broadcast back as exclusive offsets.  Prefix sum is
-associative, so the result is identical for ANY ordered disjoint
-range partitioning — the sampled repartitionByRange boundaries don't
-affect the output.
+one sorting task): doc_ids are blocked into ``num_partitions``
+deterministic contiguous ranges (block = (doc_id - min) div K), each
+block's cumulative sums run in parallel, and a tiny per-block-totals
+table (one row per block) broadcasts back as exclusive offsets.
+Prefix sum is associative, so the result is identical for ANY ordered
+disjoint blocking — the block count never leaks into the output.
 
-Scale shape (100 TB): one range shuffle of (doc_id, n_chars) scalars
-(the text itself never moves), per-partition windows bounded by
-partition size, and a broadcast of num_partitions rows.  The oracle is
-the equivalent global-window SQL (exact integer arithmetic).
+Blocking by id range (instead of repartitionByRange + the physical
+spark_partition_id) keeps the plan to ONE full-table exchange: the
+hash repartition on the block column satisfies the window's required
+distribution, so Catalyst adds no second exchange — and the blocks
+are deterministic, with no sampled range boundaries.  Even id density
+is assumed (true for dense doc_ids); wildly sparse id spaces would
+need the range-sampling variant.
+
+Scale shape (100 TB): one hash shuffle of (doc_id, n_chars) scalars
+(the text itself never moves), per-block windows bounded by block
+size, a broadcast of num_partitions rows, and one tiny min/max
+aggregate to size the blocks.  The oracle is the equivalent
+global-window SQL (exact integer arithmetic).
 """
 
 from __future__ import annotations
@@ -35,12 +44,19 @@ def pack_documents(spark: SparkSession, sf_dir: str,
                    budget: int = 4096, num_partitions: int = 8) -> DataFrame:
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select("doc_id", "n_chars"))
-    parts = docs.repartitionByRange(num_partitions, "doc_id") \
-                .withColumn("_pid", F.spark_partition_id())
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:
+        return docs.select(
+            "doc_id", "n_chars",
+            F.lit(0).cast("long").alias("shard_id"),
+            F.lit(0).cast("long").alias("shard_offset"))
+    k = max(1, -(-(hi - lo + 1) // num_partitions))  # ceil
+    parts = (docs.withColumn("_pid", F.expr(f"(doc_id - {lo}) div {k}"))
+             .repartition(num_partitions, "_pid"))
     w = Window.partitionBy("_pid").orderBy("doc_id")
     local = parts.withColumn(
         "_local_end", F.sum("n_chars").over(w)).persist()
-    # one row per partition: tiny, broadcast back as exclusive offsets
+    # one row per block: tiny, broadcast back as exclusive offsets
     totals = (local.groupBy("_pid")
               .agg(F.max("_local_end").alias("_ptotal")))
     woff = Window.orderBy("_pid") \
