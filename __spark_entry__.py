@@ -535,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": ptext.tfidf_top_terms,
         "dedup_simhash": pdedup.simhash,
         "dedup_ngram_jaccard": pdedup.ngram_jaccard,
+        "contamination_check": pdedup.contamination_check,
         "ann_topk": psim.ann_topk,
         "ann_ivf": psim.ann_ivf,
         "ann_lsh_buckets": psim.lsh_buckets,
@@ -568,6 +569,7 @@ PIPELINE_ORACLES = {
     "tfidf_top_terms": ptext.tfidf_top_terms_oracle,
     "dedup_simhash": pdedup.simhash_oracle,
     "dedup_ngram_jaccard": pdedup.ngram_jaccard_oracle,
+    "contamination_check": pdedup.contamination_check_oracle,
     "ann_topk": psim.ann_topk_oracle,
     "ann_ivf": psim.ann_ivf_oracle,
     "ann_lsh_buckets": psim.lsh_buckets_oracle,

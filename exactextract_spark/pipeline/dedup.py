@@ -321,3 +321,47 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
     / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
 FROM d a JOIN d b ON a.doc_id + 1 = b.doc_id"""
+
+
+def contamination_check(spark: SparkSession, sf_dir: str,
+                        eval_mod: int = 23, eval_rem: int = 7,
+                        min_hits: int = 1) -> DataFrame:
+    """Train/eval contamination: flag a training document when any of
+    its 3-token shingles appears anywhere in the held-out eval split
+    (n-gram decontamination as popularized by the GPT-3 appendix).
+    The eval split is derived deterministically inside the query
+    (doc_id ≡ eval_rem mod eval_mod) — the testdata carries no split
+    column.
+
+    Scale shape (100 TB): eval shingles deduplicate into one compact
+    table (eval splits are orders of magnitude smaller than train), so
+    the search is a shingle-key equi-join + per-doc count — never
+    doc × doc, and AQE broadcasts the eval side when it fits."""
+    d = _docs(spark, sf_dir).selectExpr("doc_id", f"{_TC_ARR_SPARK} AS tc") \
+        .selectExpr("doc_id", f"array_distinct({_SHINGLES_SPARK}) AS sh")
+    is_eval = (F.col("doc_id") % eval_mod) == eval_rem
+    ev = d.where(is_eval).select(F.explode("sh").alias("s")).distinct()
+    tr = d.where(~is_eval)
+    # per-doc shingles are array_distinct and ev is distinct, so the
+    # joined rows are unique per (doc_id, s): count(*) = distinct hits
+    hits = (tr.select("doc_id", F.explode("sh").alias("s"))
+            .join(ev, "s")
+            .groupBy("doc_id").agg(F.count("*").alias("n_shared")))
+    n = F.coalesce("n_shared", F.lit(0))
+    return (tr.select("doc_id").join(hits, "doc_id", "left")
+            .select("doc_id", n.alias("n_shared"),
+                    (n >= min_hits).alias("contaminated")))
+
+
+def contamination_check_oracle() -> str:
+    return f"""WITH d AS (
+  SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS sh
+  FROM (SELECT doc_id, {_TC_ARR_DUCK} AS tc FROM documents)),
+ev AS (SELECT DISTINCT unnest(sh) AS s FROM d WHERE doc_id % 23 = 7),
+tr AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE doc_id % 23 <> 7),
+h AS (SELECT tr.doc_id, COUNT(*) AS n FROM tr JOIN ev USING (s)
+      GROUP BY tr.doc_id)
+SELECT d.doc_id, COALESCE(h.n, 0) AS n_shared,
+  COALESCE(h.n, 0) >= 1 AS contaminated
+FROM d LEFT JOIN h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 23 <> 7"""

@@ -408,3 +408,25 @@ def test_pack_documents_contiguous_and_partition_invariant(spark):
                              num_partitions=nparts) \
             .toPandas().sort_values("doc_id").reset_index(drop=True)
         assert base.equals(alt), nparts
+
+
+def test_contamination_check_planted(spark, tmp_path):
+    """A train doc sharing a 3-token phrase with an eval doc is
+    flagged; a fully-novel train doc is not.  doc_id 7 is the eval
+    split (≡7 mod 23)."""
+    from exactextract_spark.pipeline.dedup import contamination_check
+
+    eval_text = "the quick brown fox jumps over lazy dogs"
+    leaked = "completely different opening but quick brown fox appears here"
+    clean = "nothing in common with held out data at all"
+    pd.DataFrame({
+        "doc_id": [7, 1, 2],
+        "text": [eval_text, leaked, clean],
+        "lang": ["en"] * 3, "source": ["s"] * 3,
+        "n_chars": [len(eval_text), len(leaked), len(clean)],
+    }).to_parquet(tmp_path / "documents.parquet")
+    res = contamination_check(spark, str(tmp_path)).toPandas() \
+        .set_index("doc_id")
+    assert 7 not in res.index           # eval split excluded from output
+    assert bool(res.loc[1, "contaminated"]) and res.loc[1, "n_shared"] >= 1
+    assert not bool(res.loc[2, "contaminated"]) and res.loc[2, "n_shared"] == 0
