@@ -390,6 +390,18 @@ def _pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(spark, sf_dir)
 
 
+def _shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exactextract_spark.pipeline.packing import shuffle_documents
+    return shuffle_documents(spark, sf_dir)
+
+
+def _shuffle_documents_oracle() -> str:
+    return """SELECT doc_id,
+  ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+    - 1 AS position
+FROM documents"""
+
+
 def _pack_documents_oracle() -> str:
     return """WITH c AS (
   SELECT doc_id, n_chars,
@@ -514,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_event_rollup": _streaming_event_rollup,
         "event_sessions": _event_sessions,
         "pack_documents": _pack_documents,
+        "shuffle_documents": _shuffle_documents,
         "zonal_arrays": _zonal_arrays,
         "zonal_linear": _zonal_linear,
         "subdivide_rect": _subdivide,
@@ -536,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": pdedup.simhash,
         "dedup_ngram_jaccard": pdedup.ngram_jaccard,
         "contamination_check": pdedup.contamination_check,
+        "mixture_weights": ptext.mixture_weights,
         "ann_topk": psim.ann_topk,
         "ann_ivf": psim.ann_ivf,
         "ann_lsh_buckets": psim.lsh_buckets,
@@ -560,6 +574,7 @@ PIPELINE_ORACLES = {
     "streaming_event_rollup": _streaming_event_rollup_oracle,
     "event_sessions": _event_sessions_oracle,
     "pack_documents": _pack_documents_oracle,
+    "shuffle_documents": _shuffle_documents_oracle,
     "dedup_minhash_sig": pdedup.minhash_signature_oracle,
     "dedup_minhash_pairs": pdedup.minhash_pairs_oracle,
     "dedup_verified_pairs": pdedup.minhash_verified_pairs_oracle,
@@ -570,6 +585,7 @@ PIPELINE_ORACLES = {
     "dedup_simhash": pdedup.simhash_oracle,
     "dedup_ngram_jaccard": pdedup.ngram_jaccard_oracle,
     "contamination_check": pdedup.contamination_check_oracle,
+    "mixture_weights": ptext.mixture_weights_oracle,
     "ann_topk": psim.ann_topk_oracle,
     "ann_ivf": psim.ann_ivf_oracle,
     "ann_lsh_buckets": psim.lsh_buckets_oracle,

@@ -71,3 +71,41 @@ def pack_documents(spark: SparkSession, sf_dir: str,
                       F.expr(f"_start div {budget}").alias("shard_id"),
                       (F.col("_start") % budget).alias("shard_offset")))
     return packed
+
+
+def shuffle_documents(spark: SparkSession, sf_dir: str,
+                      num_partitions: int = 8) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets
+    a position 0..N-1 in pseudo-random order (md5 of the doc_id, ties
+    by doc_id — reproducible across runs and engines, no seed state).
+
+    The global rank is distributed with the same primitive as
+    pack_documents: block by the first hex byte of the hash (256
+    uniform buckets → num_partitions contiguous groups), per-block
+    row_number in parallel, block counts broadcast back as exclusive
+    offsets.  Hex blocks are prefix-aligned with the md5 sort order,
+    so block order == global order.
+
+    Scale shape (100 TB): one hash shuffle of (doc_id, 2 scalars), no
+    global-order window, a broadcast of num_partitions rows — the
+    permutation of 10^12 docs never funnels through one task."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id"))
+    k = max(1, -(-256 // num_partitions))  # hex-byte buckets per block
+    d = docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("_h")) \
+        .withColumn("_blk", F.expr(f"conv(substring(_h, 1, 2), 16, 10)")
+                    .cast("long")) \
+        .withColumn("_blk", F.expr(f"_blk div {k}")) \
+        .repartition(num_partitions, "_blk")
+    w = Window.partitionBy("_blk").orderBy("_h", "doc_id")
+    local = d.withColumn("_rn", F.row_number().over(w)).persist()
+    counts = local.groupBy("_blk").agg(F.max("_rn").alias("_cnt"))
+    woff = Window.orderBy("_blk") \
+                 .rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_blk", F.coalesce(F.sum("_cnt").over(woff), F.lit(0))
+                 .alias("_off"))
+    return (local.join(F.broadcast(offsets), "_blk")
+            .select("doc_id",
+                    (F.col("_off") + F.col("_rn") - 1).alias("position")))

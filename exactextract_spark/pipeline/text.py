@@ -220,3 +220,38 @@ def token_histogram_oracle() -> str:
     return """SELECT token, COUNT(*) AS freq
 FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM documents)
 GROUP BY token"""
+
+
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-source sampling weight that
+    rebalances the corpus to a UNIFORM target mixture (the standard
+    pile-rebalancing step; any target vector slots into the same
+    shape).  weight = target_frac / actual_frac, computed with the
+    exact expression sequence mirrored in the oracle so both engines
+    round identically.
+
+    Scale shape (100 TB): one partial-aggregatable groupBy on source
+    plus two 1-row aggregates cross-joined back (no driver collect,
+    no window over the table)."""
+    d = _docs(spark, sf_dir)
+    per = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = d.agg(F.count("*").alias("_total"),
+                F.countDistinct("source").alias("_nsrc"))
+    return (per.crossJoin(tot)
+            .select("source", "n_docs",
+                    (F.col("n_docs") / F.col("_total")).alias("actual_frac"),
+                    (F.lit(1.0) / F.col("_nsrc")).alias("target_frac"),
+                    ((F.lit(1.0) / F.col("_nsrc"))
+                     / (F.col("n_docs") / F.col("_total"))).alias("weight")))
+
+
+def mixture_weights_oracle() -> str:
+    return """WITH per AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT COUNT(*) AS total, COUNT(DISTINCT source) AS nsrc
+        FROM documents)
+SELECT source, n_docs,
+  n_docs / CAST(total AS DOUBLE) AS actual_frac,
+  1.0 / nsrc AS target_frac,
+  (1.0 / nsrc) / (n_docs / CAST(total AS DOUBLE)) AS weight
+FROM per, tot"""

@@ -430,3 +430,19 @@ def test_contamination_check_planted(spark, tmp_path):
     assert 7 not in res.index           # eval split excluded from output
     assert bool(res.loc[1, "contaminated"]) and res.loc[1, "n_shared"] >= 1
     assert not bool(res.loc[2, "contaminated"]) and res.loc[2, "n_shared"] == 0
+
+
+def test_shuffle_documents_permutation_invariant(spark):
+    """Positions are an exact permutation of 0..N-1, identical for any
+    block count, and actually shuffled (not the identity order)."""
+    from exactextract_spark.pipeline.packing import shuffle_documents
+
+    base = shuffle_documents(spark, SF_DIR, num_partitions=8) \
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    n = len(base)
+    assert sorted(base.position) == list(range(n))
+    assert not (base.position.values == np.arange(n)).all()
+    for nparts in (1, 3):
+        alt = shuffle_documents(spark, SF_DIR, num_partitions=nparts) \
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        assert base.equals(alt), nparts
