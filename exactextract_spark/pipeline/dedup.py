@@ -36,10 +36,17 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     billions of identical boilerplate docs into one sorting task."""
     d = _docs(spark, sf_dir).select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash"))
-    canon = d.groupBy("text_hash").agg(F.min("doc_id").alias("canonical_id"))
-    return d.join(canon, "text_hash") \
+    # the grouped side's key is renamed so the self-derived join is
+    # unambiguous; null-safe because a NULL text hashes to a NULL digest,
+    # which the oracle's window keeps as its own partition — a plain
+    # equi-join would drop it
+    canon = (d.groupBy("text_hash")
+             .agg(F.min("doc_id").alias("canonical_id"))
+             .withColumnRenamed("text_hash", "_canon_hash"))
+    return (d.join(canon, F.col("text_hash").eqNullSafe(F.col("_canon_hash")))
             .select("doc_id", "text_hash", "canonical_id",
-                    (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"))
+                    (F.col("doc_id") != F.col("canonical_id"))
+                    .alias("is_duplicate")))
 
 
 def exact_dedup_oracle() -> str:

@@ -1,4 +1,8 @@
-"""Sequence packing: lay documents out contiguously into fixed-size
+"""Training-corpus layout operators built on a distributed
+prefix-sum/rank primitive: sequence packing (pack_documents) and a
+reproducible global training-order shuffle (shuffle_documents).
+
+Sequence packing lays documents out contiguously into fixed-size
 shards (the standard LLM-pretraining packing layout — documents
 concatenate in a stable order; a shard boundary may fall inside a
 document, which then straddles two shards).
@@ -37,7 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-__all__ = ["pack_documents"]
+__all__ = ["pack_documents", "shuffle_documents"]
 
 
 def pack_documents(spark: SparkSession, sf_dir: str,
@@ -54,11 +58,13 @@ def pack_documents(spark: SparkSession, sf_dir: str,
     parts = (docs.withColumn("_pid", F.expr(f"(doc_id - {lo}) div {k}"))
              .repartition(num_partitions, "_pid"))
     w = Window.partitionBy("_pid").orderBy("doc_id")
-    local = parts.withColumn(
-        "_local_end", F.sum("n_chars").over(w)).persist()
-    # one row per block: tiny, broadcast back as exclusive offsets
-    totals = (local.groupBy("_pid")
-              .agg(F.max("_local_end").alias("_ptotal")))
+    local = parts.withColumn("_local_end", F.sum("n_chars").over(w))
+    # one row per block: tiny, broadcast back as exclusive offsets.
+    # Computed straight from parts (partial-aggregatable sum), NOT from
+    # the window output — no persist needed, nothing cached for the
+    # session lifetime, and the totals branch skips the sort entirely.
+    totals = (parts.groupBy("_pid")
+              .agg(F.sum("n_chars").alias("_ptotal")))
     woff = Window.orderBy("_pid") \
                  .rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
@@ -99,8 +105,9 @@ def shuffle_documents(spark: SparkSession, sf_dir: str,
         .withColumn("_blk", F.expr(f"_blk div {k}")) \
         .repartition(num_partitions, "_blk")
     w = Window.partitionBy("_blk").orderBy("_h", "doc_id")
-    local = d.withColumn("_rn", F.row_number().over(w)).persist()
-    counts = local.groupBy("_blk").agg(F.max("_rn").alias("_cnt"))
+    local = d.withColumn("_rn", F.row_number().over(w))
+    # block sizes straight from d (no window dependency, no persist)
+    counts = d.groupBy("_blk").agg(F.count("*").alias("_cnt"))
     woff = Window.orderBy("_blk") \
                  .rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(

@@ -72,19 +72,8 @@ def stream_dedup_exact(spark: SparkSession, input_glob: str, out_path: str,
     updates = digests.groupBy("text_hash").applyInPandasWithState(
         _update_digest_state, _OUT_SCHEMA, _STATE_SCHEMA,
         "update", GroupStateTimeout.NoTimeout)
-
-    def _append(batch_df: DataFrame, batch_id: int) -> None:
-        # replay-idempotent: a crashed-and-replayed micro-batch
-        # overwrites its own partition directory instead of appending a
-        # second copy (batch_seq comes back as a partition column)
-        (batch_df.write.mode("overwrite")
-         .parquet(f"{out_path}/batch_seq={batch_id}"))
-
-    q = (updates.writeStream.outputMode("update").foreachBatch(_append)
-         .option("checkpointLocation", checkpoint_dir)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
-    return q
+    from ._stream_util import run_to_partition_dirs
+    return run_to_partition_dirs(updates, out_path, checkpoint_dir, "update")
 
 
 def dedup_state_snapshot(spark: SparkSession, docs: DataFrame,
@@ -101,7 +90,11 @@ def dedup_state_snapshot(spark: SparkSession, docs: DataFrame,
               .select("text_hash", "s.canonical_id", "s.dup_count"))
     d = docs.select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash"))
-    return (d.join(latest, "text_hash")
-            .select("doc_id", "text_hash", "canonical_id", "dup_count",
-                    (F.col("doc_id") != F.col("canonical_id"))
+    # null-safe join: a NULL text hashes to a NULL digest, which forms
+    # its own state group in the stream and its own window partition in
+    # the oracle — a plain equi-join would silently drop those rows
+    return (d.join(latest, d["text_hash"].eqNullSafe(latest["text_hash"]))
+            .select(d["doc_id"], d["text_hash"],
+                    latest["canonical_id"], latest["dup_count"],
+                    (d["doc_id"] != latest["canonical_id"])
                     .alias("is_duplicate")))

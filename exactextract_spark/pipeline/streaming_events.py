@@ -63,15 +63,8 @@ def stream_windowed_rollup(spark: SparkSession, input_glob: str,
               .agg(F.count("*").alias("n"),
                    F.sum(F.col("value").cast("decimal(12,2)")).alias("sv")))
 
-    def _append(batch_df: DataFrame, batch_id: int) -> None:
-        (batch_df.write.mode("overwrite")
-         .parquet(f"{out_path}/batch_seq={batch_id}"))
-
-    q = (rolled.writeStream.outputMode("append").foreachBatch(_append)
-         .option("checkpointLocation", checkpoint_dir)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
-    return q
+    from ._stream_util import run_to_partition_dirs
+    return run_to_partition_dirs(rolled, out_path, checkpoint_dir, "append")
 
 
 def event_sessions(spark: SparkSession, sf_dir: str,
