@@ -22,6 +22,7 @@ from exactextract_spark import io as eio
 from exactextract_spark.extract import attach_bbox, exact_extract, zone_tile_pairs
 from exactextract_spark.fixtures import SynthConfig, build_docs
 from exactextract_spark.oracles import ZONAL_ORACLES
+from exactextract_spark.pipeline import clustering as pclust
 from exactextract_spark.pipeline import dedup as pdedup
 from exactextract_spark.pipeline import multimodal as pmm
 from exactextract_spark.pipeline import similarity as psim
@@ -550,6 +551,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": pdedup.ngram_jaccard,
         "contamination_check": pdedup.contamination_check,
         "mixture_weights": ptext.mixture_weights,
+        "repetition_stats": ptext.repetition_stats,
+        "pii_scrub": ptext.pii_scrub,
+        "kmeans_assign": pclust.kmeans_assign,
+        "ann_pq": pclust.ann_pq,
         "ann_topk": psim.ann_topk,
         "ann_ivf": psim.ann_ivf,
         "ann_lsh_buckets": psim.lsh_buckets,
@@ -586,6 +591,10 @@ PIPELINE_ORACLES = {
     "dedup_ngram_jaccard": pdedup.ngram_jaccard_oracle,
     "contamination_check": pdedup.contamination_check_oracle,
     "mixture_weights": ptext.mixture_weights_oracle,
+    "repetition_stats": ptext.repetition_stats_oracle,
+    "pii_scrub": ptext.pii_scrub_oracle,
+    "kmeans_assign": pclust.kmeans_assign_oracle,
+    "ann_pq": pclust.ann_pq_oracle,
     "ann_topk": psim.ann_topk_oracle,
     "ann_ivf": psim.ann_ivf_oracle,
     "ann_lsh_buckets": psim.lsh_buckets_oracle,

@@ -255,3 +255,108 @@ SELECT source, n_docs,
   1.0 / nsrc AS target_frac,
   (1.0 / nsrc) / (n_docs / CAST(total AS DOUBLE)) AS weight
 FROM per, tot"""
+
+
+# --- repetition / boilerplate signals (Gopher-style) ----------------------
+
+_T_SPARK = "split(trim(text), '\\\\s+')"
+_T_DUCK = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate
+    token fraction, duplicate bigram fraction, and the most frequent
+    token with its coverage fraction (the "fraction of characters in
+    the most common n-gram" family of filters).
+
+    Map-only JVM higher-order functions — no shuffle at any scale; the
+    per-document cost is O(distinct_tokens x tokens), bounded by the
+    document length, not the corpus.  Ties for the top token break to
+    the lexicographically smallest (argmax set -> array_min), the same
+    rule the oracle's list_min applies."""
+    cnt = "size(filter(t, y -> y = x))"
+    return (_docs(spark, sf_dir)
+            .selectExpr("doc_id", f"{_T_SPARK} AS t")
+            .selectExpr("doc_id", "t", "size(t) AS n",
+                        "array_sort(array_distinct(t)) AS sd",
+                        "CASE WHEN size(t) >= 2 THEN transform("
+                        "  sequence(1, size(t) - 1),"
+                        "  i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                        " ELSE array() END AS bg")
+            .selectExpr("doc_id", "t", "n", "sd", "bg",
+                        f"array_max(transform(sd, x -> {cnt})) AS topc")
+            .selectExpr(
+                "doc_id",
+                "CAST(n AS INT) AS n_tokens",
+                "CAST(n - size(array_distinct(t)) AS DOUBLE) / n"
+                "  AS dup_token_frac",
+                "CASE WHEN size(bg) > 0 THEN"
+                "  CAST(size(bg) - size(array_distinct(bg)) AS DOUBLE) / size(bg)"
+                " ELSE CAST(0.0 AS DOUBLE) END AS dup_bigram_frac",
+                f"array_min(filter(sd, x -> {cnt} = topc)) AS top_token",
+                "CAST(topc AS DOUBLE) / n AS top_token_frac"))
+
+
+def repetition_stats_oracle() -> str:
+    cnt = "len(list_filter(t, y -> y = x))"
+    return f"""WITH a AS (
+  SELECT doc_id, {_T_DUCK} AS t FROM documents),
+b AS (
+  SELECT doc_id, t, len(t) AS n,
+         list_sort(list_distinct(t)) AS sd,
+         CASE WHEN len(t) >= 2 THEN
+           list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+         ELSE [] END AS bg
+  FROM a),
+c AS (
+  SELECT *, list_max(list_transform(sd, x -> {cnt})) AS topc FROM b)
+SELECT doc_id,
+  CAST(n AS INT) AS n_tokens,
+  CAST(n - len(list_distinct(t)) AS DOUBLE) / n AS dup_token_frac,
+  CASE WHEN len(bg) > 0 THEN
+    CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+  ELSE CAST(0.0 AS DOUBLE) END AS dup_bigram_frac,
+  list_min(list_filter(sd, x -> {cnt} = topc)) AS top_token,
+  CAST(topc AS DOUBLE) / n AS top_token_frac
+FROM c"""
+
+
+# --- PII scrub ------------------------------------------------------------
+
+# identical meaning in Java regex (Spark) and RE2 (DuckDB)
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+# the synthesized corpus contains no emails, so (embedding_neardup
+# precedent: testdata is read-only) deterministic PII is planted INSIDE
+# the query, identically in both engines: every doc_id = 5 (mod 31)
+# gains a trailing contact line
+_PII_MOD, _PII_RES = 31, 5
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email detection + redaction (the standard pre-training PII
+    scrub).  Map-only: regexp_count / regexp_replace are JVM
+    expressions; at 100 TB this is a pure scan-stage rewrite with no
+    shuffle."""
+    planted = (f"CASE WHEN doc_id % {_PII_MOD} = {_PII_RES} THEN"
+               " concat(text, ' contact user', CAST(doc_id AS STRING),"
+               " '@example.com now') ELSE text END")
+    return (_docs(spark, sf_dir)
+            .selectExpr("doc_id", f"{planted} AS ptext")
+            .selectExpr(
+                "doc_id",
+                f"CAST(regexp_count(ptext, '{_EMAIL_RE}') AS INT) AS n_emails",
+                f"regexp_count(ptext, '{_EMAIL_RE}') > 0 AS has_pii",
+                f"regexp_replace(ptext, '{_EMAIL_RE}', '<EMAIL>') AS redacted"))
+
+
+def pii_scrub_oracle() -> str:
+    planted = (f"CASE WHEN doc_id % {_PII_MOD} = {_PII_RES} THEN"
+               " text || ' contact user' || CAST(doc_id AS VARCHAR)"
+               " || '@example.com now' ELSE text END")
+    return f"""WITH p AS (
+  SELECT doc_id, {planted} AS ptext FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(ptext, '{_EMAIL_RE}')) AS INT) AS n_emails,
+  len(regexp_extract_all(ptext, '{_EMAIL_RE}')) > 0 AS has_pii,
+  regexp_replace(ptext, '{_EMAIL_RE}', '<EMAIL>', 'g') AS redacted
+FROM p"""

@@ -446,3 +446,102 @@ def test_shuffle_documents_permutation_invariant(spark):
         alt = shuffle_documents(spark, SF_DIR, num_partitions=nparts) \
             .toPandas().sort_values("doc_id").reset_index(drop=True)
         assert base.equals(alt), nparts
+
+
+def test_repetition_stats_planted(spark, tmp_path):
+    from exactextract_spark.pipeline.text import repetition_stats
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a a a b", "x y z w", "solo"],
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    r = repetition_stats(spark, str(tmp_path)).toPandas() \
+        .set_index("doc_id").sort_index()
+    # "a a a b": 4 tokens, 2 duplicate tokens beyond first occurrences,
+    # bigrams [a a, a a, a b] -> 1 dup of 3, top token 'a' covers 3/4
+    assert r.loc[0, "n_tokens"] == 4
+    assert r.loc[0, "dup_token_frac"] == 0.5
+    assert r.loc[0, "dup_bigram_frac"] == 1.0 / 3.0
+    assert r.loc[0, "top_token"] == "a"
+    assert r.loc[0, "top_token_frac"] == 0.75
+    # all-distinct doc: zero repetition; top-token tie breaks to the
+    # lexicographically smallest token
+    assert r.loc[1, "dup_token_frac"] == 0.0
+    assert r.loc[1, "dup_bigram_frac"] == 0.0
+    assert r.loc[1, "top_token"] == "w"
+    # single-token doc: no bigrams -> 0.0, not NULL/NaN
+    assert r.loc[2, "dup_bigram_frac"] == 0.0
+
+
+def test_pii_scrub_planted_and_native(spark, tmp_path):
+    from exactextract_spark.pipeline.text import pii_scrub, _PII_MOD, _PII_RES
+    native = "write to bob.smith+x@corp.example.org today"
+    docs = pd.DataFrame({
+        # doc 5 hits the planted residue; doc 1 carries its own email
+        "doc_id": [1, 5],
+        "text": [native, "clean text"],
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    r = pii_scrub(spark, str(tmp_path)).toPandas().set_index("doc_id")
+    assert 5 % _PII_MOD == _PII_RES
+    assert bool(r.loc[1, "has_pii"]) and r.loc[1, "n_emails"] == 1
+    assert "@" not in r.loc[1, "redacted"]
+    assert "<EMAIL>" in r.loc[1, "redacted"]
+    assert bool(r.loc[5, "has_pii"])  # planted contact line
+    assert r.loc[5, "redacted"].startswith("clean text contact ")
+    assert "user5@example.com" not in r.loc[5, "redacted"]
+
+
+def test_kmeans_assign_planted_clusters(spark, tmp_path):
+    """Two clearly-separated groups around opposite poles: iteration 2
+    must put every vector with its pole, regardless of the seed draw
+    (seeds = vec_id < K, which spans both groups here)."""
+    import numpy as np
+    from exactextract_spark.pipeline import clustering
+
+    rng = np.random.default_rng(7)
+    a = (np.array([10.0, 0, 0, 0]) + rng.normal(0, 0.1, (20, 4))).astype("float32")
+    b = (np.array([-10.0, 0, 0, 0]) + rng.normal(0, 0.1, (20, 4))).astype("float32")
+    vecs = np.vstack([a, b])
+    order = rng.permutation(40)
+    docs = pd.DataFrame({
+        "vec_id": np.arange(40, dtype="int64"),
+        "embedding": [vecs[i].tolist() for i in order],
+        "label": np.zeros(40, dtype="int32"),
+    })
+    docs.to_parquet(tmp_path / "embeddings.parquet")
+    r = clustering.kmeans_assign(spark, str(tmp_path)).toPandas()
+    truth = (vecs[order][:, 0] > 0)
+    by_cluster = pd.Series(truth).groupby(r.sort_values("vec_id")["cluster"].values)
+    # every final cluster is pure: all members from one pole
+    assert all(g.nunique() == 1 for _, g in by_cluster)
+    assert (r["sq_dist"] >= 0).all()
+
+
+def test_pq_seed_vectors_self_code(spark):
+    """Every codebook seed vector must encode to its own id in every
+    subspace (its subspace distance to itself is exactly 0)."""
+    from exactextract_spark.pipeline.clustering import _pq_encode, K_PQ, M_SUB
+    _, _, codes = _pq_encode(spark, SF_DIR)
+    r = codes.where(f"vec_id < {K_PQ}").toPandas()
+    assert len(r) == K_PQ * M_SUB
+    assert (r["code"] == r["vec_id"]).all()
+
+
+def test_ann_pq_recall_vs_exact(spark):
+    """ADC over 4 subspace codes is an approximation; sanity-bound it:
+    for each query the PQ top-5 must overlap the exact euclidean top-5
+    candidate ranking somewhere in its top-50 (loose, deterministic)."""
+    import numpy as np
+    res = entry_mod.queries()["ann_pq"](spark, SF_DIR).toPandas()
+    g = res.groupby("query_id").size()
+    assert (g == 5).all()
+    assert (res["adc_dist"] >= 0).all()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    vecs = np.stack(emb.sort_values("vec_id")["embedding"].to_numpy())
+    q0 = vecs[0]
+    d = ((vecs - q0) ** 2).sum(axis=1)
+    d[0] = np.inf
+    exact50 = set(np.argsort(d)[:50])
+    pq5 = set(res[res.query_id == 0]["neighbor_id"])
+    assert pq5 & exact50, "PQ top-5 shares nothing with exact top-50"
