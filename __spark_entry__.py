@@ -553,6 +553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": ptext.mixture_weights,
         "repetition_stats": ptext.repetition_stats,
         "pii_scrub": ptext.pii_scrub,
+        "bpe_token_count": ptext.bpe_token_count,
+        "length_percentile_filter": ptext.length_percentile_filter,
         "kmeans_assign": pclust.kmeans_assign,
         "ann_pq": pclust.ann_pq,
         "ann_topk": psim.ann_topk,
@@ -593,6 +595,8 @@ PIPELINE_ORACLES = {
     "mixture_weights": ptext.mixture_weights_oracle,
     "repetition_stats": ptext.repetition_stats_oracle,
     "pii_scrub": ptext.pii_scrub_oracle,
+    "bpe_token_count": ptext.bpe_token_count_oracle,
+    "length_percentile_filter": ptext.length_percentile_filter_oracle,
     "kmeans_assign": pclust.kmeans_assign_oracle,
     "ann_pq": pclust.ann_pq_oracle,
     "ann_topk": psim.ann_topk_oracle,

@@ -360,3 +360,101 @@ SELECT doc_id,
   len(regexp_extract_all(ptext, '{_EMAIL_RE}')) > 0 AS has_pii,
   regexp_replace(ptext, '{_EMAIL_RE}', '<EMAIL>', 'g') AS redacted
 FROM p"""
+
+
+# --- BPE-ish subword pre-tokenization count --------------------------------
+
+# GPT-2-style pre-tokenizer alternation (no lookarounds, so the pattern
+# means the same under Java regex and RE2, both leftmost-first):
+# contraction suffixes | space-prefixed letter runs | digit runs |
+# punctuation runs | whitespace runs.  SQL-escaped: '' = literal quote,
+# {ws} = \s spelled per dialect.
+_BPE_ALT = ("''s|''t|''re|''ve|''m|''ll|''d"
+            "| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9{ws}]+|{ws}+")
+_BPE_SPARK = _BPE_ALT.format(ws="\\\\s")
+_BPE_DUCK = _BPE_ALT.format(ws="\\s")
+
+
+# the synthesized corpus is space-separated lowercase words, on which
+# BPE pre-tokenization degenerates to the whitespace split — so
+# (planted-corpus precedent) every doc_id = 11 (mod 29) gains a suffix
+# with contractions, digits, and punctuation runs, which the regex must
+# segment into more pieces than the whitespace split sees
+_BPE_MOD, _BPE_RES = 29, 11
+_BPE_SUFFIX = " it''s 2024, state-of-the-art (v2.0)!"
+
+
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenizer token counting: whitespace tokens vs the BPE-style
+    pre-tokenization the real tokenizers segment on, plus the
+    chars-per-token compression proxy.  Map-only regexp_extract_all —
+    a pure scan-stage expression at any scale."""
+    planted = (f"CASE WHEN doc_id % {_BPE_MOD} = {_BPE_RES} THEN"
+               f" concat(text, '{_BPE_SUFFIX}') ELSE text END")
+    return (_docs(spark, sf_dir)
+            .selectExpr("doc_id", f"{planted} AS ptext")
+            .selectExpr(
+                "doc_id",
+                "size(split(trim(ptext), '\\\\s+')) AS ws_tokens",
+                f"size(regexp_extract_all(ptext, '{_BPE_SPARK}', 0)) AS bpe_tokens",
+                "CAST(length(ptext) AS DOUBLE)"
+                f" / size(regexp_extract_all(ptext, '{_BPE_SPARK}', 0))"
+                " AS chars_per_token"))
+
+
+def bpe_token_count_oracle() -> str:
+    return f"""WITH p AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % {_BPE_MOD} = {_BPE_RES}
+      THEN text || '{_BPE_SUFFIX}' ELSE text END AS ptext
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_split_to_array(trim(ptext), '\\s+')) AS INT) AS ws_tokens,
+  CAST(len(regexp_extract_all(ptext, '{_BPE_DUCK}')) AS INT) AS bpe_tokens,
+  CAST(length(ptext) AS DOUBLE)
+    / len(regexp_extract_all(ptext, '{_BPE_DUCK}')) AS chars_per_token
+FROM p"""
+
+
+# --- global-percentile length filter ---------------------------------------
+
+_PCT_NUM, _PCT_DEN = 1, 4  # P25, exact percentile_disc semantics
+
+
+def length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality gate: drop documents below the exact
+    25th percentile of n_chars.  The global percentile is computed the
+    scale-safe way — NOT a global sort: groupBy(n_chars) compresses the
+    table to its value histogram (distinct lengths, bounded variety),
+    the cumulative rank runs over that compact histogram, and the
+    threshold joins back as a broadcast 1-row table.  Pure integer
+    arithmetic end to end — trivially bit-exact."""
+    from pyspark.sql import Window
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    h = d.groupBy("n_chars").agg(F.count("*").alias("cnt"))
+    # the window runs on the compact histogram, not the corpus
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.withColumn("cum", F.sum("cnt").over(w))
+    tot = h.agg(F.sum("cnt").alias("n"))
+    # percentile_disc(1/4): smallest value whose cumulative count
+    # reaches ceil(n/4)
+    thr = (cum.crossJoin(tot)
+           .where(F.col("cum") >=
+                  F.ceil(F.col("n") * _PCT_NUM / F.lit(float(_PCT_DEN))))
+           .agg(F.min("n_chars").alias("p25")))
+    return (d.crossJoin(F.broadcast(thr))
+            .select("doc_id", "n_chars", "p25",
+                    (F.col("n_chars") >= F.col("p25")).alias("keep")))
+
+
+def length_percentile_filter_oracle() -> str:
+    return f"""WITH h AS (
+  SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY n_chars),
+cum AS (
+  SELECT n_chars, SUM(cnt) OVER (ORDER BY n_chars) AS cum FROM h),
+tot AS (SELECT SUM(cnt) AS n FROM h),
+thr AS (
+  SELECT MIN(n_chars) AS p25 FROM cum, tot
+  WHERE cum >= CEIL(n * {_PCT_NUM} / {_PCT_DEN}.0))
+SELECT d.doc_id, d.n_chars, thr.p25, d.n_chars >= thr.p25 AS keep
+FROM documents d, thr"""

@@ -545,3 +545,39 @@ def test_ann_pq_recall_vs_exact(spark):
     exact50 = set(np.argsort(d)[:50])
     pq5 = set(res[res.query_id == 0]["neighbor_id"])
     assert pq5 & exact50, "PQ top-5 shares nothing with exact top-50"
+
+
+def test_bpe_token_count_segmentation(spark, tmp_path):
+    """Contractions, digit runs, and punctuation runs must each become
+    their own piece; plain space-separated words must match the
+    whitespace count exactly."""
+    from exactextract_spark.pipeline.text import bpe_token_count, _BPE_MOD, _BPE_RES
+    docs = pd.DataFrame({
+        # avoid the planted residue so the raw text is what's counted
+        "doc_id": [0, 1],
+        "text": ["plain words only here",
+                 "it's 90s-era v2.0 (beta)!"],
+    })
+    assert all(i % _BPE_MOD != _BPE_RES for i in docs.doc_id)
+    docs.to_parquet(tmp_path / "documents.parquet")
+    r = bpe_token_count(spark, str(tmp_path)).toPandas().set_index("doc_id")
+    assert r.loc[0, "bpe_tokens"] == r.loc[0, "ws_tokens"] == 4
+    # it|'s| 90|s|-|era| v|2|.|0| (|beta|)! -> 13 pieces vs 4 ws tokens
+    assert r.loc[1, "ws_tokens"] == 4
+    assert r.loc[1, "bpe_tokens"] == 13
+
+
+def test_length_percentile_filter_exact_threshold(spark, tmp_path):
+    """percentile_disc(0.25) semantics: with n=8 docs the threshold is
+    the 2nd-smallest length; exactly the shortest quarter is dropped."""
+    from exactextract_spark.pipeline.text import length_percentile_filter
+    lengths = [10, 20, 30, 40, 50, 60, 70, 80]
+    docs = pd.DataFrame({
+        "doc_id": range(8),
+        "n_chars": lengths,
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    r = length_percentile_filter(spark, str(tmp_path)).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (r["p25"] == 20).all()
+    assert list(r["keep"]) == [False, True, True, True, True, True, True, True]
