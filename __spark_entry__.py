@@ -386,6 +386,65 @@ WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= m - INTERVAL 2 DAY
 GROUP BY 1, 2"""
 
 
+def _streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization: the events table streams as
+    three files (same split + held-back late subset as the rollup), so
+    sessions spanning a file boundary must merge their state across
+    micro-batches before the watermark finalizes them.  Append-mode
+    output = sessions whose end (last event + gap) precedes
+    (max ts − delay); the oracle is the batch gaps-and-islands SQL with
+    exactly that HAVING clause — the gate checks streaming session
+    state-merge + finalization, not just the arithmetic."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from exactextract_spark.pipeline._stream_util import stagger_mtimes
+    from exactextract_spark.pipeline.streaming_events import (
+        sessions_snapshot, stream_sessions)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    late = ((F.col("ts") >= F.lit("2024-01-09"))
+            & (F.col("ts") < F.lit("2024-01-11"))
+            & (F.crc32(F.col("event_id").cast("string").cast("binary"))
+               % 4 == 0))
+    splits = [
+        ev.where((F.col("ts") < F.lit("2024-01-11")) & ~late),
+        ev.where(((F.col("ts") >= F.lit("2024-01-11"))
+                  & (F.col("ts") < F.lit("2024-01-21"))) | late),
+        ev.where(F.col("ts") >= F.lit("2024-01-21")),
+    ]
+    base = tempfile.mkdtemp(prefix="ee_ssess_")
+    indir = os.path.join(base, "in")
+    for k, df in enumerate(splits):
+        p = os.path.join(indir, f"f{k}.parquet")
+        df.coalesce(1).write.parquet(p)
+        stagger_mtimes(p, float(k))
+    stream_sessions(spark, indir + "/*", os.path.join(base, "out"),
+                    os.path.join(base, "ck"))
+    return sessions_snapshot(spark, os.path.join(base, "out"))
+
+
+def _streaming_sessions_oracle() -> str:
+    return """WITH mx AS (SELECT max(ts) AS m FROM events),
+o AS (
+  SELECT user_id, ts, value,
+    CASE WHEN LAG(ts) OVER w IS NULL
+         OR ts - LAG(ts) OVER w > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM s, mx GROUP BY user_id, sid, m
+HAVING MAX(ts) + INTERVAL 2 HOUR <= m - INTERVAL 2 DAY"""
+
+
 def _pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exactextract_spark.pipeline.packing import pack_documents
     return pack_documents(spark, sf_dir)
@@ -525,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_weighted_snapshot": _streaming_weighted_snapshot,
         "streaming_dedup": _streaming_dedup,
         "streaming_event_rollup": _streaming_event_rollup,
+        "streaming_sessions": _streaming_sessions,
         "event_sessions": _event_sessions,
         "pack_documents": _pack_documents,
         "shuffle_documents": _shuffle_documents,
@@ -579,6 +639,7 @@ PIPELINE_ORACLES = {
     "dedup_exact": pdedup.exact_dedup_oracle,
     "streaming_dedup": _streaming_dedup_oracle,
     "streaming_event_rollup": _streaming_event_rollup_oracle,
+    "streaming_sessions": _streaming_sessions_oracle,
     "event_sessions": _event_sessions_oracle,
     "pack_documents": _pack_documents_oracle,
     "shuffle_documents": _shuffle_documents_oracle,

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 __all__ = ["EVENTS_SCHEMA", "stream_windowed_rollup", "rollup_snapshot",
-           "event_sessions"]
+           "event_sessions", "stream_sessions", "sessions_snapshot"]
 
 # events.parquet shape (TESTDATA.md)
 EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
@@ -103,4 +103,40 @@ def rollup_snapshot(spark: SparkSession, out_path: str) -> DataFrame:
     return (spark.read.parquet(out_path)
             .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"),
                     "event_type", "n",
+                    F.col("sv").cast("double").alias("sum_value")))
+
+
+def stream_sessions(spark: SparkSession, input_glob: str, out_path: str,
+                    checkpoint_dir: str, gap: str = "2 hours",
+                    delay: str = "2 days", max_files_per_trigger: int = 1):
+    """Streaming sessionization — the batch ``event_sessions``
+    expression run as a stateful stream: ``session_window`` state per
+    (user, open session) merges across micro-batches as new events
+    extend a session; the watermark finalizes a session once it passes
+    the session's end (last event + gap), at which point it is emitted
+    exactly once (append mode) and its state evicted.
+
+    Scale shape (100 TB): state is O(open sessions), bounded by the
+    watermark delay × active users, not the stream length; one keyed
+    exchange on (session_window, user_id) with partial merge map-side."""
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(input_glob))
+    sess = (stream
+            .withWatermark("ts", delay)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(12,2)")).alias("sv")))
+    from ._stream_util import run_to_partition_dirs
+    return run_to_partition_dirs(sess, out_path, checkpoint_dir, "append")
+
+
+def sessions_snapshot(spark: SparkSession, out_path: str) -> DataFrame:
+    """Finalized sessions (append mode — each emitted exactly once),
+    rendered in the batch event_sessions shape."""
+    return (spark.read.parquet(out_path)
+            .select("user_id",
+                    F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                     .alias("session_start"),
+                    "n_events",
                     F.col("sv").cast("double").alias("sum_value")))

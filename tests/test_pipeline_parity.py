@@ -581,3 +581,40 @@ def test_length_percentile_filter_exact_threshold(spark, tmp_path):
         .sort_values("doc_id").reset_index(drop=True)
     assert (r["p25"] == 20).all()
     assert list(r["keep"]) == [False, True, True, True, True, True, True, True]
+
+
+def test_stream_sessions_cross_batch_merge(spark, tmp_path):
+    """A session whose events straddle two micro-batches must come out
+    as ONE merged session; a still-open session must not be emitted."""
+    import numpy as np
+    from exactextract_spark.pipeline._stream_util import stagger_mtimes
+    from exactextract_spark.pipeline.streaming_events import (
+        sessions_snapshot, stream_sessions)
+
+    def ev(eid, ts, uid):
+        return {"event_id": eid, "ts": pd.Timestamp(ts), "user_id": uid,
+                "event_type": "click", "value": 1.0, "props": ""}
+
+    f1 = pd.DataFrame([ev(1, "2024-01-01 00:00", 1),
+                       ev(2, "2024-01-01 01:00", 1)])
+    # event 3 extends user 1's open session from the NEXT batch
+    # (1h after the last event, within the 2h gap); event 4 pushes the
+    # watermark far enough to finalize it, while its own session stays
+    # open and must NOT be emitted
+    f2 = pd.DataFrame([ev(3, "2024-01-01 02:00", 1),
+                       ev(4, "2024-02-01 00:00", 2)])
+    indir = tmp_path / "in"
+    for k, f in enumerate([f1, f2]):
+        p = indir / f"f{k}"
+        p.mkdir(parents=True)
+        f.assign(ts=f["ts"].astype("datetime64[us]")) \
+            .to_parquet(p / "part.parquet")
+        stagger_mtimes(str(p), float(k))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream_sessions(spark, str(indir) + "/*", str(tmp_path / "out"),
+                    str(tmp_path / "ck"), gap="2 hours", delay="1 hour")
+    r = sessions_snapshot(spark, str(tmp_path / "out")).toPandas()
+    assert len(r) == 1
+    assert r.iloc[0]["user_id"] == 1
+    assert r.iloc[0]["n_events"] == 3  # merged across the batch boundary
+    assert r.iloc[0]["session_start"].startswith("2024-01-01 00:00:00")
