@@ -141,6 +141,33 @@ def main():
             "there is NO global-order window over the table.",
             plan_of(pk)))
 
+    pq_emb = "/root/testdata/sf0.01/embeddings.parquet"
+    if Path(pq_emb).exists():
+        from exactextract_spark.pipeline.clustering import ann_pq, kmeans_assign
+        km = kmeans_assign(spark, "/root/testdata/sf0.01")
+        sections.append((
+            "kmeans_assign — distributed Lloyd iteration",
+            "Per iteration: the K-row centroid table joins via "
+            "BroadcastNestedLoopJoin (tiny build side, no shuffle of the "
+            "data), the argmin folds through partial+final SortAggregate "
+            "on vec_id (min over a struct is sort-based, still map-side "
+            "combined — the exchange carries one compact row per vector, "
+            "not K), and the centroid update exchanges (cid, pos) keyed "
+            "partial sums.  No global sort, no driver-side vectors.",
+            plan_of(km)))
+        pqr = ann_pq(spark, "/root/testdata/sf0.01")
+        sections.append((
+            "ann_pq — PQ encode + ADC search",
+            "Encode: codebook is a BroadcastHashJoin build side; "
+            "per-subspace argmin is partial+final HashAggregate on "
+            "(vec_id, m).  Search: the per-query distance LUT joins the "
+            "codes table as a broadcast build (the scan side never "
+            "touches the original floats), ADC sums partial-aggregate "
+            "before the (query, neighbor) exchange, and the top-k is "
+            "two-phase (salted local Window, then a final Window over "
+            "<= k*salts rows per query) — no task ranks the full corpus.",
+            plan_of(pqr)))
+
     # parquet scan pushdown check
     pq = "/root/testdata/sf0.01/documents.parquet"
     if Path(pq).exists():
