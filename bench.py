@@ -176,6 +176,70 @@ def scale_point_poly(spark, cfg, tiles, grid):
             "polygons_per_sec": round(40000 / best, 1)}
 
 
+def pipeline_point_minhash(spark):
+    """Full MinHash near-dup pipeline (shingle -> 16-perm signature ->
+    banded LSH join -> exact-Jaccard verify) over 1M synthetic 30-token
+    documents with ~2% planted duplicates (id = 1 mod 50 reuses its
+    predecessor's token seed) - the canonical 100 TB dedup shape,
+    measured end to end in docs/s."""
+    import shutil
+    import tempfile
+
+    from exactextract_spark.pipeline.dedup import minhash_verified_pairs
+
+    n = 1_000_000
+    base = tempfile.mkdtemp(prefix="ee_bench_mh_")
+    seed = "CASE WHEN id % 50 = 1 THEN id - 1 ELSE id END"
+    # token codes in the engine hash the first two characters + length
+    # (text.TOKCODE) — vary the leading characters like natural words
+    # or every token collides into a handful of codes and the LSH
+    # buckets go hot (first-cut lesson: 'tokN' tokens made 40% of docs
+    # share a band key)
+    # non-affine per-(seed, i) code (murmur3): affine sequences make
+    # aligned seed pairs share whole token RUNS -> quadratic candidates
+    code = f"pmod(hash(CAST({seed} AS INT), i), 50021)"
+    tok = (f"concat(char(97 + {code} % 26), char(97 + ({code} div 26) % 26),"
+           f" 'w', CAST({code} AS STRING))")
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        f"concat_ws(' ', transform(sequence(0, 29), i -> {tok})) AS text",
+        "'en' AS lang", "'synth' AS source") \
+        .selectExpr("doc_id", "text", "lang", "source",
+                    "length(text) AS n_chars")
+    docs.write.mode("overwrite").parquet(base + "/documents.parquet")
+    t0 = time.time()
+    minhash_verified_pairs(spark, base) \
+        .write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    shutil.rmtree(base, ignore_errors=True)
+    return {"docs": n, "sec": round(dt, 3),
+            "docs_per_sec": round(n / dt, 1)}
+
+
+def pipeline_point_pack(spark):
+    """Distributed prefix-sum sequence packing over 10M rows - one
+    full-table exchange + per-block windows (pieces/s precedent:
+    measures the layout primitive, not the text)."""
+    import shutil
+    import tempfile
+
+    from exactextract_spark.pipeline.packing import pack_documents
+
+    n = 10_000_000
+    base = tempfile.mkdtemp(prefix="ee_bench_pk_")
+    spark.range(n).selectExpr(
+        "id AS doc_id", "CAST(100 + id % 900 AS BIGINT) AS n_chars",
+        "'' AS text", "'en' AS lang", "'synth' AS source") \
+        .write.mode("overwrite").parquet(base + "/documents.parquet")
+    t0 = time.time()
+    pack_documents(spark, base) \
+        .write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    shutil.rmtree(base, ignore_errors=True)
+    return {"docs": n, "sec": round(dt, 3),
+            "docs_per_sec": round(n / dt, 1)}
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -274,6 +338,14 @@ def main():
             tiles.unpersist()
             scale_points["rect_1e9"] = scale_point_rect(spark)
 
+        # --- training-pipeline scale points (synthetic inputs; sf-
+        # independent; reported under their own key so the headline
+        # suite wall stays comparable round over round) ---
+        pipeline_points = {}
+        if os.environ.get("SPARK_GRAFT_BENCH_PIPELINE", "1") == "1":
+            pipeline_points["minhash_1m"] = pipeline_point_minhash(spark)
+            pipeline_points["pack_10m"] = pipeline_point_pack(spark)
+
         total = round(sum(timings.values()), 3)
         try:
             load = tuple(round(v, 2) for v in os.getloadavg())
@@ -294,6 +366,7 @@ def main():
             "polygons_per_sec": round(n_zones / timings["q_basic"], 2),
             "pixels_per_sec": round(px / timings["q_basic"], 1),
             "scale_points": scale_points,
+            "pipeline_points": pipeline_points,
         }
         print(json.dumps(out))
     finally:

@@ -108,20 +108,42 @@ FROM (SELECT doc_id, {mh}
             FROM (SELECT doc_id, {_TC_ARR_DUCK} AS tc FROM documents)))"""
 
 
-def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: docs sharing any band key.  At scale each
-    band is an equi-join on its key (shuffle by band value)."""
+def minhash_band_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature in long form: one (doc_id, band_idx, bk) row per band,
+    persisted.  Two reasons this exact shape matters at scale:
+
+    - ONE equi-self-join on (band_idx, bk) replaces N_BANDS separate
+      joins, so the candidate search is a single shuffle.
+    - The band keys must NOT be computed expressions at the join: join
+      planning adds isnotnull(key) filters and predicate pushdown
+      substitutes alias chains into them, inlining the whole
+      tokenize→shingle→minhash tree below the projections — and because
+      element_at(tc, i) re-evaluates the substituted tokenize transform
+      per element access, each input row pays the signature cost
+      hundreds of times (measured 80-130x wall on the old per-band
+      join shape at 20k docs; higher-order functions are
+      CodegenFallback, so nothing saves it at codegen time).  Behind
+      posexplode the keys are generator outputs — pushdown stops at the
+      Generate — and the persist makes the signature a materialized
+      table (which is also how a 100 TB pipeline would stage it)."""
     sig = minhash_signature(spark, sf_dir)
-    parts = []
-    for b in range(N_BANDS):
-        l = sig.select(F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bk"))
-        r = sig.select(F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bk"))
-        parts.append(l.join(r, "bk").where(F.col("doc_a") < F.col("doc_b"))
-                      .select("doc_a", "doc_b"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+    return sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)]))
+         .alias("band_idx", "bk")).persist()
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band key — one shuffle
+    equi-join on (band_idx, band_key) over the long signature table
+    (see minhash_band_long for why not per-band joins on computed
+    keys)."""
+    long = minhash_band_long(spark, sf_dir)
+    l = long.select(F.col("doc_id").alias("doc_a"), "band_idx", "bk")
+    r = long.select(F.col("doc_id").alias("doc_b"), "band_idx", "bk")
+    return (l.join(r, ["band_idx", "bk"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
 
 
 def minhash_pairs_oracle() -> str:
@@ -163,8 +185,11 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-joins) verified with EXACT shingle Jaccard, keeping pairs
     >= 0.5.  At 100 TB the candidate set is tiny relative to all-pairs,
     and verification is one join back to the shingle table."""
+    # persisted: referenced by both sides of the verify join, and the
+    # shingle expressions are interpreted HOFs worth evaluating once
     sh = _docs(spark, sf_dir).selectExpr("doc_id", f"{_TC_ARR_SPARK} AS tc") \
-        .selectExpr("doc_id", f"array_distinct({_SHINGLES_SPARK}) AS sh")
+        .selectExpr("doc_id", f"array_distinct({_SHINGLES_SPARK}) AS sh") \
+        .persist()
     cand = minhash_pairs(spark, sf_dir)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -344,8 +369,13 @@ def contamination_check(spark: SparkSession, sf_dir: str,
     table (eval splits are orders of magnitude smaller than train), so
     the search is a shingle-key equi-join + per-doc count — never
     doc × doc, and AQE broadcasts the eval side when it fits."""
+    # persisted: ev and tr both consume it, and InferFiltersFromGenerate
+    # would otherwise inline the shingle tree into a size(sh) > 0 filter
+    # below each explode (re-evaluating it per row; BENCH/audit_filters.py
+    # flags exactly this)
     d = _docs(spark, sf_dir).selectExpr("doc_id", f"{_TC_ARR_SPARK} AS tc") \
-        .selectExpr("doc_id", f"array_distinct({_SHINGLES_SPARK}) AS sh")
+        .selectExpr("doc_id", f"array_distinct({_SHINGLES_SPARK}) AS sh") \
+        .persist()
     is_eval = (F.col("doc_id") % eval_mod) == eval_rem
     ev = d.where(is_eval).select(F.explode("sh").alias("s")).distinct()
     tr = d.where(~is_eval)

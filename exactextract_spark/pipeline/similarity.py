@@ -328,16 +328,25 @@ def neardup_candidates(spark: SparkSession, sf_dir: str,
         "vec_id",
         *[f"CAST({_band_bucket_spark('embedding', b)} AS INT) AS band{b}"
           for b in range(NEARDUP_BANDS)])
-    cand = None
-    for b in range(NEARDUP_BANDS):
-        a = bands.select(F.col("vec_id").alias("vec_a"),
-                         F.col(f"band{b}").alias("bucket"))
-        c = bands.select(F.col("vec_id").alias("vec_b"),
-                         F.col(f"band{b}").alias("bucket"))
-        j = (a.join(c, "bucket").where(F.col("vec_a") < F.col("vec_b"))
-             .select("vec_a", "vec_b"))
-        cand = j if cand is None else cand.unionByName(j)
-    return cand.distinct()
+    # Long form + persist, one self-join on (band_idx, bucket) — NOT a
+    # join per band on the computed bucket columns: join planning adds
+    # isnotnull(key) filters, and predicate pushdown substitutes the
+    # full hyperplane-projection tree (interpreted HOFs) into them
+    # below the projection, re-evaluating the 8-plane signature per row
+    # on both sides of every band join (see dedup.minhash_band_long —
+    # same pathology, measured 80-130x on the MinHash shape).  Behind
+    # posexplode the keys are generator outputs, so pushdown stops at
+    # the Generate, and the persist stages the signature table once.
+    long = bands.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"band{b}")
+                               for b in range(NEARDUP_BANDS)]))
+         .alias("band_idx", "bucket")).persist()
+    a = long.select(F.col("vec_id").alias("vec_a"), "band_idx", "bucket")
+    c = long.select(F.col("vec_id").alias("vec_b"), "band_idx", "bucket")
+    return (a.join(c, ["band_idx", "bucket"])
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b").distinct())
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
