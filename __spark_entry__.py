@@ -608,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": ptext.sample_stratified,
         "tfidf_top_terms": ptext.tfidf_top_terms,
         "dedup_simhash": pdedup.simhash,
+        "dedup_simhash_pairs": pdedup.simhash_pairs,
         "dedup_ngram_jaccard": pdedup.ngram_jaccard,
         "contamination_check": pdedup.contamination_check,
         "mixture_weights": ptext.mixture_weights,
@@ -651,6 +652,7 @@ PIPELINE_ORACLES = {
     "sample_stratified": ptext.sample_stratified_oracle,
     "tfidf_top_terms": ptext.tfidf_top_terms_oracle,
     "dedup_simhash": pdedup.simhash_oracle,
+    "dedup_simhash_pairs": pdedup.simhash_pairs_oracle,
     "dedup_ngram_jaccard": pdedup.ngram_jaccard_oracle,
     "contamination_check": pdedup.contamination_check_oracle,
     "mixture_weights": ptext.mixture_weights_oracle,

@@ -180,6 +180,79 @@ def simhash_oracle() -> str:
 FROM documents"""
 
 
+# --- Hamming-banded SimHash pairs (crawl-dedup shape) ---------------------
+# 60-bit fingerprint: bit-majority over two 30-bit multiplicative hashes
+# of the token codes (odd multipliers are bijections mod 2^30; products
+# stay < 2^49, exact BIGINT arithmetic in both engines).  4 bands x 15
+# bits: by pigeonhole, Hamming distance <= 3 implies at least one exact
+# band match, so the banded equi-join has full recall at the threshold,
+# and 2^15 buckets per band keep the self-join scale-safe (vs joining
+# on a 4-bit slice of the 16-bit simhash above, where every band has
+# only 16 buckets and the join goes quadratic).
+SIM60_BANDS = 4
+SIM60_BAND_BITS = 15
+SIM60_HAMMING_MAX = 3
+
+_SIM60_HALF = ("CASE WHEN b < 30 THEN ({c} * 2654435761) % 1073741824"
+               " ELSE ({c} * 2246822519 + 3266489917) % 1073741824 END")
+_SIM60_BIT = "CASE WHEN b < 30 THEN b ELSE b - 30 END"
+
+_SIM60_SPARK = (
+    "aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) -> acc + "
+    " CASE WHEN aggregate(tc, CAST(0 AS BIGINT), (a, c) -> a + "
+    f"  CASE WHEN (({_SIM60_HALF.format(c='c')}) >> ({_SIM60_BIT})) % 2 = 1"
+    "   THEN 1 ELSE -1 END) > 0"
+    "  THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)")
+
+_SIM60_DUCK = (
+    "CAST(list_sum(list_transform(range(0, 60), b ->"
+    " CASE WHEN list_sum(list_transform(tc, c ->"
+    f"  CASE WHEN (({_SIM60_HALF.format(c='c')}) >> ({_SIM60_BIT})) % 2 = 1"
+    "   THEN 1 ELSE -1 END)) > 0"
+    "  THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)")
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= 3 — banded
+    LSH candidates (one equi-join on the long (band_idx, bucket) table,
+    see minhash_band_long for why not per-band joins on computed keys)
+    verified with the exact popcount of the fingerprint XOR."""
+    s = _docs(spark, sf_dir) \
+        .selectExpr("doc_id", f"{_TC_ARR_SPARK} AS tc") \
+        .selectExpr("doc_id", f"{_SIM60_SPARK} AS sim")
+    bucket = [F.expr(f"(sim >> {SIM60_BAND_BITS * b}) % {1 << SIM60_BAND_BITS}")
+              for b in range(SIM60_BANDS)]
+    long = s.select("doc_id", "sim",
+                    F.posexplode(F.array(*bucket)).alias("band_idx", "bk")) \
+        .persist()
+    a = long.select(F.col("doc_id").alias("doc_a"),
+                    F.col("sim").alias("sim_a"), "band_idx", "bk")
+    c = long.select(F.col("doc_id").alias("doc_b"),
+                    F.col("sim").alias("sim_b"), "band_idx", "bk")
+    return (a.join(c, ["band_idx", "bk"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+            .selectExpr("doc_a", "doc_b",
+                        "CAST(bit_count(sim_a ^ sim_b) AS INT) AS hamming")
+            .where(f"hamming <= {SIM60_HAMMING_MAX}"))
+
+
+def simhash_pairs_oracle() -> str:
+    band_joins = " UNION ".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sim AS sim_a,"
+        f" b.sim AS sim_b FROM s a JOIN s b"
+        f" ON (a.sim >> {SIM60_BAND_BITS * b}) % {1 << SIM60_BAND_BITS}"
+        f"  = (b.sim >> {SIM60_BAND_BITS * b}) % {1 << SIM60_BAND_BITS}"
+        f" AND a.doc_id < b.doc_id"
+        for b in range(SIM60_BANDS))
+    return f"""WITH s AS (
+  SELECT doc_id, {_SIM60_DUCK} AS sim
+  FROM (SELECT doc_id, {_TC_ARR_DUCK} AS tc FROM documents)),
+cand AS ({band_joins})
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {SIM60_HAMMING_MAX}"""
+
+
 def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production near-dup path: LSH candidate pairs (band-key
     equi-joins) verified with EXACT shingle Jaccard, keeping pairs
