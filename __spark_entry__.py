@@ -609,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": ptext.tfidf_top_terms,
         "dedup_simhash": pdedup.simhash,
         "dedup_simhash_pairs": pdedup.simhash_pairs,
+        "chunk_documents": ptext.chunk_documents,
         "dedup_ngram_jaccard": pdedup.ngram_jaccard,
         "contamination_check": pdedup.contamination_check,
         "mixture_weights": ptext.mixture_weights,
@@ -653,6 +654,7 @@ PIPELINE_ORACLES = {
     "tfidf_top_terms": ptext.tfidf_top_terms_oracle,
     "dedup_simhash": pdedup.simhash_oracle,
     "dedup_simhash_pairs": pdedup.simhash_pairs_oracle,
+    "chunk_documents": ptext.chunk_documents_oracle,
     "dedup_ngram_jaccard": pdedup.ngram_jaccard_oracle,
     "contamination_check": pdedup.contamination_check_oracle,
     "mixture_weights": ptext.mixture_weights_oracle,

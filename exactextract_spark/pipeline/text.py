@@ -458,3 +458,58 @@ thr AS (
   WHERE cum >= CEIL(n * {_PCT_NUM} / {_PCT_DEN}.0))
 SELECT d.doc_id, d.n_chars, thr.p25, d.n_chars >= thr.p25 AS keep
 FROM documents d, thr"""
+
+
+# --- context-window chunking ----------------------------------------------
+# The pre-training window slicer: each document becomes overlapping
+# token windows of CHUNK_WINDOW tokens with CHUNK_OVERLAP carried over
+# (stride = W - O).  Scale shape: map-only — tokenize once, derive the
+# chunk starts with a sequence(), posexplode, slice the token array.
+# No shuffle at all; at 100 TB this is pure scan-side work.
+CHUNK_WINDOW = 32
+CHUNK_OVERLAP = 8
+CHUNK_STRIDE = CHUNK_WINDOW - CHUNK_OVERLAP
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str,
+                    window: int = CHUNK_WINDOW,
+                    stride: int = CHUNK_STRIDE) -> DataFrame:
+    """Overlapping token windows per document: chunk i covers tokens
+    [i*stride, i*stride + window); the last chunk is the first one
+    whose end reaches the document end (every token is covered exactly
+    once by construction of n_chunks = 1 + ceil(max(0, n-W)/S))."""
+    toks = "split(trim(text), '\\\\s+')"
+    return (
+        _docs(spark, sf_dir)
+        .selectExpr("doc_id", f"{toks} AS toks")
+        .selectExpr(
+            "doc_id", "toks", "size(toks) AS n_tok",
+            f"1 + (greatest(0, size(toks) - {window}) + {stride} - 1)"
+            f" div {stride} AS n_chunks")
+        .select("doc_id", "toks", "n_tok",
+                F.posexplode(F.expr("sequence(0, n_chunks - 1)"))
+                 .alias("chunk_id", "_c"))
+        .selectExpr(
+            "doc_id", "CAST(chunk_id AS INT) AS chunk_id",
+            f"CAST(chunk_id * {stride} AS INT) AS tok_start",
+            f"CAST(least(n_tok, chunk_id * {stride} + {window}) AS INT) AS tok_end",
+            f"array_join(slice(toks, chunk_id * {stride} + 1,"
+            f" least(n_tok, chunk_id * {stride} + {window})"
+            f" - chunk_id * {stride}), ' ') AS chunk_text"))
+
+
+def chunk_documents_oracle() -> str:
+    w, s = CHUNK_WINDOW, CHUNK_STRIDE
+    return f"""WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents),
+n AS (
+  SELECT doc_id, toks, len(toks) AS n_tok,
+         1 + (greatest(0, len(toks) - {w}) + {s} - 1) // {s} AS n_chunks
+  FROM d)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(chunk_id * {s} AS INT) AS tok_start,
+       CAST(least(n_tok, chunk_id * {s} + {w}) AS INT) AS tok_end,
+       array_to_string(toks[chunk_id * {s} + 1 : least(n_tok, chunk_id * {s} + {w})],
+                       ' ') AS chunk_text
+FROM n, LATERAL (SELECT unnest(range(0, n_chunks)) AS chunk_id)"""

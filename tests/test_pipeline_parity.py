@@ -618,3 +618,39 @@ def test_stream_sessions_cross_batch_merge(spark, tmp_path):
     assert r.iloc[0]["user_id"] == 1
     assert r.iloc[0]["n_events"] == 3  # merged across the batch boundary
     assert r.iloc[0]["session_start"].startswith("2024-01-01 00:00:00")
+
+
+def test_chunk_documents_covers_every_token(spark, tmp_path):
+    from exactextract_spark.pipeline.text import (
+        CHUNK_OVERLAP, CHUNK_STRIDE, CHUNK_WINDOW, chunk_documents)
+    base = str(tmp_path)
+    rows = [(0, " ".join(f"t{i}" for i in range(99))),   # 4 chunks
+            (1, " ".join(f"t{i}" for i in range(32))),   # exactly one window
+            (2, " ".join(f"t{i}" for i in range(33))),   # one token over
+            (3, "solo"),                                  # short doc
+            (4, "")]                                      # empty text
+    spark.createDataFrame(rows, ["doc_id", "text"]) \
+        .write.mode("overwrite").parquet(base + "/documents.parquet")
+    out = chunk_documents(spark, base).orderBy("doc_id", "chunk_id").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # every consecutive pair overlaps by exactly CHUNK_OVERLAP (except a
+    # shortened last chunk), chunks start at stride multiples, and the
+    # last chunk ends at the token count
+    for doc_id, text in rows:
+        n_tok = len(text.split()) if text.strip() else 1  # '' -> ['']
+        chunks = by_doc[doc_id]
+        assert chunks[0].tok_start == 0
+        assert chunks[-1].tok_end == n_tok
+        for i, c in enumerate(chunks):
+            assert c.tok_start == i * CHUNK_STRIDE
+            assert c.tok_end <= c.tok_start + CHUNK_WINDOW
+            assert len(c.chunk_text.split()) == c.tok_end - c.tok_start \
+                or text == ""
+        # no chunk starts at/after the end (no empty windows)
+        assert all(c.tok_start < n_tok for c in chunks)
+    assert len(by_doc[0]) == 4 and len(by_doc[1]) == 1
+    assert len(by_doc[2]) == 2 and len(by_doc[3]) == 1
+    # token 32 of doc 2 is covered by chunk 1 ([24, 33))
+    assert by_doc[2][1].tok_start == 24 and by_doc[2][1].tok_end == 33
