@@ -610,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": pdedup.simhash,
         "dedup_simhash_pairs": pdedup.simhash_pairs,
         "chunk_documents": ptext.chunk_documents,
+        "bigram_coverage": ptext.bigram_coverage,
         "dedup_ngram_jaccard": pdedup.ngram_jaccard,
         "contamination_check": pdedup.contamination_check,
         "mixture_weights": ptext.mixture_weights,
@@ -655,6 +656,7 @@ PIPELINE_ORACLES = {
     "dedup_simhash": pdedup.simhash_oracle,
     "dedup_simhash_pairs": pdedup.simhash_pairs_oracle,
     "chunk_documents": ptext.chunk_documents_oracle,
+    "bigram_coverage": ptext.bigram_coverage_oracle,
     "dedup_ngram_jaccard": pdedup.ngram_jaccard_oracle,
     "contamination_check": pdedup.contamination_check_oracle,
     "mixture_weights": ptext.mixture_weights_oracle,

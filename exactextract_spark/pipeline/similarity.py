@@ -146,7 +146,13 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = e.join(F.broadcast(cents)).selectExpr(
         "vec_id", "embedding", "cent_id", f"({dot}) / (({ne}) * ({nc})) AS ccos")
     w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
-    ranked = scored.withColumn("crank", F.row_number().over(w))
+    # assign (crank == 1) and probes (crank <= N_PROBE) both derive from
+    # ranked: filter to crank <= max(1, N_PROBE) FIRST and persist that —
+    # otherwise the corpus x centroids scoring pass (the dominant cost)
+    # runs once per consumer, and the persisted frame stays small
+    # (N_PROBE rows per vector, not N_CENTROIDS)
+    ranked = scored.withColumn("crank", F.row_number().over(w)) \
+        .where(F.col("crank") <= max(1, N_PROBE)).persist()
     assign = ranked.where(F.col("crank") == 1) \
         .select("vec_id", F.col("cent_id").alias("cell"), "embedding")
     probes = ranked.where((F.col("crank") <= N_PROBE) &

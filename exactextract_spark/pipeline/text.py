@@ -513,3 +513,71 @@ SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
        array_to_string(toks[chunk_id * {s} + 1 : least(n_tok, chunk_id * {s} + {w})],
                        ' ') AS chunk_text
 FROM n, LATERAL (SELECT unnest(range(0, n_chunks)) AS chunk_id)"""
+
+
+# --- bigram coverage (corpus-LM quality surrogate) -------------------------
+BIGRAM_TOP_K = 200
+
+
+def bigram_coverage(spark: SparkSession, sf_dir: str,
+                    k: int = BIGRAM_TOP_K) -> DataFrame:
+    """Quality score via corpus statistics: the fraction of a document's
+    token bigrams that appear among the corpus's top-k most frequent
+    bigrams (a rational-arithmetic stand-in for LM-perplexity filters —
+    fluent boilerplate scores high, lexical noise scores low).
+
+    Scale shape: bigrams explode map-side; the reference table is an
+    EXACT global top-k via orderBy(count desc, bigram asc).limit(k) —
+    Spark plans TakeOrderedAndProject (per-partition partial top-k,
+    driver merge of k-row heaps), never a single-partition global sort
+    — then broadcasts k rows back onto the bigram stream.  Rational
+    coverage (count/count, IEEE division) keeps the oracle bit-exact."""
+    d = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "split(trim(text), '\\\\s+') AS toks")
+    # sequence(1, 0) would generate a DESCENDING range, so guard <2-token
+    # docs explicitly
+    bg = d.selectExpr(
+        "doc_id",
+        "CASE WHEN size(toks) >= 2 THEN"
+        " transform(sequence(1, size(toks) - 1),"
+        "  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        " ELSE array() END AS bgs") \
+        .select("doc_id", F.explode("bgs").alias("bg"))
+    top = (bg.groupBy("bg").count()
+           .orderBy(F.desc("count"), F.asc("bg")).limit(k)
+           .select("bg"))
+    hits = (bg.join(F.broadcast(top), "bg")
+            .groupBy("doc_id").agg(F.count("*").alias("n_common")))
+    return (d.selectExpr(
+                "doc_id",
+                "CAST(greatest(0, size(toks) - 1) AS BIGINT) AS n_bigrams")
+            .join(hits, "doc_id", "left")
+            .selectExpr(
+                "doc_id", "n_bigrams",
+                "COALESCE(n_common, CAST(0 AS BIGINT)) AS n_common",
+                "CASE WHEN n_bigrams = 0 THEN 0.0 ELSE"
+                " CAST(COALESCE(n_common, 0) AS DOUBLE) / n_bigrams"
+                " END AS coverage"))
+
+
+def bigram_coverage_oracle() -> str:
+    return f"""WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM t WHERE len(toks) >= 2),
+top AS (
+  SELECT bg FROM (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg)
+  ORDER BY c DESC, bg ASC LIMIT {BIGRAM_TOP_K}),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_common FROM bg JOIN top USING (bg)
+  GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(greatest(0, len(toks) - 1) AS BIGINT) AS n_bigrams,
+       COALESCE(n_common, CAST(0 AS BIGINT)) AS n_common,
+       CASE WHEN len(toks) < 2 THEN 0.0
+            ELSE CAST(COALESCE(n_common, 0) AS DOUBLE) / (len(toks) - 1)
+       END AS coverage
+FROM t LEFT JOIN hits USING (doc_id)"""

@@ -654,3 +654,28 @@ def test_chunk_documents_covers_every_token(spark, tmp_path):
     assert len(by_doc[2]) == 2 and len(by_doc[3]) == 1
     # token 32 of doc 2 is covered by chunk 1 ([24, 33))
     assert by_doc[2][1].tok_start == 24 and by_doc[2][1].tok_end == 33
+
+
+def test_bigram_coverage_plan_and_semantics(spark, tmp_path):
+    """Top-k reference table must plan as TakeOrderedAndProject (partial
+    per-partition top-k, no single-partition global sort), and coverage
+    is the exact fraction of bigram OCCURRENCES hitting the top table."""
+    from exactextract_spark.pipeline.text import bigram_coverage
+    base = str(tmp_path)
+    # 'a b' appears 3x corpus-wide (top), 'z q' once (beaten by k=1? no:
+    # k=1 keeps the (count desc, bg asc) winner 'a b')
+    rows = [(0, "a b a b"), (1, "a b z q"), (2, "solo")]
+    spark.createDataFrame(rows, ["doc_id", "text"]) \
+        .write.mode("overwrite").parquet(base + "/documents.parquet")
+    df = bigram_coverage(spark, base, k=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no global sort anywhere
+    out = {r.doc_id: r for r in df.collect()}
+    # doc 0 bigrams: 'a b','b a','a b' -> 2/3 hit the top-1 table
+    assert out[0].n_bigrams == 3 and out[0].n_common == 2
+    assert abs(out[0].coverage - 2 / 3) < 1e-15
+    # doc 1: 'a b','b z','z q' -> 1/3
+    assert out[1].n_bigrams == 3 and out[1].n_common == 1
+    # single-token doc: 0 bigrams, coverage 0.0 (not NULL)
+    assert out[2].n_bigrams == 0 and out[2].coverage == 0.0
