@@ -26,6 +26,7 @@ from exactextract_spark.pipeline import clustering as pclust
 from exactextract_spark.pipeline import dedup as pdedup
 from exactextract_spark.pipeline import multimodal as pmm
 from exactextract_spark.pipeline import similarity as psim
+from exactextract_spark.pipeline import streaming_events as pstream_events
 from exactextract_spark.pipeline import text as ptext
 
 _ORACLE_CFG = SynthConfig.from_sf_dir("sf0.01")  # driver compares at sf=0.01
@@ -611,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": pdedup.simhash_pairs,
         "chunk_documents": ptext.chunk_documents,
         "bigram_coverage": ptext.bigram_coverage,
+        "event_props_rollup": pstream_events.event_props_rollup,
         "dedup_ngram_jaccard": pdedup.ngram_jaccard,
         "contamination_check": pdedup.contamination_check,
         "mixture_weights": ptext.mixture_weights,
@@ -657,6 +659,7 @@ PIPELINE_ORACLES = {
     "dedup_simhash_pairs": pdedup.simhash_pairs_oracle,
     "chunk_documents": ptext.chunk_documents_oracle,
     "bigram_coverage": ptext.bigram_coverage_oracle,
+    "event_props_rollup": pstream_events.event_props_rollup_oracle,
     "dedup_ngram_jaccard": pdedup.ngram_jaccard_oracle,
     "contamination_check": pdedup.contamination_check_oracle,
     "mixture_weights": ptext.mixture_weights_oracle,

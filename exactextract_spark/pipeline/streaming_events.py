@@ -140,3 +140,34 @@ def sessions_snapshot(spark: SparkSession, out_path: str) -> DataFrame:
                      .alias("session_start"),
                     "n_events",
                     F.col("sv").cast("double").alias("sum_value")))
+
+
+def event_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured enrichment: parse the JSON ``props`` payload
+    (get_json_object — Spark's JVM-side JSON path evaluator, no UDF)
+    and aggregate the typed property per event type.
+
+    Scale shape: map-only parse fused into the scan stage, one hash
+    shuffle on event_type with map-side partial aggregation.  All
+    aggregates are integer-exact (BIGINT sum/min/max, exact distinct
+    count over a BIGINT key) so the DuckDB oracle is bit-identical
+    regardless of partitioning."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.select("event_id", "user_id", "event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+def event_props_rollup_oracle() -> str:
+    return """SELECT event_type,
+  COUNT(*) AS n_events,
+  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+  COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type"""
