@@ -539,6 +539,20 @@ def _tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("zone_id", "tile_row", "tile_col").distinct()
 
 
+def _span_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule invariant: the interleaved fixture's span sequences
+    (kind, text, media_ref, order) as exploded scalar rows, verified
+    against an independent DuckDB regeneration (oracles.span_sequence
+    -> fixtures.docs_spans_sql)."""
+    cfg = SynthConfig.from_sf_dir(sf_dir)
+    return (build_docs(spark, cfg)
+            .select("doc_id", F.posexplode("spans").alias("span_idx", "s"))
+            .selectExpr("doc_id", "CAST(span_idx AS INT) AS span_idx",
+                        "s.kind AS kind", "s.text AS text",
+                        "s.media_ref AS media_ref",
+                        "CAST(s.offset AS INT) AS offset"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _zq(["count", "sum", "mean", "min", "max", "variety", "median"])(
@@ -547,6 +561,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "span_sequence": _span_sequence,
         "zonal_basic": _zq(["count", "sum", "mean", "min", "max"]),
         # same stats through the shuffle join strategy (payloads move
         # once; AQE skew-join) — must match the same oracle

@@ -74,12 +74,47 @@ class SynthConfig:
         return zx0, zy0, zx1, zy1
 
 
+def _raster_families(cfg: SynthConfig) -> list[dict]:
+    """The raster doc families of the interleaved fixture — shared by
+    build_docs (Spark side) and docs_spans_sql (DuckDB side) so the two
+    generators cannot drift.  wc0 is the same weight generator at 4x
+    coarser resolution, anchored at the grid's top-left — exercises
+    transparent common-grid handling (coarse cell (rc, cc) covers fine
+    cells r//4==rc, c//4==cc)."""
+    gc = (cfg.G + REG_F - 1) // REG_F
+    return [
+        dict(rid="r0", gen="arith-v1", nodata="-1.0"),
+        dict(rid="w0", gen="weight-v1", nodata="null"),
+        dict(rid="wc0", gen="weight-v1", nodata="null",
+             dx=float(REG_F), cells=gc),
+        dict(rid="rs0", gen="arith-v1", nodata="-1.0", dtype="int16",
+             extra_meta=',"scale":0.5,"offset":10.0,'
+                        '"mask_generator":"mod5-v1"'),
+        dict(rid="mb0", gen="arith-v1", nodata="-1.0", bands=2),
+        dict(rid="i0", gen="arith-v1", nodata="-1.0", dtype="int32"),
+    ]
+
+
+def _raster_head(cfg: SynthConfig, rid: str, gen: str, nodata: str, *,
+                 dx: float = 1.0, cells: int | None = None,
+                 dtype: str = "float64", bands: int = 1,
+                 extra_meta: str = "") -> str:
+    """The metadata head-span literal of a raster doc family (rendered
+    once in Python, so both generators emit the identical string)."""
+    G = cfg.G
+    n = cells if cells is not None else G
+    ext = float(n) * dx
+    meta = (f'{{"xmin":0.0,"ymin":{G - ext},"xmax":{ext},"ymax":{G}.0,'
+            f'"dx":{dx},"dy":{dx},"nodata":{nodata},"dtype":"{dtype}",'
+            f'"band_count":{bands},"tile":{cfg.tile},"generator":"{gen}"{extra_meta}}}')
+    return f"raster:{rid} {meta}"
+
+
 def build_docs(spark: SparkSession, cfg: SynthConfig) -> DataFrame:
     """The interleaved-document table (FIXTURES.md §1): zone docs with
     WKT text spans + raster docs with media_ref tile spans.  Built with
     pure JVM expressions from spark.range — no driver-side data."""
     G, tile = cfg.G, cfg.tile
-    nt = (G + tile - 1) // tile
 
     zx0, zy0, zx1, zy1 = cfg.zone_exprs("id")
     wkt = (f"concat('POLYGON ((', {zx0}, ' ', {zy0}, ', ', {zx1}, ' ', {zy0}, ', ', "
@@ -95,12 +130,9 @@ def build_docs(spark: SparkSession, cfg: SynthConfig) -> DataFrame:
                     cells: int | None = None, dtype: str = "float64",
                     bands: int = 1, extra_meta: str = ""):
         n = cells if cells is not None else G
-        ext = float(n) * dx
         ntt = (n + tile - 1) // tile
-        meta = (f'{{"xmin":0.0,"ymin":{G - ext},"xmax":{ext},"ymax":{G}.0,'
-                f'"dx":{dx},"dy":{dx},"nodata":{nodata},"dtype":"{dtype}",'
-                f'"band_count":{bands},"tile":{tile},"generator":"{gen}"{extra_meta}}}')
-        head = f"raster:{rid} {meta}"
+        head = _raster_head(cfg, rid, gen, nodata, dx=dx, cells=cells,
+                            dtype=dtype, bands=bands, extra_meta=extra_meta)
         b = f"(id % {bands})"
         t_id = f"(id div {bands})"
         return spark.range(ntt * ntt * bands).select(
@@ -116,26 +148,62 @@ def build_docs(spark: SparkSession, cfg: SynthConfig) -> DataFrame:
                 f"        'offset',2))"
             ).alias("spans"))
 
-    # wc0: the same weight generator at 4x coarser resolution, anchored
-    # at the grid's top-left — exercises transparent common-grid
-    # handling (coarse cell (rc, cc) covers fine cells r//4==rc, c//4==cc)
-    gc = (G + REG_F - 1) // REG_F
-    return zdocs.unionByName(raster_docs("r0", "arith-v1", "-1.0")) \
-                .unionByName(raster_docs("w0", "weight-v1", "null")) \
-                .unionByName(raster_docs("wc0", "weight-v1", "null",
-                                         dx=float(REG_F), cells=gc)) \
-                .unionByName(raster_docs(
-                    "rs0", "arith-v1", "-1.0", dtype="int16",
-                    extra_meta=',"scale":0.5,"offset":10.0,'
-                               '"mask_generator":"mod5-v1"')) \
-                .unionByName(raster_docs("mb0", "arith-v1", "-1.0", bands=2)) \
-                .unionByName(raster_docs("i0", "arith-v1", "-1.0",
-                                         dtype="int32"))
+    out = zdocs
+    for fam in _raster_families(cfg):
+        out = out.unionByName(raster_docs(**fam))
+    return out
 
 
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL builders (no engine code involved)
 # ---------------------------------------------------------------------------
+
+def docs_spans_sql(cfg: SynthConfig) -> str:
+    """Independent DuckDB regeneration of the interleaved fixture's
+    exploded span rows (doc_id, span_idx, kind, text, media_ref,
+    offset) — the oracle for the north-rule per-row span-sequence
+    equality check.  Doubles render identically in both engines for the
+    quarter-aligned coordinates ('3.0', '0.25', ...), and the metadata
+    head literals come from the same Python helper (_raster_head) the
+    Spark generator uses."""
+    # Spark parses the 4.0 literal in zone_exprs as DECIMAL(2,1), so the
+    # engine's coordinate strings render at decimal scale 6
+    # ('6.250000'); DECIMAL(38,6) reproduces that rendering in DuckDB
+    zx0, zy0, zx1, zy1 = (f"CAST(({e}) AS DECIMAL(38,6))"
+                          for e in cfg.zone_exprs("k"))
+    wkt = (f"'POLYGON ((' || ({zx0}) || ' ' || ({zy0}) || ', ' || ({zx1})"
+           f" || ' ' || ({zy0}) || ', ' || ({zx1}) || ' ' || ({zy1})"
+           f" || ', ' || ({zx0}) || ' ' || ({zy1}) || ', ' || ({zx0})"
+           f" || ' ' || ({zy0}) || '))'")
+    ks = f"(SELECT range AS k FROM range({cfg.Z}))"
+    parts = [
+        f"""SELECT 'z' || k AS doc_id, CAST(0 AS INT) AS span_idx,
+       'text' AS kind, 'zone:z' || k AS text, '' AS media_ref,
+       CAST(0 AS INT) AS "offset" FROM {ks}""",
+        f"""SELECT 'z' || k, CAST(1 AS INT), 'text', {wkt}, '',
+       CAST(1 AS INT) FROM {ks}""",
+    ]
+    for fam in _raster_families(cfg):
+        rid, bands = fam["rid"], fam.get("bands", 1)
+        n = fam.get("cells", cfg.G)
+        ntt = (n + cfg.tile - 1) // cfg.tile
+        head = _raster_head(cfg, **fam).replace("'", "''")
+        ids = f"(SELECT range AS id FROM range({ntt * ntt * bands}))"
+        t = f"(id // {bands})"
+        tile_json = (f"'{{\"tile_row\":' || ({t} // {ntt}) ||"
+                     f" ',\"tile_col\":' || ({t} % {ntt}) || '}}'")
+        media = (f"'raster://{rid}/band/' || (id % {bands}) || '/tile/' ||"
+                 f" ({t} // {ntt}) || '/' || ({t} % {ntt})")
+        parts += [
+            f"SELECT '{rid}:t' || id, CAST(0 AS INT), 'text', '{head}', '',"
+            f" CAST(0 AS INT) FROM {ids}",
+            f"SELECT '{rid}:t' || id, CAST(1 AS INT), 'text', {tile_json},"
+            f" '', CAST(1 AS INT) FROM {ids}",
+            f"SELECT '{rid}:t' || id, CAST(2 AS INT), 'media', '', {media},"
+            f" CAST(2 AS INT) FROM {ids}",
+        ]
+    return "\nUNION ALL\n".join(parts)
+
 
 def build_line_docs(spark: SparkSession, cfg: SynthConfig) -> DataFrame:
     """Linear-geometry zone docs: horizontal polylines at eighth-cell y

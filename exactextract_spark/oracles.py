@@ -444,7 +444,17 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY point_id
 WHERE rank <= {K}"""
 
 
+def span_sequence(cfg):
+    """North-rule invariant: per-row span-sequence equality (kind, text,
+    media_ref, order) of the interleaved fixture — the oracle is an
+    independent DuckDB regeneration of every doc family's exploded span
+    rows (fixtures.docs_spans_sql)."""
+    from .fixtures import docs_spans_sql
+    return docs_spans_sql(cfg)
+
+
 ZONAL_ORACLES = {
+    "span_sequence": span_sequence,
     "point_in_polygon": point_in_polygon,
     "knn_tiles": knn_tiles,
     "zonal_basic_shuffle": zonal_basic,  # same semantics, shuffle plan
