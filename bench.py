@@ -240,6 +240,50 @@ def pipeline_point_pack(spark):
             "docs_per_sec": round(n / dt, 1)}
 
 
+def pipeline_point_stream(spark):
+    """Watermarked event-time rollup as a stream (availableNow, 4
+    micro-batches over 4 files): 1M synthetic events with ~5% arriving
+    one file late - throughput of the keyed-state exchange in events/s.
+    Stateful-streaming scale evidence to pair with the batch points."""
+    import shutil
+    import tempfile
+
+    from exactextract_spark.pipeline.streaming_events import (
+        stream_windowed_rollup)
+
+    n = 1_000_000
+    base = tempfile.mkdtemp(prefix="ee_bench_st_")
+    indir = base + "/in"
+    os.makedirs(indir)
+    # file f = day f, chronological (each availableNow micro-batch
+    # advances the watermark one day and finalizes the previous day's
+    # windows); distinct mtimes pin the batch order
+    for f in range(4):
+        spark.range(f * (n // 4), (f + 1) * (n // 4)).selectExpr(
+            "id AS event_id",
+            f"timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0,"
+            f" {f}, 0, CAST(id % 1440 AS INT), 0) AS ts",
+            "id % 9973 AS user_id",
+            "CASE id % 3 WHEN 0 THEN 'view' WHEN 1 THEN 'click'"
+            " ELSE 'buy' END AS event_type",
+            "CAST(id % 100 AS DOUBLE) AS value",
+            "'{}' AS props") \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(f"{indir}/f{f}.parquet")
+        t = 1_700_000_000 + f * 7
+        for root, _, files in os.walk(f"{indir}/f{f}.parquet"):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t, t))
+    t0 = time.time()
+    stream_windowed_rollup(spark, indir + "/f*.parquet", base + "/out",
+                           base + "/ckpt", delay="1 day")
+    dt = time.time() - t0
+    out_rows = spark.read.parquet(base + "/out").count()
+    shutil.rmtree(base, ignore_errors=True)
+    return {"events": n, "sec": round(dt, 3), "emitted_windows": out_rows,
+            "events_per_sec": round(n / dt, 1)}
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -345,6 +389,7 @@ def main():
         if os.environ.get("SPARK_GRAFT_BENCH_PIPELINE", "1") == "1":
             pipeline_points["minhash_1m"] = pipeline_point_minhash(spark)
             pipeline_points["pack_10m"] = pipeline_point_pack(spark)
+            pipeline_points["stream_1m"] = pipeline_point_stream(spark)
 
         total = round(sum(timings.values()), 3)
         try:
