@@ -26,6 +26,7 @@ from exactextract_spark.pipeline import clustering as pclust
 from exactextract_spark.pipeline import dedup as pdedup
 from exactextract_spark.pipeline import multimodal as pmm
 from exactextract_spark.pipeline import similarity as psim
+from exactextract_spark.pipeline import events_join as pevjoin
 from exactextract_spark.pipeline import streaming_events as pstream_events
 from exactextract_spark.pipeline import text as ptext
 
@@ -628,6 +629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": ptext.chunk_documents,
         "bigram_coverage": ptext.bigram_coverage,
         "event_props_rollup": pstream_events.event_props_rollup,
+        "event_asof_join": pevjoin.event_asof_join,
+        "event_range_join": pevjoin.event_range_join,
         "dedup_ngram_jaccard": pdedup.ngram_jaccard,
         "contamination_check": pdedup.contamination_check,
         "mixture_weights": ptext.mixture_weights,
@@ -675,6 +678,8 @@ PIPELINE_ORACLES = {
     "chunk_documents": ptext.chunk_documents_oracle,
     "bigram_coverage": ptext.bigram_coverage_oracle,
     "event_props_rollup": pstream_events.event_props_rollup_oracle,
+    "event_asof_join": pevjoin.event_asof_join_oracle,
+    "event_range_join": pevjoin.event_range_join_oracle,
     "dedup_ngram_jaccard": pdedup.ngram_jaccard_oracle,
     "contamination_check": pdedup.contamination_check_oracle,
     "mixture_weights": ptext.mixture_weights_oracle,

@@ -47,7 +47,11 @@ def test_pipeline_parity(name, spark):
         elif a.dtype.kind == "b" or b.dtype.kind == "b":
             assert (a.astype(bool) == b.astype(bool)).all(), (name, c)
         else:
-            assert (a.astype(object) == b.astype(object)).all(), (name, c)
+            # null-aware: None == None is elementwise False in pandas
+            # object columns (event_asof_join's unmatched probes)
+            ok = ((a.astype(object) == b.astype(object))
+                  | (a.isna() & b.isna())).all()
+            assert ok, (name, c)
 
 
 def test_exact_dedup_finds_planted_dups(spark):
@@ -679,3 +683,73 @@ def test_bigram_coverage_plan_and_semantics(spark, tmp_path):
     assert out[1].n_bigrams == 3 and out[1].n_common == 1
     # single-token doc: 0 bigrams, coverage 0.0 (not NULL)
     assert out[2].n_bigrams == 0 and out[2].coverage == 0.0
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive boundary (build at exactly probe ts matches), latest
+    prior wins, no-prior probes survive NULL-filled, keys isolated."""
+    from datetime import datetime as DT
+
+    from exactextract_spark.pipeline.events_join import asof_join
+    probe = spark.createDataFrame(
+        [(1, DT(2024, 1, 1, 12, 0, 0), 100),   # equal-ts build row -> match
+         (1, DT(2024, 1, 1, 11, 59, 59), 101),  # just before it -> earlier
+         (1, DT(2024, 1, 1, 0, 0, 0), 102),    # before any build -> NULL
+         (2, DT(2024, 1, 2, 0, 0, 0), 103)],   # other key: own build only
+        "user_id long, ts timestamp, event_id long")
+    build = spark.createDataFrame(
+        [(1, DT(2024, 1, 1, 6, 0, 0), 10),
+         (1, DT(2024, 1, 1, 12, 0, 0), 11),
+         (2, DT(2024, 1, 1, 6, 0, 0), 20)],
+        "user_id long, ts timestamp, b_id long")
+    out = {r.event_id: r for r in asof_join(probe, build, "user_id").collect()}
+    assert out[100].b_id == 11 and out[100].ts_matched == DT(2024, 1, 1, 12)
+    assert out[101].b_id == 10
+    assert out[102].b_id is None and out[102].ts_matched is None
+    assert out[103].b_id == 20
+
+
+def test_range_join_boundaries_and_bruteforce(spark):
+    """Window edges: (t-W, t] — equal-ts build included, exactly t-W
+    excluded; bucket-boundary crossing found; plus a seeded brute-force
+    differential on 300 random events."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from exactextract_spark.pipeline.events_join import range_join_agg
+    H = 3_600_000_000  # 1h in us
+    base = pd.Timestamp("2024-01-01 05:00:00")
+    probe_pd = pd.DataFrame({"user_id": [1], "ts": [base], "event_id": [0]})
+    # buckets are hour-aligned; base sits exactly on one
+    build_pd = pd.DataFrame({
+        "user_id": [1, 1, 1, 1],
+        "ts": [base,                                   # == t: in
+               base - pd.Timedelta(hours=1),           # == t-W: OUT (strict)
+               base - pd.Timedelta(minutes=59),        # prev bucket: in
+               base - pd.Timedelta(minutes=61)],       # outside: out
+        "v": [1, 10, 100, 1000]})
+    out = range_join_agg(
+        spark.createDataFrame(probe_pd), spark.createDataFrame(build_pd),
+        key="user_id", window_us=H,
+        aggs=[F.count("*").alias("n"), F.sum("v").alias("sv")]).collect()
+    assert len(out) == 1 and out[0].n == 2 and out[0].sv == 101
+
+    rng = np.random.default_rng(7)
+    n = 300
+    ev = pd.DataFrame({
+        "user_id": rng.integers(0, 5, n),
+        "ts": pd.Timestamp("2024-01-01")
+              + pd.to_timedelta(rng.integers(0, 86_400 * 3, n), unit="s"),
+        "event_id": np.arange(n)})
+    builds = ev.iloc[: n // 2][["user_id", "ts"]].assign(v=1)
+    probes = ev.iloc[n // 2:][["user_id", "ts", "event_id"]]
+    got = {r.event_id: (r.n or 0) for r in range_join_agg(
+        spark.createDataFrame(probes), spark.createDataFrame(builds),
+        key="user_id", window_us=H,
+        aggs=[F.count("*").alias("n")]).collect()}
+    for _, p in probes.iterrows():
+        m = builds[(builds.user_id == p.user_id)
+                   & (builds.ts > p.ts - pd.Timedelta(hours=1))
+                   & (builds.ts <= p.ts)]
+        assert got[p.event_id] == len(m), p.event_id
