@@ -632,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_asof_join": pevjoin.event_asof_join,
         "event_range_join": pevjoin.event_range_join,
         "dedup_ngram_jaccard": pdedup.ngram_jaccard,
+        "line_dedup": pdedup.line_dedup,
         "contamination_check": pdedup.contamination_check,
         "mixture_weights": ptext.mixture_weights,
         "repetition_stats": ptext.repetition_stats,
@@ -681,6 +682,7 @@ PIPELINE_ORACLES = {
     "event_asof_join": pevjoin.event_asof_join_oracle,
     "event_range_join": pevjoin.event_range_join_oracle,
     "dedup_ngram_jaccard": pdedup.ngram_jaccard_oracle,
+    "line_dedup": pdedup.line_dedup_oracle,
     "contamination_check": pdedup.contamination_check_oracle,
     "mixture_weights": ptext.mixture_weights_oracle,
     "repetition_stats": ptext.repetition_stats_oracle,

@@ -475,3 +475,80 @@ SELECT d.doc_id, COALESCE(h.n, 0) AS n_shared,
   COALESCE(h.n, 0) >= 1 AS contaminated
 FROM d LEFT JOIN h ON d.doc_id = h.doc_id
 WHERE d.doc_id % 23 <> 7"""
+
+
+# --- line-level dedup (C4/CCNet-style boilerplate removal) ------------
+
+LINE_TOKENS = 10
+LINE_BOILER = "shared boiler plate line planted across documents"
+
+
+def line_dedup(spark: SparkSession, sf_dir: str,
+               plant_mod: int = 19, plant_rem: int = 4) -> DataFrame:
+    """C4/CCNet-style line-level deduplication: split every document
+    into "lines" (consecutive ``LINE_TOKENS``-token segments — the
+    corpus has no newlines), hash each line, and drop every occurrence
+    of a corpus-duplicated line except the canonical first one
+    (smallest doc_id, then smallest line_idx).  The canonical pick is
+    an encoded MIN(doc_id * 1_000_000 + line_idx) — valid while a
+    document has < 1e6 lines, and mirrored verbatim in the oracle.
+
+    The word-soup corpus carries natural duplicate lines (the fixture's
+    near-duplicate documents), and a boilerplate line is additionally
+    planted onto doc_id ≡ plant_rem (mod plant_mod) INSIDE the query
+    (testdata is read-only; embedding_neardup precedent) so the
+    cross-document-boilerplate case — the one C4's filter exists for —
+    is always exercised.
+
+    Scale shape (100 TB): line explode is ≤ ~n_tokens/10 fan-out fused
+    into the scan; ONE hash shuffle on the line digest with map-side
+    partial aggregation builds the duplicate-group table; one equi-join
+    on the digest labels occurrences.  No windows (a hot boilerplate
+    line combines map-side instead of sorting in one task), no driver
+    state, no Python.
+    """
+    k = LINE_TOKENS
+    d = (_docs(spark, sf_dir)
+         .select("doc_id", F.split("text", " ").alias("toks")))
+    seg = (d.select(
+               "doc_id", "toks",
+               F.explode(F.sequence(
+                   F.lit(0),
+                   F.expr("(size(toks) + 9) DIV 10 - 1"))).alias("li"))
+           .select("doc_id", F.col("li").cast("int").alias("line_idx"),
+                   F.expr(f"array_join(slice(toks, li*{k}+1, {k}), ' ')")
+                    .alias("line")))
+    planted = (d.where(F.col("doc_id") % plant_mod == plant_rem)
+               .select("doc_id",
+                       F.expr("CAST((size(toks) + 9) DIV 10 AS INT)")
+                        .alias("line_idx"),
+                       F.lit(LINE_BOILER).alias("line")))
+    lines = (seg.unionByName(planted)
+             .withColumn("line_hash", F.md5(F.col("line").cast("binary")))
+             .withColumn("ek", F.col("doc_id") * 1_000_000 + F.col("line_idx")))
+    g = lines.groupBy("line_hash").agg(F.count("*").alias("n_occ"),
+                                       F.min("ek").alias("canon"))
+    return (lines.join(g, "line_hash")
+            .select("doc_id", "line_idx", "line_hash", "n_occ",
+                    ((F.col("n_occ") == 1) | (F.col("ek") == F.col("canon")))
+                    .alias("keep")))
+
+
+def line_dedup_oracle() -> str:
+    return f"""WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+seg AS (
+  SELECT doc_id, CAST(r.i AS INT) AS line_idx,
+         array_to_string(toks[r.i*{LINE_TOKENS}+1 : r.i*{LINE_TOKENS}+{LINE_TOKENS}], ' ') AS line
+  FROM t, UNNEST(range((len(toks) + 9) // 10)) AS r(i)
+  UNION ALL
+  SELECT doc_id, CAST((len(toks) + 9) // 10 AS INT) AS line_idx,
+         '{LINE_BOILER}' AS line
+  FROM t WHERE doc_id % 19 = 4),
+g AS (
+  SELECT md5(line) AS line_hash, COUNT(*) AS n_occ,
+         MIN(doc_id * 1000000 + line_idx) AS canon
+  FROM seg GROUP BY md5(line))
+SELECT s.doc_id, s.line_idx, g.line_hash, g.n_occ,
+  (g.n_occ = 1 OR s.doc_id * 1000000 + s.line_idx = g.canon) AS keep
+FROM seg s JOIN g ON md5(s.line) = g.line_hash"""

@@ -753,3 +753,34 @@ def test_range_join_boundaries_and_bruteforce(spark):
                    & (builds.ts > p.ts - pd.Timedelta(hours=1))
                    & (builds.ts <= p.ts)]
         assert got[p.event_id] == len(m), p.event_id
+
+
+def test_line_dedup_canonical_first_occurrence(spark, tmp_path):
+    """A line shared by two docs keeps only its first (doc, idx)
+    occurrence; planted boilerplate collapses to one canonical copy;
+    unique lines all survive."""
+    from exactextract_spark.pipeline.dedup import (LINE_BOILER, LINE_TOKENS,
+                                                   line_dedup)
+    shared = " ".join(f"s{i}" for i in range(LINE_TOKENS))
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(LINE_TOKENS))
+    rows = [
+        (0, uniq("a") + " " + shared),   # lines: a..., shared
+        (1, uniq("b")),
+        (2, shared + " " + uniq("c")),   # shared again (later doc)
+        (4, uniq("d")),                  # 4 % 19 == 4 -> boilerplate planted
+        (23, uniq("e")),                 # 23 % 19 == 4 -> boilerplate again
+    ]
+    pd.DataFrame({"doc_id": [r[0] for r in rows],
+                  "text": [r[1] for r in rows]}) \
+        .to_parquet(tmp_path / "documents.parquet")
+    res = line_dedup(spark, str(tmp_path)).toPandas()
+    by = {(r.doc_id, r.line_idx): r for r in res.itertuples()}
+    # doc 0 line 1 == doc 2 line 0: first occurrence (0,1) kept
+    assert by[(0, 1)].keep and by[(0, 1)].n_occ == 2
+    assert not by[(2, 0)].keep
+    # boilerplate: planted at line_idx 1 of docs 4 and 23 -> doc 4 wins
+    assert by[(4, 1)].keep and by[(4, 1)].n_occ == 2
+    assert not by[(23, 1)].keep
+    # all unique lines keep
+    for key in [(0, 0), (1, 0), (2, 1), (4, 0), (23, 0)]:
+        assert by[key].keep and by[key].n_occ == 1
