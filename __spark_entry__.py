@@ -640,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": ptext.bpe_token_count,
         "length_percentile_filter": ptext.length_percentile_filter,
         "kmeans_assign": pclust.kmeans_assign,
+        "semdedup": pclust.semdedup,
         "ann_pq": pclust.ann_pq,
         "ann_topk": psim.ann_topk,
         "ann_ivf": psim.ann_ivf,
@@ -690,6 +691,7 @@ PIPELINE_ORACLES = {
     "bpe_token_count": ptext.bpe_token_count_oracle,
     "length_percentile_filter": ptext.length_percentile_filter_oracle,
     "kmeans_assign": pclust.kmeans_assign_oracle,
+    "semdedup": pclust.semdedup_oracle,
     "ann_pq": pclust.ann_pq_oracle,
     "ann_topk": psim.ann_topk_oracle,
     "ann_ivf": psim.ann_ivf_oracle,

@@ -228,3 +228,85 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_dist
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         ORDER BY adc_dist ASC, neighbor_id ASC) AS rank FROM adc)
 WHERE rank <= {TOP_K_PQ}"""
+
+
+# --- SemDeDup: cluster-bounded semantic deduplication ----------------
+
+SEMDEDUP_THRESHOLD = 0.9
+
+
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): k-means-cluster the embeddings,
+    then search for semantic near-duplicates ONLY within each cluster —
+    the cluster bound turns the corpus-quadratic pairwise scan into
+    sum-of-cluster-size-squared work.  A vector is dropped when some
+    SMALLER vec_id in its cluster has cosine > SEMDEDUP_THRESHOLD with
+    it (deterministic keep-lowest-id representative).
+
+    Corpus: similarity._emb_planted (the embedding_neardup planting) so
+    the prune is provably non-vacuous — random unit vectors alone never
+    exceed the threshold.
+
+    Scale shape (100 TB): one broadcast argmin assignment (the
+    kmeans_assign iteration-1 step), one equi-shuffle on cluster id for
+    the within-cluster self-join (K scales with the corpus — the paper
+    runs 50k clusters, keeping per-cluster work bounded), one anti-join
+    to label survivors.  Exact cosines are index-order folds on the
+    raw floats (the ann_topk cross-engine contract); assignments use
+    integer-exact quantized distances, so both engines pick identical
+    clusters."""
+    from .similarity import _DOT_SPARK as DOT
+    from .similarity import _emb_planted
+
+    e = _emb_planted(spark, sf_dir).select("vec_id", "embedding")
+    eq = e.selectExpr("vec_id", f"{_QX} AS x")
+    init = eq.where(F.col("vec_id") < K).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("x").alias("c"))
+    a1 = _assign(eq, init).select("vec_id", "cid")
+    av = a1.join(e, "vec_id")
+    a = av.select(F.col("vec_id").alias("vec_a"), "cid",
+                  F.col("embedding").alias("ea"))
+    b = av.select(F.col("vec_id").alias("vec_b"), "cid",
+                  F.col("embedding").alias("eb"))
+    dot = DOT.format(a="ea", b="eb")
+    na = "SQRT(" + DOT.format(a="ea", b="ea") + ")"
+    nb = "SQRT(" + DOT.format(a="eb", b="eb") + ")"
+    dups = (a.join(b, "cid")
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .selectExpr("vec_b", f"({dot}) / (({na}) * ({nb})) AS cos_ab")
+            .where(F.col("cos_ab") > SEMDEDUP_THRESHOLD)
+            .select("vec_b").distinct())
+    return (a1.join(dups, a1.vec_id == dups.vec_b, "left")
+            .select("vec_id", F.col("cid").alias("cluster"),
+                    F.col("vec_b").isNull().alias("keep")))
+
+
+def semdedup_oracle() -> str:
+    from .similarity import _DOT_DUCK as DOT
+    from .similarity import _EMB_PLANTED_SQL
+    d_init = _DIST_DUCK.format(x="q.x", c="i.c", dim=DIM)
+    dot = DOT.format(a="ea.embedding", b="eb.embedding")
+    na = "SQRT(" + DOT.format(a="ea.embedding", b="ea.embedding") + ")"
+    nb = "SQRT(" + DOT.format(a="eb.embedding", b="eb.embedding") + ")"
+    return f"""WITH {_EMB_PLANTED_SQL},
+qv AS (
+  SELECT vec_id, list_transform(embedding,
+    v -> CAST(FLOOR(CAST(v AS DOUBLE) * {QSCALE}) AS DOUBLE)) AS x
+  FROM emb),
+init AS (SELECT CAST(vec_id AS INT) AS cid, x AS c FROM qv
+         WHERE vec_id < {K}),
+d1 AS (SELECT q.vec_id, i.cid, ({d_init}) AS d
+       FROM qv q CROSS JOIN init i),
+a1 AS (SELECT vec_id, cid FROM
+         (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY d ASC, cid ASC) AS rn FROM d1)
+       WHERE rn = 1),
+dups AS (
+  SELECT DISTINCT b.vec_id AS vec_b
+  FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN emb ea ON ea.vec_id = a.vec_id
+  JOIN emb eb ON eb.vec_id = b.vec_id
+  WHERE ({dot}) / (({na}) * ({nb})) > {SEMDEDUP_THRESHOLD})
+SELECT a1.vec_id, a1.cid AS cluster,
+  (dups.vec_b IS NULL) AS keep
+FROM a1 LEFT JOIN dups ON a1.vec_id = dups.vec_b"""

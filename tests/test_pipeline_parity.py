@@ -784,3 +784,24 @@ def test_line_dedup_canonical_first_occurrence(spark, tmp_path):
     # all unique lines keep
     for key in [(0, 0), (1, 0), (2, 1), (4, 0), (23, 0)]:
         assert by[key].keep and by[key].n_occ == 1
+
+
+def test_semdedup_planted_and_boundary_miss(spark):
+    """Planted near-dup copies are dropped (their original kept) —
+    except pairs the cluster assignment splits across clusters, which
+    is SemDeDup's documented recall limitation, not a bug: verify any
+    surviving copy really is in a different cluster than its original."""
+    from exactextract_spark.pipeline.clustering import semdedup
+    from exactextract_spark.pipeline.similarity import PLANT_OFFSET
+    res = semdedup(spark, SF_DIR).toPandas().set_index("vec_id")
+    planted = res[res.index >= PLANT_OFFSET]
+    assert len(planted) > 0
+    # originals all survive
+    for pid in planted.index:
+        assert res.loc[pid - PLANT_OFFSET, "keep"]
+    # majority of copies are caught; every survivor is a boundary miss
+    dropped = (~planted.keep).sum()
+    assert dropped >= len(planted) / 2, (dropped, len(planted))
+    for pid in planted[planted.keep].index:
+        assert (res.loc[pid, "cluster"]
+                != res.loc[pid - PLANT_OFFSET, "cluster"]), pid
