@@ -540,6 +540,34 @@ def _tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("zone_id", "tile_row", "tile_col").distinct()
 
 
+def _quadkey_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup over the hierarchical quadkey (S2-style)
+    cell index: the level-16 Morton key is computed ONCE per distinct
+    zone-tile pair (JVM bit arithmetic, tiling.morton), coarser levels
+    are bit-prefix shifts exploded from it, and one hash shuffle
+    aggregates all three levels together — the hypertable-rollup shape
+    (never one scan per level)."""
+    from exactextract_spark.tiling import morton
+
+    cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
+    pairs = zone_tile_pairs(attach_bbox(zones), grid, cfg.tile)
+    p = (pairs.select("zone_id", "tile_row", "tile_col").distinct()
+         .withColumn("qk16", morton("tile_row", "tile_col", 16)))
+    lv = p.select(
+        "zone_id", F.col("qk16").alias("tile_key"),
+        F.explode(F.array(
+            F.struct(F.lit(16).alias("level"), F.col("qk16").alias("cell")),
+            F.struct(F.lit(14).alias("level"),
+                     F.shiftright("qk16", 4).alias("cell")),
+            F.struct(F.lit(12).alias("level"),
+                     F.shiftright("qk16", 8).alias("cell")))).alias("e"))
+    return (lv.groupBy(F.col("e.level").alias("level"),
+                       F.col("e.cell").alias("cell"))
+            .agg(F.count("*").alias("n_pairs"),
+                 F.countDistinct("zone_id").alias("n_zones"),
+                 F.countDistinct("tile_key").alias("n_tiles")))
+
+
 def _span_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule invariant: the interleaved fixture's span sequences
     (kind, text, media_ref, order) as exploded scalar rows, verified
@@ -591,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_mixed_args": _zq(["count", "count_mc=count(min_coverage_frac=0.25)",
                                  "weighted_mean"], weighted=True),
         "tile_assignment": _tile_assignment,
+        "quadkey_rollup": _quadkey_rollup,
         "zonal_area": _zonal_area,
         "zonal_weights_array": _zonal_weights_array,
         "zonal_custom": _zonal_custom,

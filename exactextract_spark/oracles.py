@@ -286,6 +286,41 @@ SELECT DISTINCT zone_id,
 FROM pairs"""
 
 
+def _morton16_sql(tr: str, tc: str) -> str:
+    """Bit-interleave (Z-order) of two 16-bit tile coordinates —
+    the DuckDB mirror of tiling.morton's JVM expression."""
+    return " + ".join(
+        f"((({tr} >> {b}) & 1) << {2 * b + 1})"
+        f" + ((({tc} >> {b}) & 1) << {2 * b})"
+        for b in range(16))
+
+
+def quadkey_rollup(cfg):
+    """Multi-resolution rollup over the hierarchical quadkey index
+    (tiling.quadkey): per cell at levels 16/12/8, how many zone-tile
+    pairs, distinct zones, and distinct tiles it contains (levels
+    16/14/12).  Parent
+    cells are bit-prefixes (qk_L = qk_16 >> 2*(16-L))."""
+    T = cfg.tile
+    mort = _morton16_sql("tr", "tc")
+    return f"""WITH {pairs_sql(cfg)},
+pt AS (SELECT DISTINCT zone_id,
+         CAST(r // {T} AS INT) AS tr, CAST(c // {T} AS INT) AS tc
+       FROM pairs),
+mk AS (SELECT zone_id, ({mort}) AS qk16 FROM pt),
+lv AS (
+  SELECT 16 AS level, qk16 AS cell, zone_id, qk16 AS tile_key FROM mk
+  UNION ALL
+  SELECT 14 AS level, qk16 >> 4 AS cell, zone_id, qk16 AS tile_key FROM mk
+  UNION ALL
+  SELECT 12 AS level, qk16 >> 8 AS cell, zone_id, qk16 AS tile_key FROM mk)
+SELECT CAST(level AS INT) AS level, CAST(cell AS BIGINT) AS cell,
+  COUNT(*) AS n_pairs,
+  COUNT(DISTINCT zone_id) AS n_zones,
+  COUNT(DISTINCT tile_key) AS n_tiles
+FROM lv GROUP BY level, cell"""
+
+
 def zonal_mixed_args(cfg):
     """Several op-keys in one query: default + min_coverage + unweighted
     count alongside weighted mean (exercises op-key sharing)."""
@@ -478,6 +513,7 @@ ZONAL_ORACLES = {
     "zonal_min_coverage": zonal_min_coverage,
     "zonal_mixed_args": zonal_mixed_args,
     "tile_assignment": tile_assignment,
+    "quadkey_rollup": quadkey_rollup,
     "zonal_area": zonal_area,
     "zonal_weights_array": zonal_weights_array,
     "zonal_custom": zonal_custom,
