@@ -240,6 +240,45 @@ def pipeline_point_pack(spark):
             "docs_per_sec": round(n / dt, 1)}
 
 
+def pipeline_point_asof(spark):
+    """AS-OF + trailing-window range join over 10M synthetic events
+    (100k users, 30 days): the two temporal joins Spark lacks, each
+    measured end to end in events/s on the same fixture.  as-of = one
+    keyed window over the tagged union; range = bucketized equi-join
+    (<=2x probe fan-out)."""
+    import shutil
+    import tempfile
+
+    from exactextract_spark.pipeline.events_join import (event_asof_join,
+                                                         event_range_join)
+
+    n = 10_000_000
+    base = tempfile.mkdtemp(prefix="ee_bench_asof_")
+    spark.range(n).selectExpr(
+        "id AS event_id",
+        "timestamp_micros(1704067200000000"
+        " + (id * 2654435761) % 2592000000000) AS ts",
+        "id % 100000 AS user_id",
+        "element_at(array('click','purchase','view','signup','error'),"
+        " CAST(id % 5 AS INT) + 1) AS event_type",
+        "CAST((id * 7) % 1000 AS DOUBLE) / 10 AS value",
+        "'{}' AS props") \
+        .write.mode("overwrite").parquet(base + "/events.parquet")
+    out = {"events": n}
+    t0 = time.time()
+    event_asof_join(spark, base).write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    out["asof_sec"] = round(dt, 3)
+    out["asof_events_per_sec"] = round(n / dt, 1)
+    t0 = time.time()
+    event_range_join(spark, base).write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    out["range_sec"] = round(dt, 3)
+    out["range_events_per_sec"] = round(n / dt, 1)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def pipeline_point_stream(spark):
     """Watermarked event-time rollup as a stream (availableNow, 4
     micro-batches over 4 files): 1M synthetic events with ~5% arriving
@@ -390,6 +429,7 @@ def main():
             pipeline_points["minhash_1m"] = pipeline_point_minhash(spark)
             pipeline_points["pack_10m"] = pipeline_point_pack(spark)
             pipeline_points["stream_1m"] = pipeline_point_stream(spark)
+            pipeline_points["asof_10m"] = pipeline_point_asof(spark)
 
         total = round(sum(timings.values()), 3)
         try:
