@@ -540,6 +540,27 @@ def _tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("zone_id", "tile_row", "tile_col").distinct()
 
 
+def _zonal_bandmath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster calculator → zonal stats: normalized difference of mb0's
+    two bands derived by bandmath.band_math (one tile-key equi-join +
+    one Arrow mapInPandas over blocks), then the standard extraction —
+    the derived table is a first-class tile table, nothing downstream
+    changes."""
+    from exactextract_spark.bandmath import band_math, normalized_difference_q20
+
+    cfg = SynthConfig.from_sf_dir(sf_dir)
+    docs = build_docs(spark, cfg)
+    zones = eio.zones_from_docs(docs)
+    meta = {r["raster_id"]: r.asDict()
+            for r in eio.raster_meta_from_docs(docs).collect()}
+    tiles = eio.tiles_from_docs(docs, "mb0", meta["mb0"])
+    derived = band_math(tiles, normalized_difference_q20)
+    grid = cfg.grid_dict()
+    grid["dtype"] = "float64"
+    return exact_extract(zones, derived, ["count", "sum", "mean", "min", "max"],
+                         grid=grid, strategy="broadcast")
+
+
 def _quadkey_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-resolution rollup over the hierarchical quadkey (S2-style)
     cell index: the level-16 Morton key is computed ONCE per distinct
@@ -620,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  "weighted_mean"], weighted=True),
         "tile_assignment": _tile_assignment,
         "quadkey_rollup": _quadkey_rollup,
+        "zonal_bandmath": _zonal_bandmath,
         "zonal_area": _zonal_area,
         "zonal_weights_array": _zonal_weights_array,
         "zonal_custom": _zonal_custom,

@@ -286,6 +286,32 @@ SELECT DISTINCT zone_id,
 FROM pairs"""
 
 
+def zonal_bandmath(cfg):
+    """Raster algebra before aggregation: the normalized difference of
+    mb0's two bands ((b1−b0)/(b1+b0), the NDVI shape), then the basic
+    stats — band 1 = (val + 29) % 97 (generator arith-v1), nodata
+    footprint shared by both bands.  The ratio is quantized to
+    floor(x * 2^20) (bandmath.normalized_difference_q20) so the
+    coverage-weighted sums are dyadic-exact and combine-order-free —
+    one correctly-rounded division + exact power-of-two scale gives
+    bit-identical cell values in both engines."""
+    v1 = "CAST((CAST(val AS BIGINT) + 29) % 97 AS DOUBLE)"
+    return f"""WITH {pairs_sql(cfg)},
+p2 AS (
+  SELECT zone_id, cov,
+         CASE WHEN val IS NOT NULL AND ({v1} + val) <> 0
+              THEN FLOOR(({v1} - val) / ({v1} + val) * 1048576.0) END AS dval
+  FROM pairs)
+SELECT zone_id,
+  COALESCE(SUM(cov) FILTER (dval IS NOT NULL), 0.0) AS count,
+  COALESCE(SUM(dval*cov) FILTER (dval IS NOT NULL), 0.0) AS sum,
+  CASE WHEN SUM(cov) FILTER (dval IS NOT NULL) > 0
+       THEN (SUM(dval*cov) FILTER (dval IS NOT NULL))
+            / (SUM(cov) FILTER (dval IS NOT NULL)) END AS mean,
+  MIN(dval) AS min, MAX(dval) AS max
+FROM p2 GROUP BY zone_id"""
+
+
 def _morton16_sql(tr: str, tc: str) -> str:
     """Bit-interleave (Z-order) of two 16-bit tile coordinates —
     the DuckDB mirror of tiling.morton's JVM expression."""
@@ -514,6 +540,7 @@ ZONAL_ORACLES = {
     "zonal_mixed_args": zonal_mixed_args,
     "tile_assignment": tile_assignment,
     "quadkey_rollup": quadkey_rollup,
+    "zonal_bandmath": zonal_bandmath,
     "zonal_area": zonal_area,
     "zonal_weights_array": zonal_weights_array,
     "zonal_custom": zonal_custom,

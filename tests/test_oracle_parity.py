@@ -85,3 +85,32 @@ def test_span_roundtrip(spark):
         for (_, g), s in zip(got.iterrows(), spans):
             assert (g["kind"], g["text"], g["media_ref"], g["offset"]) == \
                    (s["kind"], s["text"], s["media_ref"], s["offset"])
+
+
+def test_band_math_nodata_and_guard(spark):
+    """band_math: nodata in EITHER band poisons the output cell; the
+    0-denominator guard yields NaN; defined cells carry the exact
+    quantized ratio; the derived table runs through exact_extract."""
+    import numpy as np
+
+    from exactextract_spark.bandmath import (band_math,
+                                             normalized_difference_q20)
+    from exactextract_spark.io import decode_tile, tiles_from_array
+
+    a = np.array([[1.0, -1.0], [3.0, 0.0]])
+    arr = np.stack([a])  # band 0
+    t0 = tiles_from_array(spark, a, nodata=-1.0, tile=2, raster_id="bm",
+                          band=0)
+    # band 1: [[1, 5], [6, 0]] -> cell (1,1) hits the 0-denominator guard
+    b = np.array([[1.0, 5.0], [6.0, 0.0]])
+    t1 = tiles_from_array(spark, b, nodata=-1.0, tile=2, raster_id="bm",
+                          band=1)
+    tiles = t0.unionByName(t1, allowMissingColumns=True)
+    out = band_math(tiles, normalized_difference_q20).collect()
+    assert len(out) == 1
+    vals = decode_tile(out[0]["values"], "float64", 2, 2)
+    assert vals[0, 0] == 0.0                        # (1-1)/(1+1) -> 0
+    assert np.isnan(vals[0, 1])                     # band-0 nodata
+    assert vals[1, 0] == np.floor(((6 - 3) / 9) * 1048576.0)
+    assert np.isnan(vals[1, 1])                     # 0 denominator
+    assert out[0]["band"] == 0 and out[0]["dtype"] == "float64"
