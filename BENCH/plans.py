@@ -168,6 +168,52 @@ def main():
             "<= k*salts rows per query) — no task ranks the full corpus.",
             plan_of(pqr)))
 
+    pq_ev = "/root/testdata/sf0.01/events.parquet"
+    if Path(pq_ev).exists():
+        from exactextract_spark.pipeline.events_join import (event_asof_join,
+                                                             event_range_join)
+        aj = event_asof_join(spark, "/root/testdata/sf0.01")
+        sections.append((
+            "event_asof_join — tagged-union as-of join",
+            "ONE Exchange on user_id feeding a single Window over the "
+            "tagged union (build rows sort first at equal ts — "
+            "inclusive match); last(payload, ignorenulls) carries the "
+            "latest build row forward.  No range explosion, no "
+            "BroadcastNestedLoopJoin, per-task input bounded by per-key "
+            "density.",
+            plan_of(aj)))
+        rj = event_range_join(spark, "/root/testdata/sf0.01")
+        sections.append((
+            "event_range_join — bucketized interval join",
+            "The interval predicate runs as an EQUI-join on "
+            "(user_id, bucket) — a raw inequality condition would plan "
+            "as BroadcastNestedLoopJoin — with <=2x probe fan-out from "
+            "the 2-bucket explode, a residual Filter, "
+            "partial+final HashAggregate, and a left join restoring "
+            "empty-window probes.",
+            plan_of(rj)))
+
+    qb = None
+    try:
+        tiles_mb = eio.tiles_from_docs(docs, "mb0", meta["mb0"])
+        from exactextract_spark.bandmath import (band_math,
+                                                 normalized_difference_q20)
+        derived = band_math(tiles_mb, normalized_difference_q20)
+        ext_bm = ZonalExtractor(zones, derived, grid=grid,
+                                strategy="broadcast")
+        qb = ext_bm.extract(["count", "mean"])
+    except Exception:
+        pass
+    if qb is not None:
+        sections.append((
+            "zonal_bandmath — raster algebra feeding extraction",
+            "One equi-join on the tile key co-locates the band payloads "
+            "(pre-bucketed at production scale -> shuffle-free), one "
+            "Arrow MapInPandas computes the derived blocks, and the "
+            "standard broadcast-join + partial/final aggregate plan "
+            "runs on the derived table unchanged.",
+            plan_of(qb)))
+
     # parquet scan pushdown check
     pq = "/root/testdata/sf0.01/documents.parquet"
     if Path(pq).exists():
