@@ -680,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": ptext.chunk_documents,
         "bigram_coverage": ptext.bigram_coverage,
         "event_props_rollup": pstream_events.event_props_rollup,
+        "event_value_quantiles": pstream_events.event_value_quantiles,
         "event_asof_join": pevjoin.event_asof_join,
         "event_range_join": pevjoin.event_range_join,
         "dedup_ngram_jaccard": pdedup.ngram_jaccard,
@@ -731,6 +732,7 @@ PIPELINE_ORACLES = {
     "chunk_documents": ptext.chunk_documents_oracle,
     "bigram_coverage": ptext.bigram_coverage_oracle,
     "event_props_rollup": pstream_events.event_props_rollup_oracle,
+    "event_value_quantiles": pstream_events.event_value_quantiles_oracle,
     "event_asof_join": pevjoin.event_asof_join_oracle,
     "event_range_join": pevjoin.event_range_join_oracle,
     "dedup_ngram_jaccard": pdedup.ngram_jaccard_oracle,

@@ -171,3 +171,56 @@ def event_props_rollup_oracle() -> str:
   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
   COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type"""
+
+
+def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (P50/P95 of ``value`` per
+    event_type) the scale-safe way: groupBy(event_type, value)
+    compresses the stream to its per-group value histogram (bounded by
+    value variety, not row count), a window cumulates over that COMPACT
+    histogram, and percentile_disc(q) = the smallest value whose
+    cumulative count reaches ceil(n*q) — the length_percentile_filter
+    formula, per group.  No global sort, no per-group row sort: the
+    only per-group window ranks distinct values.
+
+    Bit-exact cross-engine: counts are integers; n*num is an exact
+    integer in a double, the /den division is correctly rounded in both
+    engines, and ceil of the identical quotient matches."""
+    from pyspark.sql import Window
+
+    ev = spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    h = ev.groupBy("event_type", "value").agg(F.count("*").alias("cnt"))
+    w = (Window.partitionBy("event_type").orderBy("value")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = h.withColumn("cum", F.sum("cnt").over(w))
+    tot = h.groupBy("event_type").agg(F.sum("cnt").alias("n_events"))
+    j = cum.join(tot, "event_type")
+
+    def pick(num: int, den: int, name: str) -> DataFrame:
+        return (j.where(F.col("cum")
+                        >= F.ceil(F.col("n_events") * num / F.lit(float(den))))
+                .groupBy("event_type").agg(F.min("value").alias(name)))
+
+    return (tot.join(pick(1, 2, "p50"), "event_type")
+            .join(pick(19, 20, "p95"), "event_type"))
+
+
+def event_value_quantiles_oracle() -> str:
+    return """WITH h AS (
+  SELECT event_type, value, COUNT(*) AS cnt FROM events
+  GROUP BY event_type, value),
+cum AS (
+  SELECT event_type, value,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY value) AS cum
+  FROM h),
+tot AS (SELECT event_type, SUM(cnt) AS n_events FROM h GROUP BY event_type),
+p50 AS (
+  SELECT cum.event_type, MIN(value) AS p50
+  FROM cum JOIN tot USING (event_type)
+  WHERE cum >= CEIL(n_events * 1 / 2.0) GROUP BY cum.event_type),
+p95 AS (
+  SELECT cum.event_type, MIN(value) AS p95
+  FROM cum JOIN tot USING (event_type)
+  WHERE cum >= CEIL(n_events * 19 / 20.0) GROUP BY cum.event_type)
+SELECT event_type, n_events, p50, p95
+FROM tot JOIN p50 USING (event_type) JOIN p95 USING (event_type)"""
