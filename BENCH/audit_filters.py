@@ -26,6 +26,9 @@ ALLOW = {
     # synthesized zone table (bounded rows, scalar regex, evaluated at
     # most twice per zone) — not a per-corpus-row cost
     "point_in_polygon",
+    # same zone-side WKT-head predicate, same bounded zone table (the
+    # rollup consumes zone_tile_pairs exactly like point_in_polygon)
+    "quadkey_rollup",
 }
 # Filter [...] or +- Filter (...) lines in the executedPlan string
 FILTER_LINE = re.compile(r"^\s*(?:\+- |:- |:  +- )*\*?\(?\d*\)? ?Filter (.*)$")

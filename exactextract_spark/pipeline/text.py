@@ -535,14 +535,18 @@ def bigram_coverage(spark: SparkSession, sf_dir: str,
     d = _docs(spark, sf_dir).selectExpr(
         "doc_id", "split(trim(text), '\\\\s+') AS toks")
     # sequence(1, 0) would generate a DESCENDING range, so guard <2-token
-    # docs explicitly
-    bg = d.selectExpr(
+    # docs explicitly.  persisted: two consumers (top-k + hits) would
+    # otherwise recompute the bigram arrays, and InferFiltersFromGenerate
+    # inlines the transform tree into a size(bgs) filter below the
+    # explode (the contamination_check precedent; BENCH/audit_filters.py
+    # flags exactly this)
+    bga = d.selectExpr(
         "doc_id",
         "CASE WHEN size(toks) >= 2 THEN"
         " transform(sequence(1, size(toks) - 1),"
         "  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
-        " ELSE array() END AS bgs") \
-        .select("doc_id", F.explode("bgs").alias("bg"))
+        " ELSE array() END AS bgs").persist()
+    bg = bga.select("doc_id", F.explode("bgs").alias("bg"))
     top = (bg.groupBy("bg").count()
            .orderBy(F.desc("count"), F.asc("bg")).limit(k)
            .select("bg"))
