@@ -805,3 +805,26 @@ def test_semdedup_planted_and_boundary_miss(spark):
     for pid in planted[planted.keep].index:
         assert (res.loc[pid, "cluster"]
                 != res.loc[pid - PLANT_OFFSET, "cluster"]), pid
+
+
+def test_event_value_quantiles_disc_semantics(spark, tmp_path):
+    """percentile_disc boundaries: with n=4 distinct values the P50 is
+    the 2nd (ceil(4*0.5)=2) and P95 the 4th (ceil(4*0.95)=4); duplicate
+    values weight the cumulative count."""
+    import datetime as dt
+    rows = [(i, dt.datetime(2024, 1, 1, i), 1, "click", v, "{}")
+            for i, v in enumerate([10.0, 20.0, 30.0, 40.0])]
+    # a second type where a duplicated low value drags P50 down:
+    # values [1,1,1,9] -> cum(1)=3 >= ceil(4*.5)=2 -> P50=1; P95=9
+    rows += [(10 + i, dt.datetime(2024, 1, 2, i), 2, "view", v, "{}")
+             for i, v in enumerate([1.0, 1.0, 1.0, 9.0])]
+    from exactextract_spark.pipeline.streaming_events import (
+        event_value_quantiles)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string") \
+        .write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.event_type: r for r in
+           event_value_quantiles(spark, str(tmp_path)).collect()}
+    assert out["click"].p50 == 20.0 and out["click"].p95 == 40.0
+    assert out["view"].p50 == 1.0 and out["view"].p95 == 9.0
