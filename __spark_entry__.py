@@ -694,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": pclust.kmeans_assign,
         "semdedup": pclust.semdedup,
         "ann_pq": pclust.ann_pq,
+        "ann_ivf_pq": pclust.ann_ivf_pq,
         "ann_topk": psim.ann_topk,
         "ann_ivf": psim.ann_ivf,
         "ann_lsh_buckets": psim.lsh_buckets,
@@ -746,6 +747,7 @@ PIPELINE_ORACLES = {
     "kmeans_assign": pclust.kmeans_assign_oracle,
     "semdedup": pclust.semdedup_oracle,
     "ann_pq": pclust.ann_pq_oracle,
+    "ann_ivf_pq": pclust.ann_ivf_pq_oracle,
     "ann_topk": psim.ann_topk_oracle,
     "ann_ivf": psim.ann_ivf_oracle,
     "ann_lsh_buckets": psim.lsh_buckets_oracle,

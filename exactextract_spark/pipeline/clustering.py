@@ -310,3 +310,111 @@ dups AS (
 SELECT a1.vec_id, a1.cid AS cluster,
   (dups.vec_b IS NULL) AS keep
 FROM a1 LEFT JOIN dups ON a1.vec_id = dups.vec_b"""
+
+
+# --- IVF-PQ: coarse cells + PQ codes inside probed cells --------------
+
+N_PROBE_IVFPQ = 2
+
+
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FAISS IVFPQ composition: a coarse quantizer (the kmeans
+    argmin assignment, K cells) prunes the corpus to each query's
+    N_PROBE nearest cells, and the fine ranking runs on PQ codes via
+    the broadcast ADC lookup table — the scan never touches original
+    floats AND never scores vectors outside the probed posting lists.
+    This is the index every production ANN deployment runs at 100 TB:
+    candidate volume ~ nprobe/K of the corpus, per-candidate cost 4
+    table lookups.
+
+    All distances are exact integers on the quantized coordinates
+    (order-free, bit-identical to the oracle); ties break to the lower
+    cell/code/neighbor id everywhere."""
+    e = _emb_q(spark, sf_dir)
+    init = e.where(F.col("vec_id") < K).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("x").alias("c"))
+    cells = _assign(e, init).select("vec_id", "cid")
+
+    # per-query probed cells: rank the K exact coarse distances, keep 2
+    qd = (e.where(F.col("vec_id") < N_QUERIES_PQ)
+          .join(F.broadcast(init))
+          .selectExpr("vec_id AS query_id", "cid",
+                      f"({_DIST_SPARK.format(x='x', c='c')}) AS d"))
+    from pyspark.sql import Window
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("cid"))
+    probes = (qd.withColumn("_r", F.row_number().over(wq))
+              .where(F.col("_r") <= N_PROBE_IVFPQ).select("query_id", "cid"))
+
+    subs, books, codes = _pq_encode(spark, sf_dir)
+    q = subs.where(F.col("vec_id") < N_QUERIES_PQ).selectExpr(
+        "vec_id AS query_id", "m", "sx AS qx")
+    lut = q.join(F.broadcast(books), "m").selectExpr(
+        "query_id", "m", "cid AS code",
+        f"({_DIST_SPARK.format(x='qx', c='c')}) AS qd")
+    # posting-list restriction: keep only (query, neighbor) pairs whose
+    # neighbor sits in one of the query's probed cells
+    cand = (codes.join(cells, "vec_id")
+            .join(F.broadcast(probes), "cid")
+            .where(F.col("vec_id") != F.col("query_id")))
+    adc = (cand.join(F.broadcast(lut), ["query_id", "m", "code"])
+           .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+           .agg(F.sum("qd").alias("adc_dist")))
+    order = [F.asc("adc_dist"), F.asc("neighbor_id")]
+    wl = Window.partitionBy("query_id", "_salt").orderBy(*order)
+    local = (adc.withColumn("_salt", F.col("neighbor_id") % PQ_SALTS)
+             .withColumn("_lr", F.row_number().over(wl))
+             .where(F.col("_lr") <= TOP_K_PQ).drop("_salt", "_lr"))
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (local.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K_PQ)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("int").alias("rank"), "adc_dist"))
+
+
+def ann_ivf_pq_oracle() -> str:
+    d_init = _DIST_DUCK.format(x="q.x", c="i.c", dim=DIM)
+    dsub = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            f" list_transform(range(1, {SUBDIM} + 1),"
+            " j -> (q.x[{off} + j] - s.x[{off} + j])"
+            " * (q.x[{off} + j] - s.x[{off} + j]))), (a, b) -> a + b)")
+    return f"""WITH qv AS (
+  SELECT vec_id, list_transform(embedding,
+    v -> CAST(FLOOR(CAST(v AS DOUBLE) * {QSCALE}) AS DOUBLE)) AS x
+  FROM embeddings),
+init AS (SELECT CAST(vec_id AS INT) AS cid, x AS c FROM qv
+         WHERE vec_id < {K}),
+dc AS (SELECT q.vec_id, i.cid, ({d_init}) AS d
+       FROM qv q CROSS JOIN init i),
+cells AS (SELECT vec_id, cid FROM
+            (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY d ASC, cid ASC) AS rn FROM dc)
+          WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cid FROM
+             (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY d ASC, cid ASC) AS rn FROM dc
+              WHERE vec_id < {N_QUERIES_PQ})
+           WHERE rn <= {N_PROBE_IVFPQ}),
+ms AS (SELECT range AS m FROM range({M_SUB})),
+d AS (
+  SELECT q.vec_id, ms.m, CAST(s.vec_id AS INT) AS cid,
+         {dsub.format(off=f"ms.m * {SUBDIM}")} AS d
+  FROM qv q CROSS JOIN ms JOIN qv s ON s.vec_id < {K_PQ}),
+codes AS (
+  SELECT vec_id, m, cid AS code FROM
+    (SELECT vec_id, m, cid, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       ORDER BY d ASC, cid ASC) AS rn FROM d)
+  WHERE rn = 1),
+adc AS (
+  SELECT lut.vec_id AS query_id, codes.vec_id AS neighbor_id,
+         SUM(lut.d) AS adc_dist
+  FROM codes
+  JOIN d lut ON lut.m = codes.m AND lut.cid = codes.code
+  JOIN cells ON cells.vec_id = codes.vec_id
+  JOIN probes ON probes.cid = cells.cid
+             AND probes.query_id = lut.vec_id
+  WHERE lut.vec_id < {N_QUERIES_PQ} AND codes.vec_id <> lut.vec_id
+  GROUP BY lut.vec_id, codes.vec_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_dist
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY adc_dist ASC, neighbor_id ASC) AS rank FROM adc)
+WHERE rank <= {TOP_K_PQ}"""

@@ -828,3 +828,32 @@ def test_event_value_quantiles_disc_semantics(spark, tmp_path):
            event_value_quantiles(spark, str(tmp_path)).collect()}
     assert out["click"].p50 == 20.0 and out["click"].p95 == 40.0
     assert out["view"].p50 == 1.0 and out["view"].p95 == 9.0
+
+
+def test_ann_ivf_pq_prunes_to_probed_cells(spark):
+    """Every IVFPQ neighbor must live in one of its query's probed
+    cells (the posting-list restriction actually prunes), and within
+    the probed subset the ranking must agree with full-corpus ADC."""
+    from pyspark.sql import functions as F
+
+    from exactextract_spark.pipeline.clustering import (
+        K, N_QUERIES_PQ, ann_ivf_pq, ann_pq, _assign, _emb_q)
+    e = _emb_q(spark, SF_DIR)
+    init = e.where(F.col("vec_id") < K).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("x").alias("c"))
+    cells = {r.vec_id: r.cid for r in _assign(e, init).collect()}
+    res = ann_ivf_pq(spark, SF_DIR).toPandas()
+    assert set(res.groupby("query_id").size()) == {5}
+    probed = {q: set() for q in range(N_QUERIES_PQ)}
+    for _, r in res.iterrows():
+        probed[r.query_id].add(cells[r.neighbor_id])
+    # <= nprobe distinct cells appear among any query's results
+    assert all(len(s) <= 2 for s in probed.values())
+    # agreement with full-corpus ADC on the probed subset: any full-PQ
+    # neighbor that IVFPQ skipped must sit in an unprobed cell
+    full = ann_pq(spark, SF_DIR).toPandas()
+    got = {(r.query_id, r.neighbor_id) for _, r in res.iterrows()}
+    for _, r in full.iterrows():
+        if (r.query_id, r.neighbor_id) not in got:
+            q_cells = {cells[n] for (qq, n) in got if qq == r.query_id}
+            assert cells[r.neighbor_id] not in q_cells or r.rank > 5
