@@ -857,3 +857,36 @@ def test_ann_ivf_pq_prunes_to_probed_cells(spark):
         if (r.query_id, r.neighbor_id) not in got:
             q_cells = {cells[n] for (qq, n) in got if qq == r.query_id}
             assert cells[r.neighbor_id] not in q_cells or r.rank > 5
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Third independent implementation: 400 random probe/build rows
+    per seed, compared against pandas.merge_asof (backward, inclusive)
+    — the same semantics DuckDB's ASOF JOIN oracles at the driver."""
+    rng = np.random.default_rng(11)
+    n = 400
+    probe = pd.DataFrame({
+        "user_id": rng.integers(0, 6, n),
+        "ts": pd.Timestamp("2024-01-01")
+              + pd.to_timedelta(rng.integers(0, 86_400 * 5, n), unit="s"),
+        "event_id": np.arange(n)})
+    build = pd.DataFrame({
+        "user_id": rng.integers(0, 6, n // 2),
+        "ts": pd.Timestamp("2024-01-01")
+              + pd.to_timedelta(rng.integers(0, 86_400 * 5, n // 2), unit="s"),
+        "b_val": np.arange(n // 2) * 10})
+    # asof_join requires build unique per (key, ts)
+    build = build.drop_duplicates(["user_id", "ts"], keep="last")
+
+    from exactextract_spark.pipeline.events_join import asof_join
+    got = asof_join(spark.createDataFrame(probe),
+                    spark.createDataFrame(build), "user_id") \
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    exp = pd.merge_asof(
+        probe.sort_values("ts"), build.sort_values("ts"),
+        on="ts", by="user_id", direction="backward") \
+        .sort_values("event_id").reset_index(drop=True)
+    assert len(got) == n
+    g = got["b_val"]
+    e = exp["b_val"]
+    assert ((g == e) | (g.isna() & e.isna())).all()
