@@ -447,6 +447,46 @@ FROM s, mx GROUP BY user_id, sid, m
 HAVING MAX(ts) + INTERVAL 2 HOUR <= m - INTERVAL 2 DAY"""
 
 
+def _streaming_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (fifth streaming shape): purchases
+    and clicks of the same event stream joined on user + trailing-24h
+    time range, watermarked on both sides.  The events stream as three
+    files with the rollup's held-back late subset (days 9–10 rows in
+    the SECOND file, within the 2-day lateness), so late clicks must
+    join purchase state retained from an earlier micro-batch — the
+    final emitted pair set equals the batch inequality join exactly."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from exactextract_spark.pipeline._stream_util import stagger_mtimes
+    from exactextract_spark.pipeline.events_join import (
+        range_join_pairs_snapshot, stream_range_join)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    late = ((F.col("ts") >= F.lit("2024-01-09"))
+            & (F.col("ts") < F.lit("2024-01-11"))
+            & (F.crc32(F.col("event_id").cast("string").cast("binary"))
+               % 4 == 0))
+    splits = [
+        ev.where((F.col("ts") < F.lit("2024-01-11")) & ~late),
+        ev.where(((F.col("ts") >= F.lit("2024-01-11"))
+                  & (F.col("ts") < F.lit("2024-01-21"))) | late),
+        ev.where(F.col("ts") >= F.lit("2024-01-21")),
+    ]
+    base = tempfile.mkdtemp(prefix="ee_srj_")
+    indir = os.path.join(base, "in")
+    for k, df in enumerate(splits):
+        p = os.path.join(indir, f"f{k}.parquet")
+        df.coalesce(1).write.parquet(p)
+        stagger_mtimes(p, float(k))
+    stream_range_join(spark, indir + "/*", os.path.join(base, "out"),
+                      os.path.join(base, "ck"))
+    return range_join_pairs_snapshot(spark, os.path.join(base, "out"))
+
+
 def _pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exactextract_spark.pipeline.packing import pack_documents
     return pack_documents(spark, sf_dir)
@@ -653,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _streaming_dedup,
         "streaming_event_rollup": _streaming_event_rollup,
         "streaming_sessions": _streaming_sessions,
+        "streaming_range_join": _streaming_range_join,
         "event_sessions": _event_sessions,
         "pack_documents": _pack_documents,
         "shuffle_documents": _shuffle_documents,
@@ -718,6 +759,7 @@ PIPELINE_ORACLES = {
     "streaming_dedup": _streaming_dedup_oracle,
     "streaming_event_rollup": _streaming_event_rollup_oracle,
     "streaming_sessions": _streaming_sessions_oracle,
+    "streaming_range_join": pevjoin.streaming_range_join_oracle,
     "event_sessions": _event_sessions_oracle,
     "pack_documents": _pack_documents_oracle,
     "shuffle_documents": _shuffle_documents_oracle,

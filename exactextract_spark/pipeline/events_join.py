@@ -189,3 +189,67 @@ FROM events p LEFT JOIN events c
  AND c.ts > p.ts - INTERVAL 24 HOUR AND c.ts <= p.ts
 WHERE p.event_type = 'purchase'
 GROUP BY 1, 2, 3"""
+
+
+# --- stream-stream interval join (fifth streaming shape) --------------
+
+def stream_range_join(spark: SparkSession, input_glob: str, out_path: str,
+                      checkpoint_dir: str, window_hours: int = 24,
+                      delay: str = "2 days",
+                      max_files_per_trigger: int = 1):
+    """Stream-stream inner join with a time-range condition: purchases
+    joined to the same user's clicks in the trailing ``window_hours``,
+    both sides read from ONE event stream (filtered per side) with
+    watermarks.  The time-range predicate bounds each side's state:
+    a click is droppable once the watermark passes click_ts + window,
+    a purchase once it passes purchase_ts — Spark derives both from
+    the condition, so state is O(window × rate), not stream length.
+
+    Matches emit exactly once as both sides arrive (append mode); a
+    late row inside the allowed lateness still joins against retained
+    state from earlier micro-batches — the cross-batch evidence the
+    gate checks.  With every input inside the lateness bound the final
+    output equals the batch inequality join exactly.
+    """
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(input_glob))
+    purch = (stream.where(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("p_id"), "user_id",
+                     F.col("ts").alias("p_ts"))
+             .withWatermark("p_ts", delay))
+    clicks = (stream.where(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("c_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts"),
+                      F.col("value").alias("c_value"))
+              .withWatermark("c_ts", delay))
+    joined = purch.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr(f"INTERVAL {window_hours} HOURS"))
+        & (F.col("c_ts") <= F.col("p_ts")))
+    from ._stream_util import run_to_partition_dirs
+    return run_to_partition_dirs(joined, out_path, checkpoint_dir, "append")
+
+
+def range_join_pairs_snapshot(spark: SparkSession, out_path: str) -> DataFrame:
+    """Emitted (purchase, click) pairs in the oracle's column shape."""
+    return (spark.read.parquet(out_path)
+            .select(F.col("p_id").alias("event_id"), "user_id",
+                    F.date_format("p_ts", _TS_FMT).alias("ts"),
+                    F.col("c_id").alias("click_id"),
+                    F.date_format("c_ts", _TS_FMT).alias("click_ts"),
+                    F.col("c_value").alias("click_value")))
+
+
+def streaming_range_join_oracle() -> str:
+    return """SELECT p.event_id, p.user_id,
+  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+  c.event_id AS click_id,
+  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+  c.value AS click_value
+FROM events p JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts > p.ts - INTERVAL 24 HOUR AND c.ts <= p.ts
+WHERE p.event_type = 'purchase'"""

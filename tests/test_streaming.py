@@ -228,3 +228,40 @@ def test_streaming_weighted_matches_batch(spark, tmp_path):
                     assert got[z][k] != got[z][k], (wid, z, k)
                 else:
                     assert got[z][k] == pytest.approx(v), (wid, z, k)
+
+
+def test_stream_range_join_cross_batch_match(spark, tmp_path):
+    """A purchase in micro-batch 1 must join a click that only arrives
+    in micro-batch 2 (retained state), each pair emitted exactly once."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from exactextract_spark.pipeline._stream_util import stagger_mtimes
+    from exactextract_spark.pipeline.events_join import (
+        range_join_pairs_snapshot, stream_range_join)
+
+    rows1 = [(1, dt.datetime(2024, 1, 5, 12, 0, 0), 7, "purchase", 5.0, "{}"),
+             (2, dt.datetime(2024, 1, 5, 11, 0, 0), 7, "click", 1.0, "{}"),
+             (9, dt.datetime(2024, 1, 6, 0, 0, 0), 8, "view", 0.0, "{}")]
+    # batch 2: a LATE click (within the 2-day watermark) preceding the
+    # batch-1 purchase, plus a click outside the 24h window
+    rows2 = [(3, dt.datetime(2024, 1, 5, 10, 0, 0), 7, "click", 2.0, "{}"),
+             (4, dt.datetime(2024, 1, 4, 10, 0, 0), 7, "click", 3.0, "{}"),
+             (5, dt.datetime(2024, 1, 7, 0, 0, 0), 8, "purchase", 9.0, "{}")]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    base = str(tmp_path)
+    for k, rows in enumerate((rows1, rows2)):
+        p = os.path.join(base, "in", f"f{k}.parquet")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(p)
+        stagger_mtimes(p, float(k))
+    stream_range_join(spark, base + "/in/*", base + "/out", base + "/ck")
+    out = range_join_pairs_snapshot(spark, base + "/out").toPandas()
+    pairs = sorted(zip(out["event_id"], out["click_id"]))
+    # purchase 1 joins click 2 (same batch) AND late click 3 (cross
+    # batch); click 4 is 26h before -> outside window; purchase 5 has
+    # no clicks for user 8
+    assert pairs == [(1, 2), (1, 3)], pairs
+    assert len(out) == len(out.drop_duplicates(["event_id", "click_id"]))
