@@ -168,6 +168,25 @@ def main():
             "<= k*salts rows per query) — no task ranks the full corpus.",
             plan_of(pqr)))
 
+    sev2 = spark.readStream.schema(EVENTS_SCHEMA).parquet("/tmp/_plan_stub/*")
+    pside = (sev2.where(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("p_id"), "user_id",
+                     F.col("ts").alias("p_ts")).withWatermark("p_ts", "2 days"))
+    cside = (sev2.where(F.col("event_type") == "click")
+             .select(F.col("event_id").alias("c_id"),
+                     F.col("user_id").alias("c_user"),
+                     F.col("ts").alias("c_ts")).withWatermark("c_ts", "2 days"))
+    ssj = pside.join(cside, (F.col("user_id") == F.col("c_user"))
+                     & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
+                     & (F.col("c_ts") <= F.col("p_ts")))
+    sections.append((
+        "streaming_range_join — stream-stream interval join (template)",
+        "StreamingSymmetricHashJoin on the user key with EventTimeWatermark "
+        "on BOTH sides; the time-range condition gives Spark per-side state "
+        "eviction bounds (state is O(window × rate), not stream length); "
+        "matches emit exactly once in append mode.",
+        plan_of(ssj)))
+
     pq_ev = "/root/testdata/sf0.01/events.parquet"
     if Path(pq_ev).exists():
         from exactextract_spark.pipeline.events_join import (event_asof_join,
