@@ -26,6 +26,7 @@ from exactextract_spark.pipeline import clustering as pclust
 from exactextract_spark.pipeline import dedup as pdedup
 from exactextract_spark.pipeline import multimodal as pmm
 from exactextract_spark.pipeline import similarity as psim
+from exactextract_spark.pipeline import events_analytics as pevana
 from exactextract_spark.pipeline import events_join as pevjoin
 from exactextract_spark.pipeline import streaming_events as pstream_events
 from exactextract_spark.pipeline import text as ptext
@@ -192,6 +193,29 @@ def _zonal_area(spark: SparkSession, sf_dir: str) -> DataFrame:
          "area_sum=sum(coverage_weight=area_cartesian)",
          "area_mean=mean(coverage_weight=area_cartesian)"],
         grid=grid, strategy="broadcast")
+
+
+def _rasterize_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector→raster: burn every zone's exact coverage onto the grid
+    (gdal_rasterize direction).  Pure geometry — subdivide's kernel
+    emits the (zone, cell) pieces inside the tile-scan stage, then ONE
+    cell-keyed shuffle with map-side combine aggregates across zones
+    (rasterize.py)."""
+    from exactextract_spark.rasterize import rasterize_burn
+
+    cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
+    return rasterize_burn(zones, tiles, grid=grid, strategy="broadcast")
+
+
+def _zonal_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-raster joint tabulation (value × weight-raster value) per
+    zone with within-zone shares — the joint extension of frac
+    (api.zonal_crosstab)."""
+    from exactextract_spark.api import zonal_crosstab
+
+    cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
+    return zonal_crosstab(zones, tiles, wtiles, grid=grid,
+                          strategy="broadcast")
 
 
 def _zonal_weights_array(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -684,6 +708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_bandmath": _zonal_bandmath,
         "zonal_area": _zonal_area,
         "zonal_weights_array": _zonal_weights_array,
+        "rasterize_burn": _rasterize_burn,
+        "zonal_crosstab": _zonal_crosstab,
         "zonal_custom": _zonal_custom,
         "zonal_binned": _zq(["variety(bin_width=2)", "majority(bin_width=2)",
                              "minority(bin_width=2)"]),
@@ -724,6 +750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_quantiles": pstream_events.event_value_quantiles,
         "event_asof_join": pevjoin.event_asof_join,
         "event_range_join": pevjoin.event_range_join,
+        "event_funnel": pevana.event_funnel,
+        "user_retention": pevana.user_retention,
+        "user_rolling_features": pevana.user_rolling_features,
         "dedup_ngram_jaccard": pdedup.ngram_jaccard,
         "line_dedup": pdedup.line_dedup,
         "contamination_check": pdedup.contamination_check,
@@ -778,6 +807,9 @@ PIPELINE_ORACLES = {
     "event_value_quantiles": pstream_events.event_value_quantiles_oracle,
     "event_asof_join": pevjoin.event_asof_join_oracle,
     "event_range_join": pevjoin.event_range_join_oracle,
+    "event_funnel": pevana.event_funnel_oracle,
+    "user_retention": pevana.user_retention_oracle,
+    "user_rolling_features": pevana.user_rolling_features_oracle,
     "dedup_ngram_jaccard": pdedup.ngram_jaccard_oracle,
     "line_dedup": pdedup.line_dedup_oracle,
     "contamination_check": pdedup.contamination_check_oracle,

@@ -11,7 +11,8 @@ from .extract import ZonalExtractor
 from .ops import parse_ops
 
 __all__ = ["exact_extract_multi", "exact_extract_fused",
-           "exact_extract_multiband", "unnest_arrays", "frac_as_map"]
+           "exact_extract_multiband", "zonal_crosstab", "unnest_arrays",
+           "frac_as_map"]
 
 
 def exact_extract_multi(zones: DataFrame, rasters: dict[str, DataFrame], ops, *,
@@ -106,6 +107,44 @@ def exact_extract_multiband(zones: DataFrame, tiles: DataFrame, ops, *,
     ext = ZonalExtractor(zones, t2, grid=grid, tile_size=tile_size,
                          strategy=strategy)
     return ext.extract(op_list, include_cols=include_cols)
+
+
+def zonal_crosstab(zones: DataFrame, tiles: DataFrame,
+                   weight_tiles: DataFrame, *,
+                   grid: dict | None = None,
+                   strategy: str = "auto") -> DataFrame:
+    """Joint two-raster tabulation per zone (cross-tab): coverage-sum
+    and within-zone share for every (value, weight-raster value) pair —
+    the joint extension of the reference's per-value ``frac`` stat
+    (raster_stats.h frac semantics), i.e. QGIS/ArcGIS "tabulate area"
+    crossed over two categorical rasters.
+
+    One extraction computes aligned per-cell (values, weights,
+    coverage) arrays — both arrays enumerate exactly the defined-value
+    cells in cell_id order, so a JVM arrays_zip pairs them without a
+    join.  The tabulation is one hash shuffle on (zone, value, weight)
+    with map-side combine; ``frac`` divides by the per-zone total via a
+    window over the already-compact group rows (≤ |value domain| ×
+    |weight domain| rows per zone — bounded state, never the raw
+    cells)."""
+    from pyspark.sql import Window
+
+    from .extract import exact_extract
+
+    res = exact_extract(zones, tiles, ["values", "weights", "coverage"],
+                        weight_tiles=weight_tiles, grid=grid,
+                        strategy=strategy)
+    e = (res.select("zone_id",
+                    F.explode(F.arrays_zip("values", "weights", "coverage"))
+                     .alias("e"))
+         .select("zone_id",
+                 F.col("e.values").alias("value"),
+                 F.col("e.weights").alias("weight"),
+                 F.col("e.coverage").cast("double").alias("cov")))
+    g = e.groupBy("zone_id", "value", "weight") \
+         .agg(F.sum("cov").alias("count"))
+    w = Window.partitionBy("zone_id")
+    return g.withColumn("frac", F.col("count") / F.sum("count").over(w))
 
 
 def unnest_arrays(df: DataFrame, array_cols: list[str] | None = None,

@@ -383,6 +383,28 @@ FROM zones z JOIN cells c
   ON c.cx1 > z.zx0 AND c.cx0 < z.zx1 AND c.cy1 > z.zy0 AND c.cy0 < z.zy1"""
 
 
+def rasterize_burn(cfg):
+    """Vector→raster burn: per covered grid cell, the number of zones
+    covering it and the summed exact coverage fraction.  Pure geometry
+    — no value filter, no raster read (rasterize.py)."""
+    return f"""WITH {pairs_sql(cfg)}
+SELECT cell_id, r, c, COUNT(*) AS n_zones, SUM(cov) AS burn
+FROM pairs GROUP BY cell_id, r, c"""
+
+
+def zonal_crosstab(cfg):
+    """Joint (value, weight-value) tabulation per zone — the 2-raster
+    cross-tab; frac is one correctly-rounded division of exact
+    1/16-multiple sums, identical in both engines."""
+    return f"""WITH {pairs_sql(cfg)},
+g AS (
+  SELECT zone_id, val AS value, wgt AS weight, SUM(cov) AS "count"
+  FROM pairs WHERE val IS NOT NULL GROUP BY 1, 2, 3)
+SELECT zone_id, value, weight, "count",
+       "count" / SUM("count") OVER (PARTITION BY zone_id) AS frac
+FROM g"""
+
+
 def zonal_binned(cfg):
     """bin_width histogram quantization (engine extension beyond the
     reference — bounded state for continuous rasters): values floor to
@@ -545,6 +567,8 @@ ZONAL_ORACLES = {
     "zonal_weights_array": zonal_weights_array,
     "zonal_custom": zonal_custom,
     "zonal_binned": zonal_binned,
+    "rasterize_burn": rasterize_burn,
+    "zonal_crosstab": zonal_crosstab,
     "checkpoint_resume": zonal_incremental,
     "streaming_snapshot": zonal_incremental,
     # streamed value tiles weighted by a STATIC weight raster (w0):

@@ -1,0 +1,182 @@
+"""Semantic tests for the session-5 operators: rasterize (vector→raster
+burn + round trip), zonal crosstab, funnel, and rolling features."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _zdf(spark, zones):
+    return spark.createDataFrame(list(zones.items()), ["zone_id", "geometry"])
+
+
+# --- rasterize -------------------------------------------------------------
+
+def test_rasterize_burn_unit_square(spark):
+    """A zone exactly covering one cell burns 1.0 there and nothing
+    else; overlapping zones sum."""
+    from exactextract_spark.io import tiles_from_array
+    from exactextract_spark.rasterize import rasterize_burn
+
+    tiles = tiles_from_array(spark, np.zeros((8, 8)), tile=8)
+    zones = _zdf(spark, {
+        "a": "POLYGON((2 5, 3 5, 3 6, 2 6, 2 5))",     # cell r=2,c=2
+        "b": "POLYGON((2 5, 3 5, 3 6, 2 6, 2 5))",     # same cell
+        "c": "POLYGON((2.5 5, 3 5, 3 6, 2.5 6, 2.5 5))",  # right half
+    })
+    rows = {r["cell_id"]: r for r in rasterize_burn(zones, tiles).collect()}
+    assert set(rows) == {2 * 8 + 2}
+    r = rows[18]
+    assert r["n_zones"] == 3 and r["burn"] == 2.5
+    assert (r["r"], r["c"]) == (2, 2)
+
+
+def test_rasterize_roundtrip_through_extract(spark):
+    """burn_to_tiles output is a first-class raster: zonal sum over the
+    burned layer equals the burn total exactly (vector→raster→zonal)."""
+    from exactextract_spark.io import tiles_from_array
+    from exactextract_spark.rasterize import burn_to_tiles, rasterize_burn
+    from exactextract_spark.extract import exact_extract
+
+    g = 16
+    tiles = tiles_from_array(spark, np.zeros((g, g)), tile=8)
+    zones = _zdf(spark, {
+        "a": "POLYGON((1.25 2, 5.5 2, 5.5 9.75, 1.25 9.75, 1.25 2))",
+        "b": "POLYGON((4 4, 12 4, 12 12, 4 12, 4 4))",
+    })
+    grid = dict(grid_xmin=0.0, grid_ymax=float(g), dx=1.0, dy=1.0,
+                grid_nrows=g, grid_ncols=g, tile=8)
+    burn = rasterize_burn(zones, tiles, grid=grid).cache()
+    total = burn.agg(F.sum("burn")).first()[0]
+    n_cells = burn.count()
+
+    burned_tiles = burn_to_tiles(burn, grid)
+    whole = _zdf(spark, {"all": f"POLYGON((0 0, {g} 0, {g} {g}, 0 {g}, 0 0))"})
+    res = exact_extract(whole, burned_tiles, ["sum", "count"],
+                        grid=grid).first()
+    # sum over the burned raster == total burn (cells outside any zone
+    # inside a touched tile contribute 0); count == full cells of every
+    # touched tile (payloads are dense, nodata-free)
+    assert res["sum"] == total
+    n_tiles = burned_tiles.count()
+    assert res["count"] == n_tiles * 64.0
+    assert n_cells > 0 and total > 0
+
+
+def test_burn_to_tiles_payload_values(spark):
+    """Decoded payload holds the burn at (r, c) and 0 elsewhere."""
+    from exactextract_spark.io import decode_tile, tiles_from_array
+    from exactextract_spark.rasterize import burn_to_tiles, rasterize_burn
+
+    tiles = tiles_from_array(spark, np.zeros((8, 8)), tile=8)
+    zones = _zdf(spark, {"h": "POLYGON((2.5 5, 3 5, 3 6, 2.5 6, 2.5 5))"})
+    grid = dict(grid_xmin=0.0, grid_ymax=8.0, dx=1.0, dy=1.0,
+                grid_nrows=8, grid_ncols=8, tile=8)
+    out = burn_to_tiles(rasterize_burn(zones, tiles, grid=grid), grid).collect()
+    assert len(out) == 1
+    t = out[0]
+    arr = decode_tile(t["values"], t["dtype"], t["nrows"], t["ncols"])
+    assert arr[2, 2] == 0.5
+    assert arr.sum() == 0.5 and t["nodata"] is None
+
+
+# --- crosstab --------------------------------------------------------------
+
+def test_crosstab_consistency_with_count_and_frac(spark):
+    """Per-zone crosstab totals equal the scalar count stat bit-exactly;
+    fracs sum to 1 within fp tolerance."""
+    from exactextract_spark.api import zonal_crosstab
+    from exactextract_spark.io import tiles_from_array
+    from exactextract_spark.extract import exact_extract
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 4, (16, 16)).astype(float)
+    wgts = rng.randint(0, 3, (16, 16)).astype(float)
+    tiles = tiles_from_array(spark, vals, tile=8)
+    wt = tiles_from_array(spark, wgts, tile=8, raster_id="w")
+    zones = _zdf(spark, {
+        "a": "POLYGON((0.25 0.25, 10.5 0.25, 10.5 7.75, 0.25 7.75, 0.25 0.25))",
+        "b": "POLYGON((5 5, 15 5, 15 15, 5 15, 5 5))",
+    })
+    ct = zonal_crosstab(zones, tiles, wt).cache()
+    totals = {r["zone_id"]: r["t"] for r in
+              ct.groupBy("zone_id").agg(F.sum("count").alias("t")).collect()}
+    counts = {r["zone_id"]: r["count"] for r in
+              exact_extract(zones, tiles, ["count"]).collect()}
+    assert totals == counts
+    fs = {r["zone_id"]: r["f"] for r in
+          ct.groupBy("zone_id").agg(F.sum("frac").alias("f")).collect()}
+    for v in fs.values():
+        assert abs(v - 1.0) < 1e-12
+    # joint cells carry both rasters' values
+    cats = {(r["value"], r["weight"]) for r in ct.collect()}
+    assert len(cats) > 4  # genuinely joint, not one-dimensional
+
+
+# --- funnel ----------------------------------------------------------------
+
+def test_funnel_semantics(spark):
+    """Step ordering is at-or-after; out-of-order steps don't count;
+    stage is the deepest prefix reached."""
+    from exactextract_spark.pipeline.events_analytics import funnel
+
+    rows = [
+        # user 1: purchase@5 precedes the first valid click -> ignored;
+        # click@10 ties the first view (at-or-after counts); purchase@20 ok
+        (1, "purchase", 5), (1, "view", 10), (1, "click", 10), (1, "purchase", 20),
+        # user 2: clicks only before the first view -> stage 1
+        (2, "click", 5), (2, "view", 10), (2, "click", 7), (2, "purchase", 8),
+        # user 3: no funnel step at all -> stage 0
+        (3, "error", 1),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "us"]) \
+        .select("user_id", "event_type",
+                F.timestamp_micros(F.col("us")).alias("ts"))
+    out = {r["user_id"]: r for r in
+           funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert (out[1]["t_view"], out[1]["t_click"], out[1]["t_purchase"],
+            out[1]["funnel_stage"]) == (10, 10, 20, 3)
+    assert (out[2]["t_view"], out[2]["t_click"], out[2]["funnel_stage"]) \
+        == (10, None, 1)
+    assert out[3]["funnel_stage"] == 0
+
+
+def test_funnel_single_shuffle_plan(spark):
+    """All funnel steps stack on ONE exchange: the window operators and
+    the final aggregate share the user_id hash partitioning."""
+    from exactextract_spark.pipeline.events_analytics import funnel
+
+    ev = spark.createDataFrame([(1, "view", 1)], ["user_id", "event_type", "us"]) \
+        .select("user_id", "event_type",
+                F.timestamp_micros(F.col("us")).alias("ts"))
+    plan = funnel(ev, ["view", "click", "purchase"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    import re
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l
+                 and "Broadcast" not in l]
+    assert len(exchanges) == 1, plan
+
+
+# --- rolling features ------------------------------------------------------
+
+def test_rolling_window_boundary(spark):
+    """Trailing window is (t - W, t]: exactly t-W is out, t is in,
+    equal-timestamp peers are in."""
+    from exactextract_spark.pipeline.events_analytics import rolling_features
+
+    rows = [(1, 0, 1.0), (1, 999, 2.0), (1, 1000, 4.0), (1, 2000, 8.0),
+            (1, 999, 16.0)]
+    ev = spark.createDataFrame(rows, ["user_id", "us", "value"]) \
+        .select("user_id", F.timestamp_micros(F.col("us")).alias("ts"), "value")
+    out = rolling_features(ev, window_us=1000)
+    got = {(r["user_id"], r["_tsl"], float(r["value"])): (r["_n"], float(r["_s"]))
+           for r in out.collect()}
+    assert got[(1, 0, 1.0)] == (1, 1.0)
+    # both ts=999 rows are peers: each sees the other
+    assert got[(1, 999, 2.0)] == (3, 19.0)
+    assert got[(1, 999, 16.0)] == (3, 19.0)
+    # ts=1000: frame (0, 1000] excludes the t-W row at 0
+    assert got[(1, 1000, 4.0)] == (3, 22.0)
+    # ts=2000: frame (1000, 2000] keeps only 2000 itself... and 1000? no:
+    # 1000 == t - W exactly -> excluded
+    assert got[(1, 2000, 8.0)] == (1, 8.0)
