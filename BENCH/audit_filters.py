@@ -29,6 +29,10 @@ ALLOW = {
     # same zone-side WKT-head predicate, same bounded zone table (the
     # rollup consumes zone_tile_pairs exactly like point_in_polygon)
     "quadkey_rollup",
+    # same zone-side WKT-head predicate again — rasterize_burn feeds
+    # zones through subdivide, whose validation inlines over the
+    # bounded zone table (scalar regex, ≤2 evaluations per zone row)
+    "rasterize_burn",
 }
 # Filter [...] or +- Filter (...) lines in the executedPlan string
 FILTER_LINE = re.compile(r"^\s*(?:\+- |:- |:  +- )*\*?\(?\d*\)? ?Filter (.*)$")

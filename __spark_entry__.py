@@ -207,6 +207,18 @@ def _rasterize_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rasterize_burn(zones, tiles, grid=grid, strategy="broadcast")
 
 
+def _focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell neighborhood stats (radius-2 square window) via the
+    halo-exchange stencil: one map-only scatter of ≤R-deep boundary
+    strips + ONE tile-keyed shuffle; vectorized window evaluation
+    (focal.py).  The oracle is the naive (2R+1)²-fan-out self-join —
+    same numbers, 25× the shuffle volume."""
+    from exactextract_spark.focal import focal_stats
+
+    cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
+    return focal_stats(tiles, radius=2, grid=grid)
+
+
 def _zonal_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-raster joint tabulation (value × weight-raster value) per
     zone with within-zone shares — the joint extension of frac
@@ -710,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_weights_array": _zonal_weights_array,
         "rasterize_burn": _rasterize_burn,
         "zonal_crosstab": _zonal_crosstab,
+        "focal_mean": _focal_mean,
         "zonal_custom": _zonal_custom,
         "zonal_binned": _zq(["variety(bin_width=2)", "majority(bin_width=2)",
                              "minority(bin_width=2)"]),

@@ -405,6 +405,25 @@ SELECT zone_id, value, weight, "count",
 FROM g"""
 
 
+def focal_mean(cfg):
+    """Radius-2 focal statistics as the naive self-join: every cell
+    joined to its ≤25 window neighbors, aggregated per center.  The
+    engine's halo-exchange produces the same numbers with 1/25th the
+    shuffle volume (focal.py); window sums are ≤25 small integers, so
+    both engines are bit-exact."""
+    return f"""WITH {cells_sql(cfg)}
+SELECT c.cell_id, CAST(c.r AS INT) AS r, CAST(c.c AS INT) AS c,
+       COUNT(n.val) AS focal_n,
+       SUM(n.val) AS focal_sum,
+       SUM(n.val) / COUNT(n.val) AS focal_mean,
+       MIN(n.val) AS focal_min,
+       MAX(n.val) AS focal_max
+FROM cells c JOIN cells n
+  ON n.r BETWEEN c.r - 2 AND c.r + 2
+ AND n.c BETWEEN c.c - 2 AND c.c + 2
+GROUP BY 1, 2, 3"""
+
+
 def zonal_binned(cfg):
     """bin_width histogram quantization (engine extension beyond the
     reference — bounded state for continuous rasters): values floor to
@@ -567,6 +586,7 @@ ZONAL_ORACLES = {
     "zonal_weights_array": zonal_weights_array,
     "zonal_custom": zonal_custom,
     "zonal_binned": zonal_binned,
+    "focal_mean": focal_mean,
     "rasterize_burn": rasterize_burn,
     "zonal_crosstab": zonal_crosstab,
     "checkpoint_resume": zonal_incremental,

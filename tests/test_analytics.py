@@ -180,3 +180,99 @@ def test_rolling_window_boundary(spark):
     # ts=2000: frame (1000, 2000] keeps only 2000 itself... and 1000? no:
     # 1000 == t - W exactly -> excluded
     assert got[(1, 2000, 8.0)] == (1, 8.0)
+
+
+# --- focal statistics --------------------------------------------------------
+
+def _brute_focal(arr, rad):
+    """Reference implementation: per-cell clipped-window stats over a
+    NaN-masked array."""
+    nr, nc = arr.shape
+    out = {}
+    for r in range(nr):
+        for c in range(nc):
+            w = arr[max(0, r - rad):r + rad + 1, max(0, c - rad):c + rad + 1]
+            v = w[~np.isnan(w)]
+            out[(r, c)] = (len(v),
+                           v.sum() if len(v) else None,
+                           v.sum() / len(v) if len(v) else None,
+                           v.min() if len(v) else None,
+                           v.max() if len(v) else None)
+    return out
+
+
+def test_focal_matches_bruteforce_across_tile_edges(spark):
+    """9×10 grid on 4-cell tiles (ragged edges + interior tile corners)
+    against the brute-force window: halo strips must supply every
+    cross-tile neighbor exactly once."""
+    from exactextract_spark.focal import focal_stats
+    from exactextract_spark.io import tiles_from_array
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 50, (9, 10)).astype(float)
+    arr[rng.rand(9, 10) < 0.2] = -1.0          # nodata sentinel
+    tiles = tiles_from_array(spark, arr, tile=4, nodata=-1.0)
+    grid = dict(grid_xmin=0.0, grid_ymax=9.0, dx=1.0, dy=1.0,
+                grid_nrows=9, grid_ncols=10, tile=4)
+    got = {(r["r"], r["c"]): (r["focal_n"], r["focal_sum"], r["focal_mean"],
+                              r["focal_min"], r["focal_max"])
+           for r in focal_stats(tiles, radius=2, grid=grid).collect()}
+    ref = _brute_focal(np.where(arr == -1.0, np.nan, arr), 2)
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k] == ref[k], (k, got[k], ref[k])
+
+
+def test_focal_boundary_clipping_and_all_nodata_window(spark):
+    """Corner windows clip to (R+1)²; a window of pure nodata yields
+    n=0 and NULL stats."""
+    from exactextract_spark.focal import focal_stats
+    from exactextract_spark.io import tiles_from_array
+
+    arr = np.full((6, 6), -1.0)
+    arr[5, 5] = 7.0                             # one defined cell
+    tiles = tiles_from_array(spark, arr, tile=8, nodata=-1.0)
+    grid = dict(grid_xmin=0.0, grid_ymax=6.0, dx=1.0, dy=1.0,
+                grid_nrows=6, grid_ncols=6, tile=8)
+    rows = {(r["r"], r["c"]): r
+            for r in focal_stats(tiles, radius=1, grid=grid).collect()}
+    assert len(rows) == 36
+    z = rows[(0, 0)]
+    assert z["focal_n"] == 0 and z["focal_sum"] is None \
+        and z["focal_mean"] is None and z["focal_min"] is None
+    hit = rows[(4, 4)]                          # window includes (5,5)
+    assert hit["focal_n"] == 1 and hit["focal_sum"] == 7.0 \
+        and hit["focal_min"] == 7.0 and hit["focal_max"] == 7.0
+
+
+def test_focal_roundtrip_through_extract(spark):
+    """focal_to_tiles output is a first-class raster: zonal mean of the
+    smoothed layer over the whole grid equals the mean of focal_mean."""
+    from exactextract_spark.extract import exact_extract
+    from exactextract_spark.focal import focal_stats, focal_to_tiles
+    from exactextract_spark.io import tiles_from_array
+
+    arr = (np.arange(64, dtype=float) % 23).reshape(8, 8)
+    tiles = tiles_from_array(spark, arr, tile=4)
+    grid = dict(grid_xmin=0.0, grid_ymax=8.0, dx=1.0, dy=1.0,
+                grid_nrows=8, grid_ncols=8, tile=4)
+    cells = focal_stats(tiles, radius=1, grid=grid).cache()
+    sm = focal_to_tiles(cells, grid)
+    whole = _zdf(spark, {"all": "POLYGON((0 0, 8 0, 8 8, 0 8, 0 0))"})
+    res = exact_extract(whole, sm, ["mean", "count"], grid=grid).first()
+    exp = cells.agg(F.avg("focal_mean")).first()[0]
+    assert res["count"] == 64.0
+    assert abs(res["mean"] - exp) < 1e-12
+
+
+def test_focal_radius_guard(spark):
+    from exactextract_spark.focal import focal_stats
+    from exactextract_spark.io import tiles_from_array
+
+    tiles = tiles_from_array(spark, np.zeros((8, 8)), tile=4)
+    grid = dict(grid_xmin=0.0, grid_ymax=8.0, dx=1.0, dy=1.0,
+                grid_nrows=8, grid_ncols=8, tile=4)
+    with pytest.raises(ValueError, match="exceeds tile size"):
+        focal_stats(tiles, radius=5, grid=grid)
+    with pytest.raises(ValueError, match="radius"):
+        focal_stats(tiles, radius=0, grid=grid)
