@@ -219,6 +219,16 @@ def _focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return focal_stats(tiles, radius=2, grid=grid)
 
 
+def _raster_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4× overview level (gdaladdo -r average shape): f×f block stats,
+    map-only with ZERO shuffles because the factor divides the tile
+    size (pyramid.py; plan asserted shuffle-free in tests)."""
+    from exactextract_spark.pyramid import overview
+
+    cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
+    return overview(tiles, factor=4, grid=grid)
+
+
 def _zonal_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-raster joint tabulation (value × weight-raster value) per
     zone with within-zone shares — the joint extension of frac
@@ -723,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_burn": _rasterize_burn,
         "zonal_crosstab": _zonal_crosstab,
         "focal_mean": _focal_mean,
+        "raster_overview": _raster_overview,
         "zonal_custom": _zonal_custom,
         "zonal_binned": _zq(["variety(bin_width=2)", "majority(bin_width=2)",
                              "minority(bin_width=2)"]),

@@ -424,6 +424,19 @@ FROM cells c JOIN cells n
 GROUP BY 1, 2, 3"""
 
 
+def raster_overview(cfg):
+    """4×4 block aggregation (overview level): COUNT/SUM/MIN/MAX over
+    each block's defined cells; all-nodata blocks keep their row with
+    n=0 and NULL stats.  Block sums are ≤16 small integers — exact in
+    both engines."""
+    return f"""WITH {cells_sql(cfg)}
+SELECT CAST(r // 4 AS INT) AS ov_r, CAST(c // 4 AS INT) AS ov_c,
+       COUNT(val) AS n, SUM(val) AS "sum",
+       SUM(val) / COUNT(val) AS mean,
+       MIN(val) AS "min", MAX(val) AS "max"
+FROM cells GROUP BY 1, 2"""
+
+
 def zonal_binned(cfg):
     """bin_width histogram quantization (engine extension beyond the
     reference — bounded state for continuous rasters): values floor to
@@ -587,6 +600,7 @@ ZONAL_ORACLES = {
     "zonal_custom": zonal_custom,
     "zonal_binned": zonal_binned,
     "focal_mean": focal_mean,
+    "raster_overview": raster_overview,
     "rasterize_burn": rasterize_burn,
     "zonal_crosstab": zonal_crosstab,
     "checkpoint_resume": zonal_incremental,

@@ -276,3 +276,88 @@ def test_focal_radius_guard(spark):
         focal_stats(tiles, radius=5, grid=grid)
     with pytest.raises(ValueError, match="radius"):
         focal_stats(tiles, radius=0, grid=grid)
+
+
+# --- raster overviews --------------------------------------------------------
+
+def test_overview_matches_bruteforce(spark):
+    """2× overview of a ragged 7×9 raster on 4-cell tiles vs per-block
+    numpy, including clipped edge blocks and an all-nodata block.
+    (factor 2 divides tile 4; edge blocks clip at the raster bounds)."""
+    from exactextract_spark.io import tiles_from_array
+    from exactextract_spark.pyramid import overview
+
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 30, (7, 9)).astype(float)
+    arr[0:2, 0:2] = -1.0                       # one all-nodata 2x2 block
+    tiles = tiles_from_array(spark, arr, tile=4, nodata=-1.0)
+    grid = dict(grid_xmin=0.0, grid_ymax=7.0, dx=1.0, dy=1.0,
+                grid_nrows=7, grid_ncols=9, tile=4)
+    got = {(r["ov_r"], r["ov_c"]): (r["n"], r["sum"], r["mean"],
+                                    r["min"], r["max"])
+           for r in overview(tiles, factor=2, grid=grid).collect()}
+    m = np.where(arr == -1.0, np.nan, arr)
+    assert set(got) == {(i, j) for i in range(4) for j in range(5)}
+    for (i, j), row in got.items():
+        blk = m[2 * i:2 * i + 2, 2 * j:2 * j + 2]
+        v = blk[~np.isnan(blk)]
+        exp = (len(v), v.sum() if len(v) else None,
+               v.sum() / len(v) if len(v) else None,
+               v.min() if len(v) else None, v.max() if len(v) else None)
+        assert row == exp, ((i, j), row, exp)
+
+
+def test_overview_plan_is_shuffle_free(spark):
+    """The whole overview computes map-only: no Exchange anywhere in
+    the executed plan."""
+    from exactextract_spark.io import tiles_from_array
+    from exactextract_spark.pyramid import overview
+
+    tiles = tiles_from_array(spark, np.zeros((8, 8)), tile=4)
+    grid = dict(grid_xmin=0.0, grid_ymax=8.0, dx=1.0, dy=1.0,
+                grid_nrows=8, grid_ncols=8, tile=4)
+    plan = overview(tiles, factor=2, grid=grid) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_overview_pyramid_chain_and_extract(spark):
+    """overview_tiles output is a first-class raster on the coarse
+    grid: a second overview pass consumes it (pyramid chaining), and
+    exact_extract over it reproduces the level-1 means."""
+    from exactextract_spark.extract import exact_extract
+    from exactextract_spark.io import tiles_from_array
+    from exactextract_spark.pyramid import coarse_grid, overview, overview_tiles
+
+    arr = np.arange(64, dtype=float).reshape(8, 8)
+    tiles = tiles_from_array(spark, arr, tile=4)
+    grid = dict(grid_xmin=0.0, grid_ymax=8.0, dx=1.0, dy=1.0,
+                grid_nrows=8, grid_ncols=8, tile=4)
+    lvl1 = overview(tiles, factor=2, grid=grid).cache()
+    t1 = overview_tiles(lvl1, grid, factor=2)
+    cg = coarse_grid(grid, 2)
+    # chain: a further 2x overview of the level-1 raster == 4x blocks
+    lvl2 = {(r["ov_r"], r["ov_c"]): r["mean"]
+            for r in overview(t1, factor=2, grid=cg).collect()}
+    for i in range(2):
+        for j in range(2):
+            exp = arr[4 * i:4 * i + 4, 4 * j:4 * j + 4] \
+                .reshape(2, 2, 2, 2).mean(axis=(1, 3)).mean()
+            assert lvl2[(i, j)] == exp
+    # zonal over the level-1 raster: whole-grid mean == mean of means
+    whole = _zdf(spark, {"all": "POLYGON((0 0, 8 0, 8 8, 0 8, 0 0))"})
+    res = exact_extract(whole, t1, ["mean"], grid=cg).first()
+    assert res["mean"] == arr.mean()
+
+
+def test_overview_factor_guard(spark):
+    from exactextract_spark.io import tiles_from_array
+    from exactextract_spark.pyramid import overview
+
+    tiles = tiles_from_array(spark, np.zeros((8, 8)), tile=4)
+    grid = dict(grid_xmin=0.0, grid_ymax=8.0, dx=1.0, dy=1.0,
+                grid_nrows=8, grid_ncols=8, tile=4)
+    with pytest.raises(ValueError, match="does not divide"):
+        overview(tiles, factor=3, grid=grid)
+    with pytest.raises(ValueError, match="factor"):
+        overview(tiles, factor=1, grid=grid)
