@@ -233,6 +233,49 @@ def main():
             "runs on the derived table unchanged.",
             plan_of(qb)))
 
+    from exactextract_spark.focal import focal_stats
+    fs = focal_stats(tiles, radius=2, grid=grid)
+    sections.append((
+        "focal_stats — halo-exchange stencil",
+        "MapInPandas (scatter: core + <=8 boundary strips per tile) "
+        "feeds ONE Exchange keyed by the target tile, then "
+        "FlatMapGroupsInPandas assembles the padded tile and evaluates "
+        "every window vectorized.  Shuffle volume is (1+2R/tile)^2 x "
+        "the raster (~6% at R=2/tile=64); the oracle's self-join "
+        "formulation would shuffle (2R+1)^2 x.",
+        plan_of(fs)))
+
+    from exactextract_spark.pyramid import overview
+    ov = overview(tiles, factor=4, grid=grid)
+    sections.append((
+        "raster_overview — map-only pyramid level",
+        "ZERO Exchange: the factor divides the tile size, so every "
+        "coarse block reduces inside its tile's MapInPandas — scan, "
+        "decode, block-reduce, emit.  (A non-dividing factor is "
+        "rejected rather than paying a hidden shuffle.)",
+        plan_of(ov)))
+
+    from exactextract_spark.rasterize import rasterize_burn
+    rb = rasterize_burn(zones, tiles, grid=grid, strategy="broadcast")
+    sections.append((
+        "rasterize_burn — vector->raster coverage burn",
+        "subdivide's kernel emits (zone, cell) pieces inside the "
+        "broadcast-joined tile scan stage; ONE hash Exchange on the "
+        "cell key with HashAggregate(partial) below it — cells touched "
+        "by many zones combine map-side before the shuffle.",
+        plan_of(rb)))
+
+    if Path(pq_ev).exists():
+        from exactextract_spark.pipeline.events_analytics import event_funnel
+        fu = event_funnel(spark, "/root/testdata/sf0.01")
+        sections.append((
+            "event_funnel — K-step funnel on one exchange",
+            "All funnel steps stack on ONE Exchange: the chained "
+            "running-min Window operators and the final partial+final "
+            "HashAggregate all share the user_id hash partitioning, so "
+            "a 10-step funnel costs the same shuffle as a 3-step one.",
+            plan_of(fu)))
+
     # parquet scan pushdown check
     pq = "/root/testdata/sf0.01/documents.parquet"
     if Path(pq).exists():

@@ -26,6 +26,7 @@ from exactextract_spark.pipeline import clustering as pclust
 from exactextract_spark.pipeline import dedup as pdedup
 from exactextract_spark.pipeline import multimodal as pmm
 from exactextract_spark.pipeline import similarity as psim
+from exactextract_spark.pipeline import corpus_pipeline as pcorpus
 from exactextract_spark.pipeline import events_analytics as pevana
 from exactextract_spark.pipeline import events_join as pevjoin
 from exactextract_spark.pipeline import streaming_events as pstream_events
@@ -747,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _event_sessions,
         "pack_documents": _pack_documents,
         "shuffle_documents": _shuffle_documents,
+        "corpus_pipeline": pcorpus.corpus_pipeline,
         "zonal_arrays": _zonal_arrays,
         "zonal_linear": _zonal_linear,
         "subdivide_rect": _subdivide,
@@ -816,6 +818,7 @@ PIPELINE_ORACLES = {
     "event_sessions": _event_sessions_oracle,
     "pack_documents": _pack_documents_oracle,
     "shuffle_documents": _shuffle_documents_oracle,
+    "corpus_pipeline": pcorpus.corpus_pipeline_oracle,
     "dedup_minhash_sig": pdedup.minhash_signature_oracle,
     "dedup_minhash_pairs": pdedup.minhash_pairs_oracle,
     "dedup_verified_pairs": pdedup.minhash_verified_pairs_oracle,

@@ -130,6 +130,37 @@ def scale_point_rect(spark):
             "polygons_per_sec": round(Z / best, 1)}
 
 
+def scale_point_focal(spark):
+    """Radius-2 focal statistics over a 4096² raster (16.8M cells,
+    64-cell tiles): the halo-exchange stencil end to end — scatter
+    strips, one tile-keyed shuffle, vectorized 5×5 window evaluation —
+    in cells/s.  Also times the map-only 4× overview on the same
+    tiles (zero-shuffle path)."""
+    from exactextract_spark.focal import focal_stats
+    from exactextract_spark.pyramid import overview
+
+    G = 4096
+    cfg = SynthConfig(G=G, Z=1)
+    docs = build_docs(spark, cfg)
+    meta = {r["raster_id"]: r.asDict()
+            for r in eio.raster_meta_from_docs(docs).collect()}
+    tiles = eio.tiles_from_docs(docs, "r0", meta["r0"]) \
+        .repartition(128).persist()
+    tiles.count()
+    grid = cfg.grid_dict()
+    out = {"cells": G * G}
+    best = _best_of(lambda: focal_stats(tiles, radius=2, grid=grid)
+                    .write.format("noop").mode("overwrite").save())
+    out["focal_sec"] = round(best, 3)
+    out["focal_cells_per_sec"] = round(G * G / best, 1)
+    best = _best_of(lambda: overview(tiles, factor=4, grid=grid)
+                    .write.format("noop").mode("overwrite").save())
+    out["overview_sec"] = round(best, 3)
+    out["overview_cells_per_sec"] = round(G * G / best, 1)
+    tiles.unpersist()
+    return out
+
+
 def scale_point_subdivide(spark, cfg, tiles, grid):
     """Interior-dominated subdivide: 2000 ~30-cell-wide polygons →
     ~1M per-cell covered pieces with exact WKT.  Measures the
@@ -275,6 +306,21 @@ def pipeline_point_asof(spark):
     dt = time.time() - t0
     out["range_sec"] = round(dt, 3)
     out["range_events_per_sec"] = round(n / dt, 1)
+    # session-5 event analytics on the same 10M-event fixture: the
+    # one-exchange funnel and the RANGE-frame rolling features
+    from exactextract_spark.pipeline.events_analytics import (
+        event_funnel, user_rolling_features)
+    t0 = time.time()
+    event_funnel(spark, base).write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    out["funnel_sec"] = round(dt, 3)
+    out["funnel_events_per_sec"] = round(n / dt, 1)
+    t0 = time.time()
+    user_rolling_features(spark, base) \
+        .write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    out["rolling_sec"] = round(dt, 3)
+    out["rolling_events_per_sec"] = round(n / dt, 1)
     shutil.rmtree(base, ignore_errors=True)
     return out
 
@@ -420,6 +466,7 @@ def main():
             scale_points["subdivide_coast"] = scale_point_subdivide_coast(spark, cfg, tiles, grid)
             tiles.unpersist()
             scale_points["rect_1e9"] = scale_point_rect(spark)
+            scale_points["focal_17m"] = scale_point_focal(spark)
 
         # --- training-pipeline scale points (synthetic inputs; sf-
         # independent; reported under their own key so the headline

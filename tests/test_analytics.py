@@ -361,3 +361,48 @@ def test_overview_factor_guard(spark):
         overview(tiles, factor=3, grid=grid)
     with pytest.raises(ValueError, match="factor"):
         overview(tiles, factor=1, grid=grid)
+
+
+# --- corpus pipeline ---------------------------------------------------------
+
+def test_corpus_pipeline_semantics(spark, tmp_path):
+    """Filter drops junk, dedup keeps the lowest doc_id, packing is the
+    exclusive prefix sum in md5 order — verified against a brute-force
+    pandas recomputation."""
+    import hashlib
+
+    from exactextract_spark.pipeline.corpus_pipeline import (
+        BUDGET, corpus_pipeline)
+
+    good = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the wide open field all day long")
+    rows = [
+        (1, good + " one", "en"),
+        (2, good + " one", "en"),          # exact dup of 1 -> dropped
+        (3, good + " two", "de"),
+        (4, "short junk", "en"),           # fails n_tokens >= 10
+        (5, good + " three", "fr"),
+        (6, good + " one", "en"),          # another dup of 1
+    ]
+    import pandas as pd
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    pdf["source"] = "t"
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf.to_parquet(tmp_path / "documents.parquet")
+
+    out = corpus_pipeline(spark, str(tmp_path)).toPandas()
+
+    # brute force: survivors 1, 3, 5 in md5(doc_id) order
+    surv = [(i, rows[i - 1][1], rows[i - 1][2]) for i in (1, 3, 5)]
+    surv.sort(key=lambda t: hashlib.md5(str(t[0]).encode()).hexdigest())
+    start, exp = 0, {}
+    for doc_id, text, lang in surv:
+        sid = start // BUDGET
+        n, tc, langs = exp.get(sid, (0, 0, set()))
+        langs = set(langs) | {lang}
+        exp[sid] = (n + 1, tc + len(text), langs)
+        start += len(text)
+    got = {r["shard_id"]: (r["n_docs"], r["total_chars"], r["n_langs"])
+           for r in out.to_dict("records")}
+    assert got == {k: (n, tc, len(ls)) for k, (n, tc, ls) in exp.items()}
+    assert sum(n for n, _, _ in got.values()) == 3
