@@ -158,6 +158,25 @@ def scale_point_focal(spark):
     out["overview_sec"] = round(best, 3)
     out["overview_cells_per_sec"] = round(G * G / best, 1)
     tiles.unpersist()
+    # raster-in -> raster-out at the production shape (4x the cells,
+    # 256-cell tiles): per-tile Python/Arrow overhead amortizes — the
+    # cells/s here is ~2x the 64-tile figure above
+    from exactextract_spark.focal import focal_raster
+    G2 = 8192
+    cfg2 = SynthConfig(G=G2, Z=1, tile=256)
+    docs2 = build_docs(spark, cfg2)
+    meta2 = {r["raster_id"]: r.asDict()
+             for r in eio.raster_meta_from_docs(docs2).collect()}
+    tiles2 = eio.tiles_from_docs(docs2, "r0", meta2["r0"]) \
+        .repartition(128).persist()
+    tiles2.count()
+    grid2 = cfg2.grid_dict()
+    best = _best_of(lambda: focal_raster(tiles2, radius=2, grid=grid2)
+                    .write.format("noop").mode("overwrite").save())
+    out["raster_out_cells"] = G2 * G2
+    out["raster_out_sec"] = round(best, 3)
+    out["raster_out_cells_per_sec"] = round(G2 * G2 / best, 1)
+    tiles2.unpersist()
     return out
 
 

@@ -17,6 +17,15 @@ canonical stencil pattern:
    (missing halo = outside the raster = NaN) and evaluates every window
    with vectorized numpy — no per-cell Python.
 
+Two output shapes share the exchange:
+
+* :func:`focal_stats` — one row per CELL with all five statistics (the
+  analysis/oracle frame);
+* :func:`focal_raster` — one row per TILE: the chosen statistic
+  re-encoded as a payload, i.e. raster-in → raster-out with no second
+  shuffle and no per-cell Arrow transfer (the production smoothing
+  shape; ~3 orders of magnitude fewer output rows).
+
 Scale shape (100 TB): the shuffle moves core + halo ≈ ``(1+2R/tile)²``
 × the raster — for R=2 on 64-cell tiles a 6% overhead over one full
 scan, independent of zone/query count; each task's working set is one
@@ -41,7 +50,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from .io import decode_tile, encode_tile
 
-__all__ = ["focal_stats", "focal_to_tiles"]
+__all__ = ["focal_stats", "focal_raster", "focal_to_tiles"]
 
 _PART_SCHEMA = T.StructType([
     T.StructField("t_row", T.IntegerType(), False),
@@ -65,6 +74,8 @@ _CELL_SCHEMA = T.StructType([
     T.StructField("focal_max", T.DoubleType()),
 ])
 
+_STATS = ("count", "sum", "mean", "min", "max")
+
 # the eight halo directions (d_tile_row, d_tile_col)
 _DIRS = [(-1, -1), (-1, 0), (-1, 1), (0, -1),
          (0, 1), (1, -1), (1, 0), (1, 1)]
@@ -82,23 +93,12 @@ def _decode_masked(row) -> np.ndarray:
     return arr
 
 
-def focal_stats(tiles: DataFrame, radius: int = 2, *,
-                grid: dict | None = None) -> DataFrame:
-    """Per-cell statistics over the square ``(2·radius+1)²`` window:
-    count / sum / mean / min / max of the defined (non-nodata) cells,
-    the window clipped at the raster boundary.
-
-    Returns one row per grid cell (cells whose whole window is nodata
-    get NULL sum/mean/min/max and ``focal_n = 0``), in the engine's
-    (cell_id, r, c) addressing — feed through :func:`focal_to_tiles` to
-    get a first-class raster back."""
+def _resolve(tiles: DataFrame, radius: int, grid: dict | None):
     if grid is None:
-        grid = tiles.select("grid_xmin", "grid_ymax", "dx", "dy",
-                            "grid_nrows", "grid_ncols").first().asDict()
+        grid = dict(tiles.select("grid_xmin", "grid_ymax", "dx", "dy",
+                                 "grid_nrows", "grid_ncols").first()
+                    .asDict())
     tile = int(grid.get("tile") or 64)
-    g_nrows, g_ncols = int(grid["grid_nrows"]), int(grid["grid_ncols"])
-    n_tr = -(-g_nrows // tile)
-    n_tc = -(-g_ncols // tile)
     rad = int(radius)
     if rad < 1:
         raise ValueError(f"radius must be >= 1, got {radius}")
@@ -107,12 +107,19 @@ def focal_stats(tiles: DataFrame, radius: int = 2, *,
         # re-tiling to larger blocks is the documented answer, not
         # silent wrong output
         raise ValueError(f"radius {rad} exceeds tile size {tile}")
+    return grid, tile, rad
 
+
+def _halo_parts(tiles: DataFrame, rad: int, tile: int,
+                g_nrows: int, g_ncols: int) -> DataFrame:
+    """Stage 1: core block + ≤8 boundary strips per tile, addressed to
+    the tiles that consume them."""
+    n_tr = -(-g_nrows // tile)
+    n_tc = -(-g_ncols // tile)
     cols = ["tile_row", "tile_col", "row0", "col0", "nrows", "ncols",
             "values", "dtype"]
     if "nodata" in tiles.columns:
         cols.append("nodata")
-    parts_src = tiles.select(*cols)
 
     def scatter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -145,51 +152,134 @@ def focal_stats(tiles: DataFrame, radius: int = 2, *,
                                 encode_tile(strip)))
             yield pd.DataFrame(out, columns=[f.name for f in _PART_SCHEMA])
 
-    parts = parts_src.mapInPandas(scatter, schema=_PART_SCHEMA)
+    return tiles.select(*cols).mapInPandas(scatter, schema=_PART_SCHEMA)
+
+
+def _window_stats(pdf: pd.DataFrame, rad: int):
+    """Stage 2 core: assemble the padded tile, evaluate every window.
+    Returns (c_row0, c_col0, dict of 2-D stat arrays) or None when the
+    group holds only halo strips (no core tile)."""
+    core = pdf[pdf["is_core"]]
+    if core.empty:
+        return None
+    crow = core.iloc[0]
+    c_row0, c_col0 = int(crow["row0"]), int(crow["col0"])
+    nr, nc = int(crow["nrows"]), int(crow["ncols"])
+    pad = np.full((nr + 2 * rad, nc + 2 * rad), np.nan)
+    for p in pdf.itertuples(index=False):
+        i = int(p.row0) - c_row0 + rad
+        j = int(p.col0) - c_col0 + rad
+        pad[i:i + int(p.nrows), j:j + int(p.ncols)] = \
+            decode_tile(p.buf, "float64", int(p.nrows), int(p.ncols))
+    # separable two-pass window evaluation: a (2R+1)² box reduction is
+    # a vertical (2R+1) pass then a horizontal one — 2(2R+1) ops/cell
+    # instead of (2R+1)², and temporaries shrink the same way.  Window
+    # sums stay exact for integer-valued data (each column partial is
+    # an exact small sum); min/max/count are exact for any input.
+    W = 2 * rad + 1
+    swv = np.lib.stride_tricks.sliding_window_view
+    vwin = swv(pad, W, axis=0)                        # (nr, nc+2R, W)
+    vvalid = ~np.isnan(vwin)
+    vn = vvalid.sum(axis=2)
+    vs = np.where(vvalid, vwin, 0.0).sum(axis=2)
+    vmn = np.where(vvalid, vwin, np.inf).min(axis=2)
+    vmx = np.where(vvalid, vwin, -np.inf).max(axis=2)
+    n = swv(vn, W, axis=1).sum(axis=2).astype(np.int64)
+    s = swv(vs, W, axis=1).sum(axis=2)
+    mn = swv(vmn, W, axis=1).min(axis=2)
+    mx = swv(vmx, W, axis=1).max(axis=2)
+    empty = n == 0
+    # NaN → SQL NULL through Arrow: undefined stats of an all-nodata
+    # window come out as NULL, matching the oracle's SUM/MIN/MAX of an
+    # empty group
+    s = np.where(empty, np.nan, s)
+    mean = np.where(empty, np.nan, s / np.maximum(n, 1))
+    mn = np.where(empty, np.nan, mn)
+    mx = np.where(empty, np.nan, mx)
+    return c_row0, c_col0, {"count": n, "sum": s, "mean": mean,
+                            "min": mn, "max": mx}
+
+
+def focal_stats(tiles: DataFrame, radius: int = 2, *,
+                grid: dict | None = None) -> DataFrame:
+    """Per-cell statistics over the square ``(2·radius+1)²`` window:
+    count / sum / mean / min / max of the defined (non-nodata) cells,
+    the window clipped at the raster boundary.
+
+    Returns one row per grid cell (cells whose whole window is nodata
+    get NULL sum/mean/min/max and ``focal_n = 0``), in the engine's
+    (cell_id, r, c) addressing — feed through :func:`focal_to_tiles` to
+    get a first-class raster back, or use :func:`focal_raster` to skip
+    the per-cell frame entirely."""
+    grid, tile, rad = _resolve(tiles, radius, grid)
+    g_nrows, g_ncols = int(grid["grid_nrows"]), int(grid["grid_ncols"])
+    parts = _halo_parts(tiles, rad, tile, g_nrows, g_ncols)
 
     def gather(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        core = pdf[pdf["is_core"]]
-        if core.empty:          # halo addressed to a tile with no core
+        got = _window_stats(pdf, rad)
+        if got is None:
             return pd.DataFrame(columns=[f.name for f in _CELL_SCHEMA])
-        crow = core.iloc[0]
-        c_row0, c_col0 = int(crow["row0"]), int(crow["col0"])
-        nr, nc = int(crow["nrows"]), int(crow["ncols"])
-        pad = np.full((nr + 2 * rad, nc + 2 * rad), np.nan)
-        for p in pdf.itertuples(index=False):
-            i = int(p.row0) - c_row0 + rad
-            j = int(p.col0) - c_col0 + rad
-            pad[i:i + int(p.nrows), j:j + int(p.ncols)] = \
-                decode_tile(p.buf, "float64", int(p.nrows), int(p.ncols))
-        win = np.lib.stride_tricks.sliding_window_view(
-            pad, (2 * rad + 1, 2 * rad + 1))          # (nr, nc, W, W)
-        valid = ~np.isnan(win)
-        n = valid.sum(axis=(2, 3)).astype(np.int64)
-        s = np.where(valid, win, 0.0).sum(axis=(2, 3))
-        mn = np.where(valid, win, np.inf).min(axis=(2, 3))
-        mx = np.where(valid, win, -np.inf).max(axis=(2, 3))
-        empty = n == 0
-        # NaN → SQL NULL through Arrow: undefined stats of an all-nodata
-        # window come out as NULL, matching the oracle's SUM/MIN/MAX of
-        # an empty group
-        s = np.where(empty, np.nan, s)
-        mean = np.where(empty, np.nan, s / np.maximum(n, 1))
-        mn = np.where(empty, np.nan, mn)
-        mx = np.where(empty, np.nan, mx)
+        c_row0, c_col0, st = got
+        nr, nc = st["count"].shape
         rr = np.arange(c_row0, c_row0 + nr, dtype=np.int64)[:, None]
         cc = np.arange(c_col0, c_col0 + nc, dtype=np.int64)[None, :]
         return pd.DataFrame({
             "cell_id": np.broadcast_to(rr * g_ncols + cc, (nr, nc)).ravel(),
             "r": np.broadcast_to(rr, (nr, nc)).ravel().astype(np.int32),
             "c": np.broadcast_to(cc, (nr, nc)).ravel().astype(np.int32),
-            "focal_n": n.ravel(),
-            "focal_sum": s.ravel(),
-            "focal_mean": mean.ravel(),
-            "focal_min": mn.ravel(),
-            "focal_max": mx.ravel(),
+            "focal_n": st["count"].ravel(),
+            "focal_sum": st["sum"].ravel(),
+            "focal_mean": st["mean"].ravel(),
+            "focal_min": st["min"].ravel(),
+            "focal_max": st["max"].ravel(),
         })
 
     return parts.groupBy("t_row", "t_col").applyInPandas(
         gather, schema=_CELL_SCHEMA)
+
+
+def focal_raster(tiles: DataFrame, radius: int = 2, *,
+                 stat: str = "mean", grid: dict | None = None,
+                 raster_id: str = "focal") -> DataFrame:
+    """Raster-in → raster-out focal filter: the same halo exchange as
+    :func:`focal_stats`, but the gather stage re-encodes the chosen
+    statistic as a float64 tile payload directly — one output row per
+    TILE, no second shuffle, no per-cell Arrow transfer.  Undefined
+    windows (all-nodata) encode as NaN, which every downstream consumer
+    (the kernel, another focal pass, an overview) masks.  The result is
+    a first-class tile table on the SAME grid."""
+    from .rasterize import _TILE_FIELDS
+
+    if stat not in _STATS:
+        raise ValueError(f"unknown focal stat {stat!r}; one of {_STATS}")
+    grid, tile, rad = _resolve(tiles, radius, grid)
+    g_nrows, g_ncols = int(grid["grid_nrows"]), int(grid["grid_ncols"])
+    parts = _halo_parts(tiles, rad, tile, g_nrows, g_ncols)
+
+    def gather(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        got = _window_stats(pdf, rad)
+        if got is None:
+            return pd.DataFrame(
+                columns=[f.name for f in _TILE_FIELDS])
+        c_row0, c_col0, st = got
+        arr = st[stat].astype(np.float64)
+        nr, nc = arr.shape
+        return pd.DataFrame([dict(
+            raster_id=raster_id, band=0,
+            tile_row=c_row0 // tile, tile_col=c_col0 // tile,
+            row0=c_row0, col0=c_col0, nrows=nr, ncols=nc,
+            values=encode_tile(arr))])
+
+    t = parts.groupBy("t_row", "t_col").applyInPandas(
+        gather, schema=_TILE_FIELDS)
+    return (t.withColumn("grid_xmin", F.lit(float(grid["grid_xmin"])))
+             .withColumn("grid_ymax", F.lit(float(grid["grid_ymax"])))
+             .withColumn("dx", F.lit(float(grid["dx"])))
+             .withColumn("dy", F.lit(float(grid["dy"])))
+             .withColumn("grid_nrows", F.lit(g_nrows))
+             .withColumn("grid_ncols", F.lit(g_ncols))
+             .withColumn("dtype", F.lit("float64"))
+             .withColumn("nodata", F.lit(None).cast("double")))
 
 
 def focal_to_tiles(cells: DataFrame, grid: dict, *,
@@ -199,7 +289,9 @@ def focal_to_tiles(cells: DataFrame, grid: dict, *,
     schema so the smoothed layer feeds straight back into
     ``exact_extract`` (raster→focal→zonal, mirroring
     rasterize.burn_to_tiles' vector→raster→zonal round trip).  Undefined
-    cells (NULL ``column``) become NaN, which the kernel masks."""
+    cells (NULL ``column``) become NaN, which the kernel masks.  When
+    the per-cell frame isn't otherwise needed, :func:`focal_raster`
+    produces the same raster without it."""
     from .rasterize import burn_to_tiles
 
     named = cells.select(

@@ -406,3 +406,38 @@ def test_corpus_pipeline_semantics(spark, tmp_path):
            for r in out.to_dict("records")}
     assert got == {k: (n, tc, len(ls)) for k, (n, tc, ls) in exp.items()}
     assert sum(n for n, _, _ in got.values()) == 3
+
+
+def test_focal_raster_equals_cells_path(spark):
+    """focal_raster's tile payloads hold exactly the focal_stats values
+    (shared exchange, different output tail), and the result is a
+    first-class raster: zonal count/sum over it match the cells frame."""
+    from exactextract_spark.extract import exact_extract
+    from exactextract_spark.focal import focal_raster, focal_stats
+    from exactextract_spark.io import decode_tile, tiles_from_array
+
+    rng = np.random.RandomState(5)
+    arr = rng.randint(0, 40, (9, 10)).astype(float)
+    arr[rng.rand(9, 10) < 0.15] = -1.0
+    tiles = tiles_from_array(spark, arr, tile=4, nodata=-1.0)
+    grid = dict(grid_xmin=0.0, grid_ymax=9.0, dx=1.0, dy=1.0,
+                grid_nrows=9, grid_ncols=10, tile=4)
+    cells = {(r["r"], r["c"]): r["focal_sum"]
+             for r in focal_stats(tiles, radius=1, grid=grid).collect()}
+    rt = focal_raster(tiles, radius=1, stat="sum", grid=grid).collect()
+    seen = 0
+    for t in rt:
+        a = decode_tile(t["values"], t["dtype"], t["nrows"], t["ncols"])
+        for i in range(t["nrows"]):
+            for j in range(t["ncols"]):
+                exp = cells[(t["row0"] + i, t["col0"] + j)]
+                v = a[i, j]
+                assert (exp is None and np.isnan(v)) or v == exp
+                seen += 1
+    assert seen == 90
+    # first-class raster: extract consumes it on the same grid
+    whole = _zdf(spark, {"all": "POLYGON((0 0, 10 0, 10 9, 0 9, 0 0))"})
+    sm = focal_raster(tiles, radius=1, stat="sum", grid=grid)
+    res = exact_extract(whole, sm, ["sum"], grid=grid).first()
+    exp_total = sum(v for v in cells.values() if v is not None)
+    assert res["sum"] == exp_total
