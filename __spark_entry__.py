@@ -220,6 +220,17 @@ def _focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return focal_stats(tiles, radius=2, grid=grid)
 
 
+def _focal_convolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binomial (integer-Gaussian) kernel smoothing via the same halo
+    exchange as focal_mean, evaluated as two weighted shift-accumulate
+    passes; weights renormalize over defined cells at nodata holes and
+    raster edges (focal.py)."""
+    from exactextract_spark.focal import focal_convolve
+
+    cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
+    return focal_convolve(tiles, kernel=(1, 4, 6, 4, 1), grid=grid)
+
+
 def _raster_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4× overview level (gdaladdo -r average shape): f×f block stats,
     map-only with ZERO shuffles because the factor divides the tile
@@ -228,6 +239,24 @@ def _raster_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
     return overview(tiles, factor=4, grid=grid)
+
+
+def _rasterize_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full vector→raster→zonal round trip through the driver gate:
+    burn all zones' coverage onto the grid (rasterize.py), materialize
+    the burned layer as a first-class tile table (untouched cells in
+    touched tiles = 0.0; untouched tiles absent — sparse
+    rasterization), then extract count/sum/mean of the burn density
+    per zone over that derived raster.  Every burn value is a multiple
+    of 1/16 and every product burn×coverage a multiple of 1/256, so
+    the sums are exact and the gate stays bit-exact."""
+    from exactextract_spark.rasterize import burn_to_tiles, rasterize_burn
+
+    cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
+    burn = rasterize_burn(zones, tiles, grid=grid, strategy="broadcast")
+    burned = burn_to_tiles(burn, grid)
+    return exact_extract(zones, burned, ["count", "sum", "mean"],
+                         grid=grid, strategy="broadcast")
 
 
 def _zonal_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -732,8 +761,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_area": _zonal_area,
         "zonal_weights_array": _zonal_weights_array,
         "rasterize_burn": _rasterize_burn,
+        "rasterize_zonal": _rasterize_zonal,
         "zonal_crosstab": _zonal_crosstab,
         "focal_mean": _focal_mean,
+        "focal_convolve": _focal_convolve,
         "raster_overview": _raster_overview,
         "zonal_custom": _zonal_custom,
         "zonal_binned": _zq(["variety(bin_width=2)", "majority(bin_width=2)",

@@ -50,7 +50,8 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from .io import decode_tile, encode_tile
 
-__all__ = ["focal_stats", "focal_raster", "focal_to_tiles"]
+__all__ = ["focal_stats", "focal_raster", "focal_convolve",
+           "focal_to_tiles"]
 
 _PART_SCHEMA = T.StructType([
     T.StructField("t_row", T.IntegerType(), False),
@@ -280,6 +281,89 @@ def focal_raster(tiles: DataFrame, radius: int = 2, *,
              .withColumn("grid_ncols", F.lit(g_ncols))
              .withColumn("dtype", F.lit("float64"))
              .withColumn("nodata", F.lit(None).cast("double")))
+
+
+_CONV_SCHEMA = T.StructType([
+    T.StructField("cell_id", T.LongType()),
+    T.StructField("r", T.IntegerType()),
+    T.StructField("c", T.IntegerType()),
+    T.StructField("wsum", T.LongType()),
+    T.StructField("conv", T.DoubleType()),
+    T.StructField("smooth", T.DoubleType()),
+])
+
+
+def focal_convolve(tiles: DataFrame, kernel=(1, 4, 6, 4, 1), *,
+                   grid: dict | None = None) -> DataFrame:
+    """Separable integer-kernel convolution over the raster — the
+    kernel-smoothing half of map algebra (a binomial kernel is the
+    standard integer Gaussian approximation).  ``kernel`` is the 1-D
+    half; the 2-D weight is the outer product ``kernel ⊗ kernel``.
+
+    Per cell: ``wsum`` (total weight over DEFINED cells in the window,
+    renormalizing at nodata holes and raster edges the way GDAL/GRASS
+    kernel filters do), ``conv`` (Σ w·v, NULL when no defined cell),
+    ``smooth`` (conv / wsum).  Integer weights × integer-valued data
+    keep every sum exact, so the driver oracle is bit-exact.
+
+    Same halo exchange as :func:`focal_stats`; the evaluation is two
+    weighted shift-accumulate passes (vertical then horizontal) —
+    2·len(kernel) fused multiply-adds per cell."""
+    b = [int(w) for w in kernel]
+    if len(b) % 2 != 1 or len(b) < 3:
+        raise ValueError(f"kernel length must be odd >= 3, got {len(b)}")
+    if any(w < 0 for w in b) or sum(b) == 0:
+        raise ValueError("kernel weights must be non-negative, not all 0")
+    rad = len(b) // 2
+    grid, tile, rad = _resolve(tiles, rad, grid)
+    g_nrows, g_ncols = int(grid["grid_nrows"]), int(grid["grid_ncols"])
+    parts = _halo_parts(tiles, rad, tile, g_nrows, g_ncols)
+    W = len(b)
+
+    def _wslide(a: np.ndarray, axis: int) -> np.ndarray:
+        n_out = a.shape[axis] - W + 1
+        def sl(k):
+            return (slice(k, k + n_out), slice(None)) if axis == 0 \
+                else (slice(None), slice(k, k + n_out))
+        out = b[0] * a[sl(0)]
+        for k in range(1, W):
+            out += b[k] * a[sl(k)]
+        return out
+
+    def gather(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        core = pdf[pdf["is_core"]]
+        if core.empty:
+            return pd.DataFrame(columns=[f.name for f in _CONV_SCHEMA])
+        crow = core.iloc[0]
+        c_row0, c_col0 = int(crow["row0"]), int(crow["col0"])
+        nr, nc = int(crow["nrows"]), int(crow["ncols"])
+        pad = np.full((nr + 2 * rad, nc + 2 * rad), np.nan)
+        for p in pdf.itertuples(index=False):
+            i = int(p.row0) - c_row0 + rad
+            j = int(p.col0) - c_col0 + rad
+            pad[i:i + int(p.nrows), j:j + int(p.ncols)] = \
+                decode_tile(p.buf, "float64", int(p.nrows), int(p.ncols))
+        isn = np.isnan(pad)
+        az = np.where(isn, 0.0, pad)
+        cnt = (~isn).astype(np.float64)
+        conv = _wslide(_wslide(az, 0), 1)
+        wsum = _wslide(_wslide(cnt, 0), 1)
+        empty = wsum == 0
+        conv = np.where(empty, np.nan, conv)
+        smooth = np.where(empty, np.nan, conv / np.where(empty, 1, wsum))
+        rr = np.arange(c_row0, c_row0 + nr, dtype=np.int64)[:, None]
+        cc = np.arange(c_col0, c_col0 + nc, dtype=np.int64)[None, :]
+        return pd.DataFrame({
+            "cell_id": np.broadcast_to(rr * g_ncols + cc, (nr, nc)).ravel(),
+            "r": np.broadcast_to(rr, (nr, nc)).ravel().astype(np.int32),
+            "c": np.broadcast_to(cc, (nr, nc)).ravel().astype(np.int32),
+            "wsum": wsum.ravel().astype(np.int64),
+            "conv": conv.ravel(),
+            "smooth": smooth.ravel(),
+        })
+
+    return parts.groupBy("t_row", "t_col").applyInPandas(
+        gather, schema=_CONV_SCHEMA)
 
 
 def focal_to_tiles(cells: DataFrame, grid: dict, *,

@@ -392,6 +392,32 @@ SELECT cell_id, r, c, COUNT(*) AS n_zones, SUM(cov) AS burn
 FROM pairs GROUP BY cell_id, r, c"""
 
 
+def rasterize_zonal(cfg):
+    """Vector→raster→zonal round trip: burn coverage per cell, define
+    the burned layer on every cell of a TOUCHED tile (0.0 where no
+    zone reaches — burn_to_tiles' sparse-rasterization contract), then
+    zonal count/sum/mean of burn density per zone.  All sums are
+    multiples of 1/256 — exact in both engines."""
+    t = cfg.tile
+    return f"""WITH {pairs_sql(cfg)},
+burn AS (SELECT cell_id, SUM(cov) AS b FROM pairs GROUP BY 1),
+touched AS (SELECT DISTINCT r // {t} AS tr, c // {t} AS tc FROM pairs),
+layer AS (
+  SELECT c.cell_id, c.cx0, c.cx1, c.cy0, c.cy1, COALESCE(b.b, 0.0) AS v
+  FROM cells c
+  JOIN touched tt ON c.r // {t} = tt.tr AND c.c // {t} = tt.tc
+  LEFT JOIN burn b ON b.cell_id = c.cell_id),
+p2 AS (
+  SELECT z.zone_id, l.v,
+         (LEAST(z.zx1, l.cx1) - GREATEST(z.zx0, l.cx0))
+       * (LEAST(z.zy1, l.cy1) - GREATEST(z.zy0, l.cy0)) AS cov
+  FROM zones z JOIN layer l
+    ON l.cx1 > z.zx0 AND l.cx0 < z.zx1 AND l.cy1 > z.zy0 AND l.cy0 < z.zy1)
+SELECT zone_id, SUM(cov) AS "count", SUM(v * cov) AS "sum",
+       SUM(v * cov) / SUM(cov) AS mean
+FROM p2 GROUP BY 1"""
+
+
 def zonal_crosstab(cfg):
     """Joint (value, weight-value) tabulation per zone — the 2-raster
     cross-tab; frac is one correctly-rounded division of exact
@@ -421,6 +447,28 @@ SELECT c.cell_id, CAST(c.r AS INT) AS r, CAST(c.c AS INT) AS c,
 FROM cells c JOIN cells n
   ON n.r BETWEEN c.r - 2 AND c.r + 2
  AND n.c BETWEEN c.c - 2 AND c.c + 2
+GROUP BY 1, 2, 3"""
+
+
+def focal_convolve(cfg):
+    """Binomial 5×5 kernel convolution as the naive weighted self-join
+    (weight = outer product of [1,4,6,4,1], looked up by offset);
+    integer weights × integer values keep both engines exact."""
+    return f"""WITH {cells_sql(cfg)},
+b(i, w) AS (VALUES (0, 1), (1, 4), (2, 6), (3, 4), (4, 1))
+SELECT c.cell_id, CAST(c.r AS INT) AS r, CAST(c.c AS INT) AS c,
+       CAST(SUM(CASE WHEN n.val IS NOT NULL THEN br.w * bc.w
+                     ELSE 0 END) AS BIGINT) AS wsum,
+       SUM(br.w * bc.w * n.val) AS conv,
+       SUM(br.w * bc.w * n.val)
+         / SUM(CASE WHEN n.val IS NOT NULL THEN br.w * bc.w END)
+         AS smooth
+FROM cells c
+JOIN cells n
+  ON n.r BETWEEN c.r - 2 AND c.r + 2
+ AND n.c BETWEEN c.c - 2 AND c.c + 2
+JOIN b br ON br.i = n.r - c.r + 2
+JOIN b bc ON bc.i = n.c - c.c + 2
 GROUP BY 1, 2, 3"""
 
 
@@ -600,8 +648,10 @@ ZONAL_ORACLES = {
     "zonal_custom": zonal_custom,
     "zonal_binned": zonal_binned,
     "focal_mean": focal_mean,
+    "focal_convolve": focal_convolve,
     "raster_overview": raster_overview,
     "rasterize_burn": rasterize_burn,
+    "rasterize_zonal": rasterize_zonal,
     "zonal_crosstab": zonal_crosstab,
     "checkpoint_resume": zonal_incremental,
     "streaming_snapshot": zonal_incremental,

@@ -441,3 +441,47 @@ def test_focal_raster_equals_cells_path(spark):
     res = exact_extract(whole, sm, ["sum"], grid=grid).first()
     exp_total = sum(v for v in cells.values() if v is not None)
     assert res["sum"] == exp_total
+
+
+def test_focal_convolve_bruteforce(spark):
+    """5x5 binomial convolution vs brute force with nodata
+    renormalization and edge clipping, across 4-cell tile edges."""
+    from exactextract_spark.focal import focal_convolve
+    from exactextract_spark.io import tiles_from_array
+
+    rng = np.random.RandomState(9)
+    arr = rng.randint(0, 20, (9, 11)).astype(float)
+    arr[rng.rand(9, 11) < 0.2] = -1.0
+    tiles = tiles_from_array(spark, arr, tile=4, nodata=-1.0)
+    grid = dict(grid_xmin=0.0, grid_ymax=9.0, dx=1.0, dy=1.0,
+                grid_nrows=9, grid_ncols=11, tile=4)
+    got = {(r["r"], r["c"]): (r["wsum"], r["conv"], r["smooth"])
+           for r in focal_convolve(tiles, grid=grid).collect()}
+    b = [1, 4, 6, 4, 1]
+    m = np.where(arr == -1.0, np.nan, arr)
+    assert len(got) == 99
+    for r in range(9):
+        for c in range(11):
+            ws, cv = 0, 0.0
+            for dr in range(-2, 3):
+                for dc in range(-2, 3):
+                    rr, cc = r + dr, c + dc
+                    if 0 <= rr < 9 and 0 <= cc < 11 and not np.isnan(m[rr, cc]):
+                        w = b[dr + 2] * b[dc + 2]
+                        ws += w
+                        cv += w * m[rr, cc]
+            exp = (ws, cv if ws else None, cv / ws if ws else None)
+            assert got[(r, c)] == exp, ((r, c), got[(r, c)], exp)
+
+
+def test_focal_convolve_kernel_guards(spark):
+    from exactextract_spark.focal import focal_convolve
+    from exactextract_spark.io import tiles_from_array
+
+    tiles = tiles_from_array(spark, np.zeros((8, 8)), tile=4)
+    grid = dict(grid_xmin=0.0, grid_ymax=8.0, dx=1.0, dy=1.0,
+                grid_nrows=8, grid_ncols=8, tile=4)
+    with pytest.raises(ValueError, match="odd"):
+        focal_convolve(tiles, kernel=(1, 2), grid=grid)
+    with pytest.raises(ValueError, match="non-negative"):
+        focal_convolve(tiles, kernel=(1, -1, 1), grid=grid)
