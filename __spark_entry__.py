@@ -231,6 +231,17 @@ def _focal_convolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return focal_convolve(tiles, kernel=(1, 4, 6, 4, 1), grid=grid)
 
 
+def _raster_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius distance transform (gdal_proximity -maxdist
+    shape): squared distance to the nearest high-value cell (val ≥ 90)
+    within the radius-8 window, via the separable two-pass min on one
+    halo exchange (focal.py)."""
+    from exactextract_spark.focal import focal_proximity
+
+    cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
+    return focal_proximity(tiles, radius=8, target_min=90.0, grid=grid)
+
+
 def _raster_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4× overview level (gdaladdo -r average shape): f×f block stats,
     map-only with ZERO shuffles because the factor divides the tile
@@ -765,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_crosstab": _zonal_crosstab,
         "focal_mean": _focal_mean,
         "focal_convolve": _focal_convolve,
+        "raster_proximity": _raster_proximity,
         "raster_overview": _raster_overview,
         "zonal_custom": _zonal_custom,
         "zonal_binned": _zq(["variety(bin_width=2)", "majority(bin_width=2)",

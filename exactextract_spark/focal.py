@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from .io import decode_tile, encode_tile
 
 __all__ = ["focal_stats", "focal_raster", "focal_convolve",
-           "focal_to_tiles"]
+           "focal_proximity", "focal_to_tiles"]
 
 _PART_SCHEMA = T.StructType([
     T.StructField("t_row", T.IntegerType(), False),
@@ -364,6 +364,89 @@ def focal_convolve(tiles: DataFrame, kernel=(1, 4, 6, 4, 1), *,
 
     return parts.groupBy("t_row", "t_col").applyInPandas(
         gather, schema=_CONV_SCHEMA)
+
+
+_PROX_SCHEMA = T.StructType([
+    T.StructField("cell_id", T.LongType()),
+    T.StructField("r", T.IntegerType()),
+    T.StructField("c", T.IntegerType()),
+    T.StructField("d2", T.LongType()),
+    T.StructField("dist", T.DoubleType()),
+])
+
+
+def focal_proximity(tiles: DataFrame, radius: int = 8, *,
+                    target_min: float, grid: dict | None = None
+                    ) -> DataFrame:
+    """Bounded-radius proximity raster (``gdal_proximity -maxdist``):
+    per cell, the squared Euclidean distance ``d2`` (and ``dist`` =
+    √d2) to the nearest TARGET cell — a defined cell with value ≥
+    ``target_min`` — within ``radius``; NULL when no target is that
+    close.  ``d2`` is an exact integer, so the oracle gate needs no
+    tolerance; ``dist`` is one correctly-rounded sqrt in both engines.
+
+    The distance transform is separable (Felzenszwalb & Huttenlocher
+    2004): min over the window of dr²+dc²+penalty factorizes into a
+    vertical min pass then a horizontal one — 2(2R+1) shift-min ops
+    per cell instead of (2R+1)², on the same single halo exchange as
+    every focal operator (strips are ``radius`` deep, so radius ≤ tile
+    still holds)."""
+    grid, tile, rad = _resolve(tiles, radius, grid)
+    g_nrows, g_ncols = int(grid["grid_nrows"]), int(grid["grid_ncols"])
+    parts = _halo_parts(tiles, rad, tile, g_nrows, g_ncols)
+    W = 2 * rad + 1
+    off2 = [(k - rad) ** 2 for k in range(W)]
+    tmin = float(target_min)
+
+    def _minslide(a: np.ndarray, axis: int) -> np.ndarray:
+        n_out = a.shape[axis] - W + 1
+        def sl(k):
+            return (slice(k, k + n_out), slice(None)) if axis == 0 \
+                else (slice(None), slice(k, k + n_out))
+        out = a[sl(0)] + off2[0]
+        for k in range(1, W):
+            np.minimum(out, a[sl(k)] + off2[k], out=out)
+        return out
+
+    def gather(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        core = pdf[pdf["is_core"]]
+        if core.empty:
+            return pd.DataFrame(columns=[f.name for f in _PROX_SCHEMA])
+        crow = core.iloc[0]
+        c_row0, c_col0 = int(crow["row0"]), int(crow["col0"])
+        nr, nc = int(crow["nrows"]), int(crow["ncols"])
+        pad = np.full((nr + 2 * rad, nc + 2 * rad), np.nan)
+        for p in pdf.itertuples(index=False):
+            i = int(p.row0) - c_row0 + rad
+            j = int(p.col0) - c_col0 + rad
+            pad[i:i + int(p.nrows), j:j + int(p.ncols)] = \
+                decode_tile(p.buf, "float64", int(p.nrows), int(p.ncols))
+        # target penalty: 0 at targets, +inf elsewhere (NaN compares
+        # False, so nodata cells are never targets; outside-raster halo
+        # stays NaN → inf)
+        with np.errstate(invalid="ignore"):
+            tpen = np.where(pad >= tmin, 0.0, np.inf)
+        d2f = _minslide(_minslide(tpen, 0), 1)
+        none = ~np.isfinite(d2f)
+        d2 = np.where(none, -1, d2f).astype(np.int64)
+        dist = np.where(none, np.nan, np.sqrt(d2f))
+        rr = np.arange(c_row0, c_row0 + nr, dtype=np.int64)[:, None]
+        cc = np.arange(c_col0, c_col0 + nc, dtype=np.int64)[None, :]
+        out = pd.DataFrame({
+            "cell_id": np.broadcast_to(rr * g_ncols + cc, (nr, nc)).ravel(),
+            "r": np.broadcast_to(rr, (nr, nc)).ravel().astype(np.int32),
+            "c": np.broadcast_to(cc, (nr, nc)).ravel().astype(np.int32),
+            "d2": d2.ravel(),
+            "dist": dist.ravel(),
+        })
+        # -1 sentinel → nullable NULL (NaN-through-Arrow only works for
+        # floats; d2 is integral)
+        out["d2"] = out["d2"].astype("Int64")
+        out.loc[out["d2"] < 0, "d2"] = pd.NA
+        return out
+
+    return parts.groupBy("t_row", "t_col").applyInPandas(
+        gather, schema=_PROX_SCHEMA)
 
 
 def focal_to_tiles(cells: DataFrame, grid: dict, *,

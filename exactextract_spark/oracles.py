@@ -472,6 +472,24 @@ JOIN b bc ON bc.i = n.c - c.c + 2
 GROUP BY 1, 2, 3"""
 
 
+def raster_proximity(cfg):
+    """Square-window proximity: per cell, MIN(dr²+dc²) over target
+    cells (val ≥ 90) within ±8 on both axes — NULL when none.  d2 is
+    an exact integer; dist is one correctly-rounded sqrt."""
+    return f"""WITH {cells_sql(cfg)}
+SELECT c.cell_id, CAST(c.r AS INT) AS r, CAST(c.c AS INT) AS c,
+       CAST(MIN((n.r - c.r) * (n.r - c.r) + (n.c - c.c) * (n.c - c.c))
+            AS BIGINT) AS d2,
+       SQRT(MIN((n.r - c.r) * (n.r - c.r) + (n.c - c.c) * (n.c - c.c)))
+         AS dist
+FROM cells c
+LEFT JOIN cells n
+  ON n.r BETWEEN c.r - 8 AND c.r + 8
+ AND n.c BETWEEN c.c - 8 AND c.c + 8
+ AND n.val >= 90
+GROUP BY 1, 2, 3"""
+
+
 def raster_overview(cfg):
     """4×4 block aggregation (overview level): COUNT/SUM/MIN/MAX over
     each block's defined cells; all-nodata blocks keep their row with
@@ -649,6 +667,7 @@ ZONAL_ORACLES = {
     "zonal_binned": zonal_binned,
     "focal_mean": focal_mean,
     "focal_convolve": focal_convolve,
+    "raster_proximity": raster_proximity,
     "raster_overview": raster_overview,
     "rasterize_burn": rasterize_burn,
     "rasterize_zonal": rasterize_zonal,

@@ -485,3 +485,35 @@ def test_focal_convolve_kernel_guards(spark):
         focal_convolve(tiles, kernel=(1, 2), grid=grid)
     with pytest.raises(ValueError, match="non-negative"):
         focal_convolve(tiles, kernel=(1, -1, 1), grid=grid)
+
+
+def test_focal_proximity_bruteforce(spark):
+    """Square-window distance transform vs brute force, across tile
+    edges: nearest target within ±R on both axes, NULL beyond."""
+    from exactextract_spark.focal import focal_proximity
+    from exactextract_spark.io import tiles_from_array
+
+    rng = np.random.RandomState(13)
+    arr = rng.randint(0, 100, (10, 12)).astype(float)
+    tiles = tiles_from_array(spark, arr, tile=4)
+    grid = dict(grid_xmin=0.0, grid_ymax=10.0, dx=1.0, dy=1.0,
+                grid_nrows=10, grid_ncols=12, tile=4)
+    R, T = 3, 90.0
+    got = {(r["r"], r["c"]): (r["d2"], r["dist"])
+           for r in focal_proximity(tiles, radius=R, target_min=T,
+                                    grid=grid).collect()}
+    assert len(got) == 120
+    for r in range(10):
+        for c in range(12):
+            best = None
+            for dr in range(-R, R + 1):
+                for dc in range(-R, R + 1):
+                    rr, cc = r + dr, c + dc
+                    if 0 <= rr < 10 and 0 <= cc < 12 and arr[rr, cc] >= T:
+                        d2 = dr * dr + dc * dc
+                        best = d2 if best is None else min(best, d2)
+            exp = (best, np.sqrt(best) if best is not None else None)
+            assert got[(r, c)] == exp, ((r, c), got[(r, c)], exp)
+    # a cell that IS a target has d2 == 0
+    tr, tc = np.argwhere(arr >= T)[0]
+    assert got[(int(tr), int(tc))] == (0, 0.0)
