@@ -242,6 +242,17 @@ def _raster_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return focal_proximity(tiles, radius=8, target_min=90.0, grid=grid)
 
 
+def _raster_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn-method surface gradient (gdaldem slope core) on the
+    radius-1 halo exchange; NULL at edges and nodata neighborhoods
+    (focal.py).  Exact dyadic outputs only — angle transforms stay out
+    of the gate (libm rounding differs across engines)."""
+    from exactextract_spark.focal import focal_gradient
+
+    cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
+    return focal_gradient(tiles, grid=grid)
+
+
 def _raster_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4× overview level (gdaladdo -r average shape): f×f block stats,
     map-only with ZERO shuffles because the factor divides the tile
@@ -777,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_mean": _focal_mean,
         "focal_convolve": _focal_convolve,
         "raster_proximity": _raster_proximity,
+        "raster_gradient": _raster_gradient,
         "raster_overview": _raster_overview,
         "zonal_custom": _zonal_custom,
         "zonal_binned": _zq(["variety(bin_width=2)", "majority(bin_width=2)",

@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from .io import decode_tile, encode_tile
 
 __all__ = ["focal_stats", "focal_raster", "focal_convolve",
-           "focal_proximity", "focal_to_tiles"]
+           "focal_proximity", "focal_gradient", "focal_to_tiles"]
 
 _PART_SCHEMA = T.StructType([
     T.StructField("t_row", T.IntegerType(), False),
@@ -447,6 +447,80 @@ def focal_proximity(tiles: DataFrame, radius: int = 8, *,
 
     return parts.groupBy("t_row", "t_col").applyInPandas(
         gather, schema=_PROX_SCHEMA)
+
+
+_GRAD_SCHEMA = T.StructType([
+    T.StructField("cell_id", T.LongType()),
+    T.StructField("r", T.IntegerType()),
+    T.StructField("c", T.IntegerType()),
+    T.StructField("gx", T.DoubleType()),
+    T.StructField("gy", T.DoubleType()),
+    T.StructField("slope_sq", T.DoubleType()),
+])
+
+
+def focal_gradient(tiles: DataFrame, *, grid: dict | None = None
+                   ) -> DataFrame:
+    """Horn-method surface gradient (the ``gdaldem slope`` core) on the
+    radius-1 halo exchange: per cell,
+
+        gx = ((z₋₊ + 2·z₀₊ + z₊₊) − (z₋₋ + 2·z₀₋ + z₊₋)) / (8·dx)
+        gy = ((z₊₋ + 2·z₊₀ + z₊₊) − (z₋₋ + 2·z₋₀ + z₋₊)) / (8·dy)
+
+    (subscripts row, col offsets; +row = grid south).  Cells whose 3×3
+    window is incomplete — raster edge or any nodata neighbor — return
+    NULL, GDAL's default edge/nodata behaviour.  ``slope_sq`` =
+    gx²+gy² is the squared slope (rise²/run²); for integer-valued data
+    on a unit grid every output is a dyadic rational, so the driver
+    oracle is bit-exact.  Angle transforms (atan/degrees) are left to
+    the caller: libm rounding is not guaranteed identical across
+    engines, so they stay out of the gated columns."""
+    grid, tile, rad = _resolve(tiles, 1, grid)
+    g_nrows, g_ncols = int(grid["grid_nrows"]), int(grid["grid_ncols"])
+    dx, dy = float(grid["dx"]), float(grid["dy"])
+    parts = _halo_parts(tiles, 1, tile, g_nrows, g_ncols)
+
+    def gather(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        core = pdf[pdf["is_core"]]
+        if core.empty:
+            return pd.DataFrame(columns=[f.name for f in _GRAD_SCHEMA])
+        crow = core.iloc[0]
+        c_row0, c_col0 = int(crow["row0"]), int(crow["col0"])
+        nr, nc = int(crow["nrows"]), int(crow["ncols"])
+        pad = np.full((nr + 2, nc + 2), np.nan)
+        for p in pdf.itertuples(index=False):
+            i = int(p.row0) - c_row0 + 1
+            j = int(p.col0) - c_col0 + 1
+            pad[i:i + int(p.nrows), j:j + int(p.ncols)] = \
+                decode_tile(p.buf, "float64", int(p.nrows), int(p.ncols))
+
+        def z(dr, dc):
+            return pad[1 + dr:1 + dr + nr, 1 + dc:1 + dc + nc]
+
+        gx = ((z(-1, 1) + 2.0 * z(0, 1) + z(1, 1))
+              - (z(-1, -1) + 2.0 * z(0, -1) + z(1, -1))) / (8.0 * dx)
+        gy = ((z(1, -1) + 2.0 * z(1, 0) + z(1, 1))
+              - (z(-1, -1) + 2.0 * z(-1, 0) + z(-1, 1))) / (8.0 * dy)
+        # NaN anywhere in the 3x3 (incl. the centre) poisons gx/gy —
+        # except the centre itself, which Horn's stencil doesn't read;
+        # GDAL nulls those too, so OR it in explicitly
+        bad = np.isnan(z(0, 0)) | np.isnan(gx) | np.isnan(gy)
+        gx = np.where(bad, np.nan, gx)
+        gy = np.where(bad, np.nan, gy)
+        slope_sq = np.where(bad, np.nan, gx * gx + gy * gy)
+        rr = np.arange(c_row0, c_row0 + nr, dtype=np.int64)[:, None]
+        cc = np.arange(c_col0, c_col0 + nc, dtype=np.int64)[None, :]
+        return pd.DataFrame({
+            "cell_id": np.broadcast_to(rr * g_ncols + cc, (nr, nc)).ravel(),
+            "r": np.broadcast_to(rr, (nr, nc)).ravel().astype(np.int32),
+            "c": np.broadcast_to(cc, (nr, nc)).ravel().astype(np.int32),
+            "gx": gx.ravel(),
+            "gy": gy.ravel(),
+            "slope_sq": slope_sq.ravel(),
+        })
+
+    return parts.groupBy("t_row", "t_col").applyInPandas(
+        gather, schema=_GRAD_SCHEMA)
 
 
 def focal_to_tiles(cells: DataFrame, grid: dict, *,

@@ -490,6 +490,41 @@ LEFT JOIN cells n
 GROUP BY 1, 2, 3"""
 
 
+def raster_gradient(cfg):
+    """Horn-method gradient: 3×3 pivot per cell; defined only when all
+    9 window cells exist and are non-nodata (GDAL edge/nodata default).
+    Integer values on the unit grid make gx/gy/slope_sq dyadic
+    rationals — exact in both engines."""
+    return f"""WITH {cells_sql(cfg)},
+w AS (
+  SELECT c.cell_id, CAST(c.r AS INT) AS r, CAST(c.c AS INT) AS c,
+         COUNT(n.val) AS nv,
+         MAX(CASE WHEN n.r = c.r - 1 AND n.c = c.c - 1 THEN n.val END) AS zmm,
+         MAX(CASE WHEN n.r = c.r - 1 AND n.c = c.c     THEN n.val END) AS zm0,
+         MAX(CASE WHEN n.r = c.r - 1 AND n.c = c.c + 1 THEN n.val END) AS zmp,
+         MAX(CASE WHEN n.r = c.r     AND n.c = c.c - 1 THEN n.val END) AS z0m,
+         MAX(CASE WHEN n.r = c.r     AND n.c = c.c + 1 THEN n.val END) AS z0p,
+         MAX(CASE WHEN n.r = c.r + 1 AND n.c = c.c - 1 THEN n.val END) AS zpm,
+         MAX(CASE WHEN n.r = c.r + 1 AND n.c = c.c     THEN n.val END) AS zp0,
+         MAX(CASE WHEN n.r = c.r + 1 AND n.c = c.c + 1 THEN n.val END) AS zpp
+  FROM cells c
+  JOIN cells n
+    ON n.r BETWEEN c.r - 1 AND c.r + 1
+   AND n.c BETWEEN c.c - 1 AND c.c + 1
+  GROUP BY 1, 2, 3),
+g AS (
+  SELECT cell_id, r, c,
+    CASE WHEN nv = 9
+         THEN ((zmp + 2 * z0p + zpp) - (zmm + 2 * z0m + zpm)) / 8.0
+    END AS gx,
+    CASE WHEN nv = 9
+         THEN ((zpm + 2 * zp0 + zpp) - (zmm + 2 * zm0 + zmp)) / 8.0
+    END AS gy
+  FROM w)
+SELECT cell_id, r, c, gx, gy, gx * gx + gy * gy AS slope_sq
+FROM g"""
+
+
 def raster_overview(cfg):
     """4×4 block aggregation (overview level): COUNT/SUM/MIN/MAX over
     each block's defined cells; all-nodata blocks keep their row with
@@ -668,6 +703,7 @@ ZONAL_ORACLES = {
     "focal_mean": focal_mean,
     "focal_convolve": focal_convolve,
     "raster_proximity": raster_proximity,
+    "raster_gradient": raster_gradient,
     "raster_overview": raster_overview,
     "rasterize_burn": rasterize_burn,
     "rasterize_zonal": rasterize_zonal,

@@ -517,3 +517,36 @@ def test_focal_proximity_bruteforce(spark):
     # a cell that IS a target has d2 == 0
     tr, tc = np.argwhere(arr >= T)[0]
     assert got[(int(tr), int(tc))] == (0, 0.0)
+
+
+def test_focal_gradient_bruteforce(spark):
+    """Horn gradient vs brute force across tile edges; NULL at raster
+    edges and wherever the 3x3 window touches nodata."""
+    from exactextract_spark.focal import focal_gradient
+    from exactextract_spark.io import tiles_from_array
+
+    rng = np.random.RandomState(21)
+    arr = rng.randint(0, 50, (9, 10)).astype(float)
+    arr[3, 4] = -1.0                            # one nodata hole
+    tiles = tiles_from_array(spark, arr, tile=4, nodata=-1.0)
+    grid = dict(grid_xmin=0.0, grid_ymax=9.0, dx=1.0, dy=1.0,
+                grid_nrows=9, grid_ncols=10, tile=4)
+    got = {(r["r"], r["c"]): (r["gx"], r["gy"], r["slope_sq"])
+           for r in focal_gradient(tiles, grid=grid).collect()}
+    m = np.where(arr == -1.0, np.nan, arr)
+    assert len(got) == 90
+    for r in range(9):
+        for c in range(10):
+            if r in (0, 8) or c in (0, 9) or \
+                    np.isnan(m[r-1:r+2, c-1:c+2]).any():
+                assert got[(r, c)] == (None, None, None), (r, c)
+                continue
+            gx = ((m[r-1, c+1] + 2*m[r, c+1] + m[r+1, c+1])
+                  - (m[r-1, c-1] + 2*m[r, c-1] + m[r+1, c-1])) / 8.0
+            gy = ((m[r+1, c-1] + 2*m[r+1, c] + m[r+1, c+1])
+                  - (m[r-1, c-1] + 2*m[r-1, c] + m[r-1, c+1])) / 8.0
+            assert got[(r, c)] == (gx, gy, gx*gx + gy*gy), (r, c)
+    # every cell adjacent to the hole (incl. diagonals) is NULL
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            assert got[(3 + dr, 4 + dc)] == (None, None, None)
