@@ -281,6 +281,17 @@ def _rasterize_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
                          grid=grid, strategy="broadcast")
 
 
+def _zonal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zone coverage-weighted covariance/correlation of the value
+    raster against the weight raster (api.zonal_correlation) — exact
+    moment sums, numerator-form statistics."""
+    from exactextract_spark.api import zonal_correlation
+
+    cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
+    return zonal_correlation(zones, tiles, wtiles, grid=grid,
+                             strategy="broadcast")
+
+
 def _zonal_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-raster joint tabulation (value × weight-raster value) per
     zone with within-zone shares — the joint extension of frac
@@ -785,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_burn": _rasterize_burn,
         "rasterize_zonal": _rasterize_zonal,
         "zonal_crosstab": _zonal_crosstab,
+        "zonal_correlation": _zonal_correlation,
         "focal_mean": _focal_mean,
         "focal_convolve": _focal_convolve,
         "raster_proximity": _raster_proximity,

@@ -11,8 +11,8 @@ from .extract import ZonalExtractor
 from .ops import parse_ops
 
 __all__ = ["exact_extract_multi", "exact_extract_fused",
-           "exact_extract_multiband", "zonal_crosstab", "unnest_arrays",
-           "frac_as_map"]
+           "exact_extract_multiband", "zonal_crosstab",
+           "zonal_correlation", "unnest_arrays", "frac_as_map"]
 
 
 def exact_extract_multi(zones: DataFrame, rasters: dict[str, DataFrame], ops, *,
@@ -145,6 +145,59 @@ def zonal_crosstab(zones: DataFrame, tiles: DataFrame,
          .agg(F.sum("cov").alias("count"))
     w = Window.partitionBy("zone_id")
     return g.withColumn("frac", F.col("count") / F.sum("count").over(w))
+
+
+def zonal_correlation(zones: DataFrame, tiles: DataFrame,
+                      other_tiles: DataFrame, *,
+                      grid: dict | None = None,
+                      strategy: str = "auto") -> DataFrame:
+    """Per-zone coverage-weighted covariance and Pearson correlation
+    between two aligned rasters (the ArcGIS "Band Collection
+    Statistics" analog) — how do two variables co-vary INSIDE each
+    polygon.
+
+    The moment sums (Σc, Σcx, Σcy, Σcx², Σcy², Σcxy) ride the same
+    aligned-arrays extraction as :func:`zonal_crosstab` and are exact
+    for the quarter-aligned fixture (coverage multiples of 1/16 ×
+    small integers), so the derived statistics are single
+    correctly-rounded expression sequences — deterministic across
+    engines.  Numerator forms avoid compounding divisions:
+    ``cov = (n·Σcxy − Σcx·Σcy) / n²``,
+    ``corr = (n·Σcxy − Σcx·Σcy) / √((n·Σcx²−Σcx²ᵗ)(n·Σcy²−Σcy²ᵗ))``,
+    NULL when either marginal variance is 0 (constant band in zone).
+
+    One extraction + one compact per-zone aggregate: the moment rows
+    are six doubles per zone — never the raw cells — so the final
+    agg shuffles |zones| rows regardless of raster size."""
+    from .extract import exact_extract
+
+    res = exact_extract(zones, tiles, ["values", "weights", "coverage"],
+                        weight_tiles=other_tiles, grid=grid,
+                        strategy=strategy)
+    e = (res.select("zone_id",
+                    F.explode(F.arrays_zip("values", "weights", "coverage"))
+                     .alias("e"))
+         .select("zone_id",
+                 F.col("e.values").cast("double").alias("x"),
+                 F.col("e.weights").cast("double").alias("y"),
+                 F.col("e.coverage").cast("double").alias("c")))
+    m = e.groupBy("zone_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("x")).alias("sx"),
+        F.sum(F.col("c") * F.col("y")).alias("sy"),
+        F.sum(F.col("c") * F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("c") * F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("c") * F.col("x") * F.col("y")).alias("sxy"))
+    cov_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx_num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy_num = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "zone_id", "n",
+        (F.col("sx") / F.col("n")).alias("mean_x"),
+        (F.col("sy") / F.col("n")).alias("mean_y"),
+        (cov_num / (F.col("n") * F.col("n"))).alias("cov"),
+        F.when((vx_num > 0) & (vy_num > 0),
+               cov_num / F.sqrt(vx_num * vy_num)).alias("corr"))
 
 
 def unnest_arrays(df: DataFrame, array_cols: list[str] | None = None,

@@ -418,6 +418,26 @@ SELECT zone_id, SUM(cov) AS "count", SUM(v * cov) AS "sum",
 FROM p2 GROUP BY 1"""
 
 
+def zonal_correlation(cfg):
+    """Coverage-weighted covariance/Pearson per zone: exact moment sums
+    (1/16-multiples × small ints) feed numerator-form statistics —
+    identical single-rounding expression sequences in both engines."""
+    return f"""WITH {pairs_sql(cfg)},
+m AS (
+  SELECT zone_id, SUM(cov) AS n,
+         SUM(cov * val) AS sx, SUM(cov * wgt) AS sy,
+         SUM(cov * val * val) AS sxx, SUM(cov * wgt * wgt) AS syy,
+         SUM(cov * val * wgt) AS sxy
+  FROM pairs WHERE val IS NOT NULL GROUP BY 1)
+SELECT zone_id, n, sx / n AS mean_x, sy / n AS mean_y,
+       (n * sxy - sx * sy) / (n * n) AS cov,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN (n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
+       END AS corr
+FROM m"""
+
+
 def zonal_crosstab(cfg):
     """Joint (value, weight-value) tabulation per zone — the 2-raster
     cross-tab; frac is one correctly-rounded division of exact
@@ -708,6 +728,7 @@ ZONAL_ORACLES = {
     "rasterize_burn": rasterize_burn,
     "rasterize_zonal": rasterize_zonal,
     "zonal_crosstab": zonal_crosstab,
+    "zonal_correlation": zonal_correlation,
     "checkpoint_resume": zonal_incremental,
     "streaming_snapshot": zonal_incremental,
     # streamed value tiles weighted by a STATIC weight raster (w0):

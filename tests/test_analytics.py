@@ -550,3 +550,40 @@ def test_focal_gradient_bruteforce(spark):
     for dr in (-1, 0, 1):
         for dc in (-1, 0, 1):
             assert got[(3 + dr, 4 + dc)] == (None, None, None)
+
+
+def test_zonal_correlation_semantics(spark):
+    """corr(x, x) == 1, corr(x, -x-shape) == -1, constant band -> NULL;
+    cov matches the numpy population covariance on a full-cell zone."""
+    from exactextract_spark.api import zonal_correlation
+    from exactextract_spark.io import tiles_from_array
+
+    rng = np.random.RandomState(17)
+    x = rng.randint(0, 50, (8, 8)).astype(float)
+    grid = dict(grid_xmin=0.0, grid_ymax=8.0, dx=1.0, dy=1.0,
+                grid_nrows=8, grid_ncols=8, tile=8)
+    tx = tiles_from_array(spark, x, tile=8)
+    zones = _zdf(spark, {"all": "POLYGON((0 0, 8 0, 8 8, 0 8, 0 0))"})
+
+    r = zonal_correlation(zones, tx, tiles_from_array(spark, x, tile=8,
+                                                      raster_id="x2"),
+                          grid=grid).first()
+    assert r["corr"] == 1.0 and r["n"] == 64.0
+
+    r = zonal_correlation(zones, tx,
+                          tiles_from_array(spark, 100.0 - x, tile=8,
+                                           raster_id="nx"),
+                          grid=grid).first()
+    assert r["corr"] == -1.0
+
+    r = zonal_correlation(zones, tx,
+                          tiles_from_array(spark, np.full((8, 8), 3.0),
+                                           tile=8, raster_id="k"),
+                          grid=grid).first()
+    assert r["corr"] is None and r["mean_y"] == 3.0
+
+    y = rng.randint(0, 30, (8, 8)).astype(float)
+    r = zonal_correlation(zones, tx, tiles_from_array(spark, y, tile=8,
+                                                      raster_id="y"),
+                          grid=grid).first()
+    assert abs(r["cov"] - np.cov(x.ravel(), y.ravel(), bias=True)[0, 1]) < 1e-9
