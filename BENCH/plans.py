@@ -255,6 +255,17 @@ def main():
         "rejected rather than paying a hidden shuffle.)",
         plan_of(ov)))
 
+    from exactextract_spark.focal import focal_proximity
+    px = focal_proximity(tiles, radius=8, target_min=90.0, grid=grid)
+    sections.append((
+        "raster_proximity — separable distance transform",
+        "Identical plan shape to focal_stats (the whole focal family "
+        "shares one halo exchange): MapInPandas scatter, one Exchange "
+        "on the target tile, FlatMapGroupsInPandas running the "
+        "Felzenszwalb two-pass min.  Radius 8 strips are still <= "
+        "(1+2R/tile)^2 of the raster.",
+        plan_of(px)))
+
     from exactextract_spark.rasterize import rasterize_burn
     rb = rasterize_burn(zones, tiles, grid=grid, strategy="broadcast")
     sections.append((
