@@ -205,7 +205,20 @@ window reads) on the Florida/NClimGrid case; this engine at 4N reaches
 {n4['zones'] / n4['best_sec']:,.0f} polygons/sec /
 {thr_4n:,.0f} px/s on {n['zones']:,} zones.
 """
-    (HERE / "BASELINE.md").write_text(md)
+    # replace only the zonal section (everything before the first
+    # other "## " header), preserving sections appended by other
+    # harnesses (temporal joins, focal stencil)
+    path = HERE / "BASELINE.md"
+    tail = ""
+    if path.exists():
+        old = path.read_text()
+        for marker in ("\n## Temporal-join scaling",
+                       "\n## Halo-exchange stencil scaling"):
+            i = old.find(marker)
+            if i >= 0:
+                tail = old[i:]
+                break
+    path.write_text(md + tail)
 
 
 if __name__ == "__main__":
