@@ -668,6 +668,18 @@ def _point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point_in_polygon(build_points(spark, cfg), zones, grid=grid)
 
 
+def _point_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster point query: nearest-cell value + bilinear interpolation
+    between the 4 surrounding cell centers, per query point — points
+    key to their owning tile, payloads arrive with a 1-cell halo, one
+    cogrouped shuffle (spatial.sample_points)."""
+    from exactextract_spark.fixtures import build_points
+    from exactextract_spark.spatial import sample_points
+
+    cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
+    return sample_points(build_points(spark, cfg), tiles, grid=grid)
+
+
 def _knn_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exactextract_spark.fixtures import build_points
     from exactextract_spark.spatial import knn_tiles
@@ -820,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_linear": _zonal_linear,
         "subdivide_rect": _subdivide,
         "point_in_polygon": _point_in_polygon,
+        "point_sample": _point_sample,
         "knn_tiles": _knn_tiles,
         # training-data pipeline operators (documents / embeddings)
         "text_stats": ptext.text_stats,

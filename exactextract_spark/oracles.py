@@ -545,6 +545,39 @@ SELECT cell_id, r, c, gx, gy, gx * gx + gy * gy AS slope_sq
 FROM g"""
 
 
+def point_sample(cfg):
+    """Raster point query: nearest cell by containment; bilinear
+    between the 4 surrounding cell centers (fy/fx measured from the
+    top-left cell center).  Quarter-aligned coordinates make every
+    weight dyadic — no rounding anywhere, both engines exact."""
+    G = cfg.G
+    return f"""WITH {points_sql(cfg)},
+{cells_sql(cfg)},
+p AS (
+  SELECT point_id, x, y,
+         CAST(FLOOR({G} - y) AS INT) AS r,
+         CAST(FLOOR(x) AS INT) AS c,
+         (x - 0.5) AS fx, (({G} - y) - 0.5) AS fy
+  FROM points
+  WHERE FLOOR({G} - y) >= 0 AND FLOOR({G} - y) < {G}
+    AND FLOOR(x) >= 0 AND FLOOR(x) < {G}),
+q AS (
+  SELECT p.*, CAST(FLOOR(fy) AS BIGINT) AS gr,
+         CAST(FLOOR(fx) AS BIGINT) AS gc,
+         fy - FLOOR(fy) AS wr, fx - FLOOR(fx) AS wx
+  FROM p)
+SELECT q.point_id, q.x, q.y, q.r, q.c,
+       n.val AS v_nearest,
+       (1 - q.wr) * (1 - q.wx) * a.val + (1 - q.wr) * q.wx * b.val
+       + q.wr * (1 - q.wx) * d.val + q.wr * q.wx * e.val AS v_bilinear
+FROM q
+LEFT JOIN cells n ON n.r = q.r AND n.c = q.c
+LEFT JOIN cells a ON a.r = q.gr     AND a.c = q.gc
+LEFT JOIN cells b ON b.r = q.gr     AND b.c = q.gc + 1
+LEFT JOIN cells d ON d.r = q.gr + 1 AND d.c = q.gc
+LEFT JOIN cells e ON e.r = q.gr + 1 AND e.c = q.gc + 1"""
+
+
 def raster_overview(cfg):
     """4×4 block aggregation (overview level): COUNT/SUM/MIN/MAX over
     each block's defined cells; all-nodata blocks keep their row with
@@ -724,6 +757,7 @@ ZONAL_ORACLES = {
     "focal_convolve": focal_convolve,
     "raster_proximity": raster_proximity,
     "raster_gradient": raster_gradient,
+    "point_sample": point_sample,
     "raster_overview": raster_overview,
     "rasterize_burn": rasterize_burn,
     "rasterize_zonal": rasterize_zonal,

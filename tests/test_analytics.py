@@ -587,3 +587,41 @@ def test_zonal_correlation_semantics(spark):
                                                       raster_id="y"),
                           grid=grid).first()
     assert abs(r["cov"] - np.cov(x.ravel(), y.ravel(), bias=True)[0, 1]) < 1e-9
+
+
+# --- raster point sampling ---------------------------------------------------
+
+def test_sample_points_semantics(spark):
+    """Nearest = containing-cell value; bilinear interpolates between
+    cell centers (exact at centers, mean at the 4-center midpoint);
+    NULL at nodata / outside-raster corners; off-grid points dropped."""
+    from exactextract_spark.io import tiles_from_array
+    from exactextract_spark.spatial import sample_points
+
+    arr = np.array([[10.0, 20.0, 30.0, 40.0],
+                    [50.0, 60.0, 70.0, 80.0],
+                    [90.0, -1.0, 11.0, 12.0],
+                    [13.0, 14.0, 15.0, 16.0]])
+    tiles = tiles_from_array(spark, arr, tile=2, nodata=-1.0)
+    grid = dict(grid_xmin=0.0, grid_ymax=4.0, dx=1.0, dy=1.0,
+                grid_nrows=4, grid_ncols=4, tile=2)
+    pts = spark.createDataFrame(
+        [(0, 1.5, 3.5),    # center of cell (0,1): exact 20
+         (1, 2.0, 3.0),    # midpoint of 4 top cells' centers -> mean
+         (2, 1.25, 1.75),  # owning cell (2,1) = nodata
+         (3, 0.25, 3.75),  # near top-left corner: bilinear needs r=-1
+         (4, 9.0, 9.0),    # outside the raster -> dropped
+         ],
+        ["point_id", "x", "y"])
+    out = {r["point_id"]: r for r in
+           sample_points(pts, tiles, grid=grid).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["v_nearest"] == 20.0 and out[0]["v_bilinear"] == 20.0
+    # midpoint between centers of (0,1),(0,2),(1,1),(1,2)
+    assert out[1]["v_bilinear"] == (20 + 30 + 60 + 70) / 4.0
+    assert out[2]["v_nearest"] is None          # nodata cell
+    assert out[2]["v_bilinear"] is None         # corner (2,1) is nodata
+    assert out[3]["v_nearest"] == 10.0
+    assert out[3]["v_bilinear"] is None         # needs row -1 / col -1
+    # cross-tile bilinear: the 4 corners of point 1 span 2x2 tiles
+    assert (out[1]["r"], out[1]["c"]) in {(1, 2)}
