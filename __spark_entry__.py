@@ -292,6 +292,37 @@ def _zonal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
                              strategy="broadcast")
 
 
+def _zonal_topk_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zone hotspot extraction: the top-5 covered cells by value
+    (ties → lowest cell_id).  Two-phase salted top-k (the ann_topk
+    scale pattern): a local rank per (zone, salt) bounds every task,
+    the final rank sees ≤ 5·salts rows per zone — no task ever sorts a
+    whole zone's cell list."""
+    from pyspark.sql import Window
+
+    cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
+    res = exact_extract(zones, tiles, ["cell_id", "values", "coverage"],
+                        grid=grid, strategy="broadcast")
+    e = (res.select("zone_id",
+                    F.explode(F.arrays_zip(F.col("cell_id").alias("cid"),
+                                           F.col("values").alias("v"),
+                                           F.col("coverage").alias("cov")))
+                    .alias("e"))
+         .select("zone_id", F.col("e.cid").alias("cell_id"),
+                 F.col("e.v").alias("value"),
+                 F.col("e.cov").cast("double").alias("cov")))
+    k = 5
+    w1 = Window.partitionBy("zone_id", F.pmod(F.col("cell_id"), F.lit(8))) \
+        .orderBy(F.col("value").desc(), F.col("cell_id"))
+    local = e.withColumn("_lr", F.row_number().over(w1)) \
+        .where(F.col("_lr") <= k)
+    w2 = Window.partitionBy("zone_id") \
+        .orderBy(F.col("value").desc(), F.col("cell_id"))
+    return (local.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k)
+            .select("zone_id", "rank", "cell_id", "value", "cov"))
+
+
 def _zonal_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-raster joint tabulation (value × weight-raster value) per
     zone with within-zone shares — the joint extension of frac
@@ -809,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_zonal": _rasterize_zonal,
         "zonal_crosstab": _zonal_crosstab,
         "zonal_correlation": _zonal_correlation,
+        "zonal_topk_cells": _zonal_topk_cells,
         "focal_mean": _focal_mean,
         "focal_convolve": _focal_convolve,
         "raster_proximity": _raster_proximity,

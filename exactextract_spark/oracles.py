@@ -418,6 +418,19 @@ SELECT zone_id, SUM(cov) AS "count", SUM(v * cov) AS "sum",
 FROM p2 GROUP BY 1"""
 
 
+def zonal_topk_cells(cfg):
+    """Top-5 covered cells per zone by value, ties → lowest cell_id.
+    The engine runs the two-phase salted top-k; same total order."""
+    return f"""WITH {pairs_sql(cfg)},
+ranked AS (
+  SELECT zone_id, cell_id, val AS value, cov,
+         ROW_NUMBER() OVER (PARTITION BY zone_id
+                            ORDER BY val DESC, cell_id) AS rank
+  FROM pairs WHERE val IS NOT NULL)
+SELECT zone_id, CAST(rank AS INT) AS rank, cell_id, value, cov
+FROM ranked WHERE rank <= 5"""
+
+
 def zonal_correlation(cfg):
     """Coverage-weighted covariance/Pearson per zone: exact moment sums
     (1/16-multiples × small ints) feed numerator-form statistics —
@@ -763,6 +776,7 @@ ZONAL_ORACLES = {
     "rasterize_zonal": rasterize_zonal,
     "zonal_crosstab": zonal_crosstab,
     "zonal_correlation": zonal_correlation,
+    "zonal_topk_cells": zonal_topk_cells,
     "checkpoint_resume": zonal_incremental,
     "streaming_snapshot": zonal_incremental,
     # streamed value tiles weighted by a STATIC weight raster (w0):

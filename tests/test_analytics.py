@@ -625,3 +625,14 @@ def test_sample_points_semantics(spark):
     assert out[3]["v_bilinear"] is None         # needs row -1 / col -1
     # cross-tile bilinear: the 4 corners of point 1 span 2x2 tiles
     assert (out[1]["r"], out[1]["c"]) in {(1, 2)}
+
+
+def test_zonal_topk_two_phase_plan(spark):
+    """The top-k plan has a salted local Window before the final
+    per-zone rank — no single window sorts a zone's full cell list."""
+    import __spark_entry__ as E
+
+    df = E.queries()["zonal_topk_cells"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2, plan
+    assert "pmod(cell_id" in plan or "pmod" in plan, plan
