@@ -253,6 +253,16 @@ def _raster_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
     return focal_gradient(tiles, grid=grid)
 
 
+def _raster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global raster value histogram (gdalinfo -hist shape): per-tile
+    np.unique bincount in the map stage, one compact (value, count)
+    hash aggregate (pyramid.raster_histogram)."""
+    from exactextract_spark.pyramid import raster_histogram
+
+    cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
+    return raster_histogram(tiles, grid=grid)
+
+
 def _raster_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4× overview level (gdaladdo -r average shape): f×f block stats,
     map-only with ZERO shuffles because the factor divides the tile
@@ -846,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_proximity": _raster_proximity,
         "raster_gradient": _raster_gradient,
         "raster_overview": _raster_overview,
+        "raster_histogram": _raster_histogram,
         "zonal_custom": _zonal_custom,
         "zonal_binned": _zq(["variety(bin_width=2)", "majority(bin_width=2)",
                              "minority(bin_width=2)"]),
@@ -891,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": pevana.event_funnel,
         "user_retention": pevana.user_retention,
         "user_rolling_features": pevana.user_rolling_features,
+        "event_user_profile": pevana.event_user_profile,
         "dedup_ngram_jaccard": pdedup.ngram_jaccard,
         "line_dedup": pdedup.line_dedup,
         "contamination_check": pdedup.contamination_check,
@@ -949,6 +961,7 @@ PIPELINE_ORACLES = {
     "event_funnel": pevana.event_funnel_oracle,
     "user_retention": pevana.user_retention_oracle,
     "user_rolling_features": pevana.user_rolling_features_oracle,
+    "event_user_profile": pevana.event_user_profile_oracle,
     "dedup_ngram_jaccard": pdedup.ngram_jaccard_oracle,
     "line_dedup": pdedup.line_dedup_oracle,
     "contamination_check": pdedup.contamination_check_oracle,

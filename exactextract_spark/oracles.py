@@ -591,6 +591,14 @@ LEFT JOIN cells d ON d.r = q.gr + 1 AND d.c = q.gc
 LEFT JOIN cells e ON e.r = q.gr + 1 AND e.c = q.gc + 1"""
 
 
+def raster_histogram(cfg):
+    """Global value histogram: count of defined cells per distinct
+    value (gdalinfo -hist).  Counts are exact integers."""
+    return f"""WITH {cells_sql(cfg)}
+SELECT val AS value, COUNT(*) AS n
+FROM cells WHERE val IS NOT NULL GROUP BY 1"""
+
+
 def raster_overview(cfg):
     """4×4 block aggregation (overview level): COUNT/SUM/MIN/MAX over
     each block's defined cells; all-nodata blocks keep their row with
@@ -772,6 +780,7 @@ ZONAL_ORACLES = {
     "raster_gradient": raster_gradient,
     "point_sample": point_sample,
     "raster_overview": raster_overview,
+    "raster_histogram": raster_histogram,
     "rasterize_burn": rasterize_burn,
     "rasterize_zonal": rasterize_zonal,
     "zonal_crosstab": zonal_crosstab,

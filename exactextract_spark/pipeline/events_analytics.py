@@ -44,7 +44,8 @@ from .streaming_events import EVENTS_SCHEMA
 
 __all__ = ["funnel", "event_funnel", "event_funnel_oracle",
            "user_retention", "user_retention_oracle",
-           "user_rolling_features", "user_rolling_features_oracle"]
+           "user_rolling_features", "user_rolling_features_oracle",
+           "event_user_profile", "event_user_profile_oracle"]
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 _DAY_US = 86_400_000_000
@@ -179,3 +180,63 @@ SELECT event_id, user_id,
 FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY tsl
              RANGE BETWEEN 604799999999 PRECEDING AND CURRENT ROW)"""
+
+
+def event_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime profile — the feature-store row a training
+    pipeline joins onto everything else: first/last activity (integer
+    µs), tenure in days, distinct active days, event count, exact
+    DECIMAL total spend, top event type (ties → lexicographically
+    smallest via min_by on (-count, type) — mirrored in the
+    oracle with window ORDER BY count DESC, type ASC).
+
+    One partial-aggregatable shuffle on user_id; distinct-day counting
+    rides the same aggregate (count_distinct folds map-side into a
+    compact per-task set bounded by tenure, not event count)."""
+    ev = _events(spark, sf_dir)
+    base = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("first_us"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count("*").alias("n_events"),
+        F.countDistinct(F.date_trunc("day", "ts")).alias("n_active_days"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+         .alias("total_value"))
+    per_type = (ev.groupBy("user_id", "event_type")
+                .agg(F.count("*").alias("n"))
+                .groupBy("user_id")
+                .agg(F.min_by(
+                    "event_type",
+                    F.struct((-F.col("n")).alias("neg"), "event_type"))
+                    .alias("top_type")))
+    return (base.join(per_type, "user_id")
+            .select("user_id", "first_us", "last_us",
+                    ((F.col("last_us") - F.col("first_us"))
+                     / F.lit(float(_DAY_US))).alias("tenure_days"),
+                    "n_active_days", "n_events", "total_value",
+                    "top_type"))
+
+
+def event_user_profile_oracle() -> str:
+    return """WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tsl,
+         date_trunc('day', ts) AS day,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events),
+b AS (
+  SELECT user_id, MIN(tsl) AS first_us, MAX(tsl) AS last_us,
+         COUNT(*) AS n_events,
+         COUNT(DISTINCT day) AS n_active_days,
+         CAST(SUM(v) AS DOUBLE) AS total_value
+  FROM e GROUP BY 1),
+t AS (
+  SELECT user_id, event_type AS top_type FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY COUNT(*) DESC, event_type)
+             AS rn
+    FROM e GROUP BY user_id, event_type)
+  WHERE rn = 1)
+SELECT b.user_id, b.first_us, b.last_us,
+       (b.last_us - b.first_us) / 86400000000.0 AS tenure_days,
+       b.n_active_days, b.n_events, b.total_value, t.top_type
+FROM b JOIN t ON b.user_id = t.user_id"""

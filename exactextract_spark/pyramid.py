@@ -33,7 +33,8 @@ from pyspark.sql import DataFrame, types as T
 
 from .io import encode_tile
 
-__all__ = ["overview", "overview_tiles", "coarse_grid"]
+__all__ = ["overview", "overview_tiles", "coarse_grid",
+           "raster_histogram"]
 
 _OV_SCHEMA = T.StructType([
     T.StructField("ov_r", T.IntegerType()),
@@ -150,3 +151,45 @@ def overview_tiles(ov: DataFrame, grid: dict, factor: int = 4, *,
         F.coalesce(F.col(column).cast("double"),
                    F.lit(float("nan"))).alias("burn"))
     return burn_to_tiles(named, cg, raster_id=raster_id, column="burn")
+
+
+_HIST_SCHEMA = T.StructType([
+    T.StructField("value", T.DoubleType()),
+    T.StructField("n", T.LongType()),
+])
+
+
+def raster_histogram(tiles: DataFrame, *, grid: dict | None = None
+                     ) -> DataFrame:
+    """Global value histogram of the raster (``gdalinfo -hist``): one
+    row per distinct defined value with its cell count.  Each tile
+    bincounts locally (``np.unique`` inside the map stage), so the
+    shuffle carries one compact (value, count) row per distinct value
+    per tile — for categorical/integer rasters that is ~|domain| rows
+    per tile regardless of tile size, then one tiny hash aggregate."""
+    from .focal import _decode_masked
+
+    cols = ["tile_row", "tile_col", "row0", "col0", "nrows", "ncols",
+            "values", "dtype"]
+    if "nodata" in tiles.columns:
+        cols.append("nodata")
+
+    def local_hist(batches):
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                arr = _decode_masked(row)
+                v = arr[~np.isnan(arr)]
+                if v.size == 0:
+                    continue
+                uniq, cnt = np.unique(v, return_counts=True)
+                frames.append(pd.DataFrame(
+                    {"value": uniq, "n": cnt.astype(np.int64)}))
+            yield pd.concat(frames) if frames else \
+                pd.DataFrame({"value": pd.Series(dtype="float64"),
+                              "n": pd.Series(dtype="int64")})
+
+    from pyspark.sql import functions as F
+    return (tiles.select(*cols)
+            .mapInPandas(local_hist, schema=_HIST_SCHEMA)
+            .groupBy("value").agg(F.sum("n").alias("n")))

@@ -636,3 +636,45 @@ def test_zonal_topk_two_phase_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") >= 2, plan
     assert "pmod(cell_id" in plan or "pmod" in plan, plan
+
+
+def test_raster_histogram_and_user_profile(spark, tmp_path):
+    """Histogram counts equal numpy bincount (nodata excluded);
+    user profile aggregates and top-type tie-break are correct."""
+    import pandas as pd
+    from exactextract_spark.io import tiles_from_array
+    from exactextract_spark.pyramid import raster_histogram
+    from exactextract_spark.pipeline.events_analytics import event_user_profile
+
+    arr = np.array([[1.0, 2.0, 2.0], [3.0, -1.0, 3.0], [3.0, 1.0, 2.0]])
+    tiles = tiles_from_array(spark, arr, tile=2, nodata=-1.0)
+    got = {r["value"]: r["n"] for r in raster_histogram(tiles).collect()}
+    assert got == {1.0: 2, 2.0: 3, 3.0: 3}
+
+    us = 1_000_000
+    rows = [
+        # user 1: 2 views, 2 clicks (tie) -> 'click' (lexicographic);
+        # two events on day 0, one on day 2
+        (1, 1, "view", 0, 1.5), (2, 1, "view", 10 * us, 2.5),
+        (3, 1, "click", 20 * us, 0.0),
+        (4, 1, "click", 2 * 86_400_000_000, 4.0),
+        # user 2: single event
+        (5, 2, "error", 42, 7.25),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id",
+                                      "event_type", "us", "value"])
+    ev = spark.createDataFrame(pdf) \
+        .selectExpr("event_id", "CAST(user_id AS LONG) user_id",
+                    "event_type", "timestamp_micros(us) AS ts",
+                    "CAST(value AS DOUBLE) value", "'{}' AS props")
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r["user_id"]: r for r in
+           event_user_profile(spark, str(tmp_path)).collect()}
+    u1 = out[1]
+    assert u1["n_events"] == 4 and u1["n_active_days"] == 2
+    assert u1["top_type"] == "click"
+    assert u1["total_value"] == 8.0
+    assert u1["first_us"] == 0 and u1["last_us"] == 2 * 86_400_000_000
+    u2 = out[2]
+    assert u2["n_events"] == 1 and u2["tenure_days"] == 0.0 \
+        and u2["top_type"] == "error"
