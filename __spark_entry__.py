@@ -333,6 +333,17 @@ def _zonal_topk_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("zone_id", "rank", "cell_id", "value", "cov"))
 
 
+def _zonal_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zone change detection: value raster vs weight raster as the
+    before/after pair (api.zonal_change) — changed fraction, mean
+    signed delta, max absolute delta."""
+    from exactextract_spark.api import zonal_change
+
+    cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
+    return zonal_change(zones, tiles, wtiles, grid=grid,
+                        strategy="broadcast")
+
+
 def _zonal_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-raster joint tabulation (value × weight-raster value) per
     zone with within-zone shares — the joint extension of frac
@@ -851,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_crosstab": _zonal_crosstab,
         "zonal_correlation": _zonal_correlation,
         "zonal_topk_cells": _zonal_topk_cells,
+        "zonal_change": _zonal_change,
         "focal_mean": _focal_mean,
         "focal_convolve": _focal_convolve,
         "raster_proximity": _raster_proximity,

@@ -12,7 +12,8 @@ from .ops import parse_ops
 
 __all__ = ["exact_extract_multi", "exact_extract_fused",
            "exact_extract_multiband", "zonal_crosstab",
-           "zonal_correlation", "unnest_arrays", "frac_as_map"]
+           "zonal_correlation", "zonal_change", "unnest_arrays",
+           "frac_as_map"]
 
 
 def exact_extract_multi(zones: DataFrame, rasters: dict[str, DataFrame], ops, *,
@@ -198,6 +199,41 @@ def zonal_correlation(zones: DataFrame, tiles: DataFrame,
         (cov_num / (F.col("n") * F.col("n"))).alias("cov"),
         F.when((vx_num > 0) & (vy_num > 0),
                cov_num / F.sqrt(vx_num * vy_num)).alias("corr"))
+
+
+def zonal_change(zones: DataFrame, tiles: DataFrame,
+                 other_tiles: DataFrame, *,
+                 grid: dict | None = None,
+                 strategy: str = "auto") -> DataFrame:
+    """Per-zone change detection between two aligned rasters (the
+    remote-sensing before/after summary): coverage inside the zone,
+    coverage-weighted changed fraction, mean signed delta, and the
+    largest absolute per-cell delta.  Rides the aligned-arrays
+    extraction; all sums are exact for the quarter-aligned fixture, so
+    the statistics are single correctly-rounded divisions."""
+    from .extract import exact_extract
+
+    res = exact_extract(zones, tiles, ["values", "weights", "coverage"],
+                        weight_tiles=other_tiles, grid=grid,
+                        strategy=strategy)
+    e = (res.select("zone_id",
+                    F.explode(F.arrays_zip("values", "weights", "coverage"))
+                     .alias("e"))
+         .select("zone_id",
+                 F.col("e.values").cast("double").alias("x"),
+                 F.col("e.weights").cast("double").alias("y"),
+                 F.col("e.coverage").cast("double").alias("c")))
+    m = e.groupBy("zone_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("x") != F.col("y"), F.col("c"))
+               .otherwise(F.lit(0.0))).alias("changed"),
+        F.sum(F.col("c") * (F.col("x") - F.col("y"))).alias("sdelta"),
+        F.max(F.abs(F.col("x") - F.col("y"))).alias("max_abs_delta"))
+    return m.select(
+        "zone_id", "n",
+        (F.col("changed") / F.col("n")).alias("changed_frac"),
+        (F.col("sdelta") / F.col("n")).alias("mean_delta"),
+        "max_abs_delta")
 
 
 def unnest_arrays(df: DataFrame, array_cols: list[str] | None = None,

@@ -431,6 +431,21 @@ SELECT zone_id, CAST(rank AS INT) AS rank, cell_id, value, cov
 FROM ranked WHERE rank <= 5"""
 
 
+def zonal_change(cfg):
+    """Before/after change summary per zone: changed coverage fraction,
+    mean signed delta, max |delta| — exact sums, single divisions."""
+    return f"""WITH {pairs_sql(cfg)},
+m AS (
+  SELECT zone_id, SUM(cov) AS n,
+         SUM(CASE WHEN val <> wgt THEN cov ELSE 0.0 END) AS changed,
+         SUM(cov * (val - wgt)) AS sdelta,
+         MAX(ABS(val - wgt)) AS max_abs_delta
+  FROM pairs WHERE val IS NOT NULL GROUP BY 1)
+SELECT zone_id, n, changed / n AS changed_frac,
+       sdelta / n AS mean_delta, max_abs_delta
+FROM m"""
+
+
 def zonal_correlation(cfg):
     """Coverage-weighted covariance/Pearson per zone: exact moment sums
     (1/16-multiples × small ints) feed numerator-form statistics —
@@ -786,6 +801,7 @@ ZONAL_ORACLES = {
     "zonal_crosstab": zonal_crosstab,
     "zonal_correlation": zonal_correlation,
     "zonal_topk_cells": zonal_topk_cells,
+    "zonal_change": zonal_change,
     "checkpoint_resume": zonal_incremental,
     "streaming_snapshot": zonal_incremental,
     # streamed value tiles weighted by a STATIC weight raster (w0):
