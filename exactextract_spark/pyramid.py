@@ -31,8 +31,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, types as T
 
-from .io import encode_tile
-
 __all__ = ["overview", "overview_tiles", "coarse_grid",
            "raster_histogram"]
 
