@@ -678,3 +678,76 @@ def test_raster_histogram_and_user_profile(spark, tmp_path):
     u2 = out[2]
     assert u2["n_events"] == 1 and u2["tenure_days"] == 0.0 \
         and u2["top_type"] == "error"
+
+
+# --- randomized differentials (focal family + sampling) ----------------------
+
+@pytest.mark.parametrize("seed,shape,tile,rad,nodata_frac", [
+    (101, (5, 7), 2, 1, 0.0),
+    (202, (12, 9), 4, 3, 0.3),
+    (303, (8, 8), 8, 2, 0.1),    # single tile (no halo traffic)
+    (404, (17, 13), 4, 4, 0.5),  # rad == tile
+])
+def test_focal_fuzz_vs_bruteforce(spark, seed, shape, tile, rad,
+                                  nodata_frac):
+    """Randomized shapes/radii/tilings vs the brute-force window."""
+    from exactextract_spark.focal import focal_stats
+    from exactextract_spark.io import tiles_from_array
+
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 60, shape).astype(float)
+    arr[rng.rand(*shape) < nodata_frac] = -1.0
+    tiles = tiles_from_array(spark, arr, tile=tile, nodata=-1.0)
+    grid = dict(grid_xmin=0.0, grid_ymax=float(shape[0]), dx=1.0, dy=1.0,
+                grid_nrows=shape[0], grid_ncols=shape[1], tile=tile)
+    got = {(r["r"], r["c"]): (r["focal_n"], r["focal_sum"],
+                              r["focal_min"], r["focal_max"])
+           for r in focal_stats(tiles, radius=rad, grid=grid).collect()}
+    ref = _brute_focal(np.where(arr == -1.0, np.nan, arr), rad)
+    assert set(got) == set(ref)
+    for k, (n, s, m, mn, mx) in ref.items():
+        assert got[k] == (n, s, mn, mx), (k, got[k])
+
+
+def test_sample_points_fuzz_vs_bruteforce(spark):
+    """200 random quarter-aligned points vs brute-force bilinear."""
+    from exactextract_spark.io import tiles_from_array
+    from exactextract_spark.spatial import sample_points
+
+    rng = np.random.RandomState(77)
+    G = 12
+    arr = rng.randint(0, 40, (G, G)).astype(float)
+    arr[rng.rand(G, G) < 0.15] = -1.0
+    tiles = tiles_from_array(spark, arr, tile=4, nodata=-1.0)
+    grid = dict(grid_xmin=0.0, grid_ymax=float(G), dx=1.0, dy=1.0,
+                grid_nrows=G, grid_ncols=G, tile=4)
+    m = np.where(arr == -1.0, np.nan, arr)
+    xs = rng.randint(0, G * 4, 200) / 4.0 + 0.125
+    ys = rng.randint(0, G * 4, 200) / 4.0 + 0.125
+    pts = spark.createDataFrame(
+        [(i, float(xs[i]), float(ys[i])) for i in range(200)],
+        ["point_id", "x", "y"])
+    got = {r["point_id"]: r for r in
+           sample_points(pts, tiles, grid=grid).collect()}
+    for i in range(200):
+        x, y = xs[i], ys[i]
+        r, c = int(np.floor(G - y)), int(np.floor(x))
+        nearest = m[r, c]
+        fx, fy = x - 0.5, (G - y) - 0.5
+        gr, gc = int(np.floor(fy)), int(np.floor(fx))
+        wr, wx = fy - gr, fx - gc
+        def cell(rr, cc):
+            if 0 <= rr < G and 0 <= cc < G:
+                return m[rr, cc]
+            return np.nan
+        bl = ((1 - wr) * (1 - wx) * cell(gr, gc)
+              + (1 - wr) * wx * cell(gr, gc + 1)
+              + wr * (1 - wx) * cell(gr + 1, gc)
+              + wr * wx * cell(gr + 1, gc + 1))
+        g = got[i]
+        assert (g["v_nearest"] is None) == bool(np.isnan(nearest))
+        if not np.isnan(nearest):
+            assert g["v_nearest"] == nearest
+        assert (g["v_bilinear"] is None) == bool(np.isnan(bl))
+        if not np.isnan(bl):
+            assert g["v_bilinear"] == bl, (i, g["v_bilinear"], bl)
