@@ -304,33 +304,14 @@ def _zonal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _zonal_topk_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-zone hotspot extraction: the top-5 covered cells by value
-    (ties → lowest cell_id).  Two-phase salted top-k (the ann_topk
-    scale pattern): a local rank per (zone, salt) bounds every task,
-    the final rank sees ≤ 5·salts rows per zone — no task ever sorts a
-    whole zone's cell list."""
-    from pyspark.sql import Window
+    (ties → lowest cell_id) via kernel-local per-pair top-k + the
+    two-phase salted rank (api.zonal_topk_cells) — no per-zone
+    collect_list anywhere in the plan."""
+    from exactextract_spark.api import zonal_topk_cells
 
     cfg, zones, tiles, wtiles, grid = _setup(spark, sf_dir)
-    res = exact_extract(zones, tiles, ["cell_id", "values", "coverage"],
-                        grid=grid, strategy="broadcast")
-    e = (res.select("zone_id",
-                    F.explode(F.arrays_zip(F.col("cell_id").alias("cid"),
-                                           F.col("values").alias("v"),
-                                           F.col("coverage").alias("cov")))
-                    .alias("e"))
-         .select("zone_id", F.col("e.cid").alias("cell_id"),
-                 F.col("e.v").alias("value"),
-                 F.col("e.cov").cast("double").alias("cov")))
-    k = 5
-    w1 = Window.partitionBy("zone_id", F.pmod(F.col("cell_id"), F.lit(8))) \
-        .orderBy(F.col("value").desc(), F.col("cell_id"))
-    local = e.withColumn("_lr", F.row_number().over(w1)) \
-        .where(F.col("_lr") <= k)
-    w2 = Window.partitionBy("zone_id") \
-        .orderBy(F.col("value").desc(), F.col("cell_id"))
-    return (local.withColumn("rank", F.row_number().over(w2))
-            .where(F.col("rank") <= k)
-            .select("zone_id", "rank", "cell_id", "value", "cov"))
+    return zonal_topk_cells(zones, tiles, k=5, grid=grid,
+                            strategy="broadcast")
 
 
 def _zonal_change(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -648,9 +629,23 @@ def _streaming_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join_pairs_snapshot(spark, os.path.join(base, "out"))
 
 
+def _widen_to_oracle(df: DataFrame, *cols: str) -> DataFrame:
+    """Match the oracle's column typing where DuckDB widens integer
+    aggregates: SUM(BIGINT) — grouped or windowed — returns HUGEINT,
+    which duckdb .df() materializes as float64.  The engine values are
+    exact integers (< 2^53), so the double cast is value-preserving and
+    makes the driver's dtype-sensitive hash compare bit-equal."""
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("double"))
+    return df
+
+
 def _pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exactextract_spark.pipeline.packing import pack_documents
-    return pack_documents(spark, sf_dir)
+    # shard_id/shard_offset derive from a windowed SUM in the oracle →
+    # HUGEINT → float64 (see _widen_to_oracle)
+    return _widen_to_oracle(pack_documents(spark, sf_dir),
+                            "shard_id", "shard_offset")
 
 
 def _shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -675,6 +670,25 @@ SELECT doc_id, n_chars,
   start // 4096 AS shard_id,
   start % 4096 AS shard_offset
 FROM c"""
+
+
+def _corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shard_id derives from a windowed SUM, total_chars from a grouped
+    # SUM in the oracle → HUGEINT → float64 (see _widen_to_oracle)
+    return _widen_to_oracle(pcorpus.corpus_pipeline(spark, sf_dir),
+                            "shard_id", "total_chars")
+
+
+def _event_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sum_k is SUM(BIGINT) in the oracle → HUGEINT → float64
+    return _widen_to_oracle(pstream_events.event_props_rollup(spark, sf_dir),
+                            "sum_k")
+
+
+def _event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # n_events is SUM(BIGINT) in the oracle → HUGEINT → float64
+    return _widen_to_oracle(
+        pstream_events.event_value_quantiles(spark, sf_dir), "n_events")
 
 
 def _event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -882,7 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _event_sessions,
         "pack_documents": _pack_documents,
         "shuffle_documents": _shuffle_documents,
-        "corpus_pipeline": pcorpus.corpus_pipeline,
+        "corpus_pipeline": _corpus_pipeline,
         "zonal_arrays": _zonal_arrays,
         "zonal_linear": _zonal_linear,
         "subdivide_rect": _subdivide,
@@ -907,8 +921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": pdedup.simhash_pairs,
         "chunk_documents": ptext.chunk_documents,
         "bigram_coverage": ptext.bigram_coverage,
-        "event_props_rollup": pstream_events.event_props_rollup,
-        "event_value_quantiles": pstream_events.event_value_quantiles,
+        "event_props_rollup": _event_props_rollup,
+        "event_value_quantiles": _event_value_quantiles,
         "event_asof_join": pevjoin.event_asof_join,
         "event_range_join": pevjoin.event_range_join,
         "event_funnel": pevana.event_funnel,

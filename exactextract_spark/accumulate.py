@@ -119,7 +119,7 @@ def accumulate_pair(cov: np.ndarray, values: np.ndarray, *,
         out["var_m2"] = float((d * d * ccov).sum())
 
     w = None
-    if req.weighted or req.cells_weights:
+    if req.weighted or req.cells_weights or req.needs_y:
         # Undefined weights without a default make the weighted sums
         # undefined (the reference's NaN propagation,
         # raster_stats.h:252-296).  NaN cannot travel through the
@@ -150,7 +150,37 @@ def accumulate_pair(cov: np.ndarray, values: np.ndarray, *,
             if req.weighted_variance:
                 out["sum_cx2w"] = float((cvals * cvals * ciwi).sum())
 
+    # --- two-raster partials (the weight raster as the second variable
+    # y; NaN where y is undefined, poisoning the sums exactly like the
+    # stored-array path's NaN weights did) — compact per-pair state
+    # replacing the collect_list funnel (r5 verdict finding 3) ---
+    if req.xy_moments:
+        out["sum_cy"] = float((w * ccov).sum())
+        out["sum_cy2"] = float((w * w * ccov).sum())
+        out["sum_cxy"] = float((cvals * w * ccov).sum())
+    if req.xy_change:
+        delta = cvals - w
+        # NaN delta counts as "changed" (NaN != 0 is True) — identical
+        # to the SQL `x != y` predicate, which is true for y = NaN
+        out["chg_c"] = float(ccov[delta != 0].sum())
+        out["chg_sd"] = float((delta * ccov).sum())
+        out["chg_maxad"] = float(np.max(np.abs(delta)))
+
     cell_ids = (rr + row0).astype(np.int64) * grid_ncols + (cc + col0)
+    if req.pair_topk:
+        k = int(req.pair_topk)
+        order = np.lexsort((cell_ids, -cvals))[:k]
+        out["topk_cell"] = cell_ids[order]
+        out["topk_v"] = cvals[order]
+        out["topk_cov"] = ccov[order]
+    if req.pair_hist:
+        ux, ix = np.unique(cvals, return_inverse=True)
+        uy, iy = np.unique(w, return_inverse=True)
+        code = ix.astype(np.int64) * uy.size + iy
+        uc, inv2 = np.unique(code, return_inverse=True)
+        out["hist2_v"] = ux[uc // uy.size]
+        out["hist2_w"] = uy[uc % uy.size]
+        out["hist2_c"] = np.bincount(inv2, weights=ccov)
     if req.minmax:
         imin = int(np.argmin(cvals))
         imax = int(np.argmax(cvals))

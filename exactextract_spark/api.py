@@ -12,8 +12,30 @@ from .ops import parse_ops
 
 __all__ = ["exact_extract_multi", "exact_extract_fused",
            "exact_extract_multiband", "zonal_crosstab",
-           "zonal_correlation", "zonal_change", "unnest_arrays",
-           "frac_as_map"]
+           "zonal_correlation", "zonal_change", "zonal_topk_cells",
+           "unnest_arrays", "frac_as_map"]
+
+
+def _pair_partials(zones: DataFrame, tiles: DataFrame,
+                   other_tiles: DataFrame | None, req, *,
+                   grid: dict | None, strategy: str) -> DataFrame:
+    """Per-(zone, tile) compact partial states for the two-raster /
+    top-k analytics ops — the de-funneled replacement for the r5
+    stored-array path (exact_extract(["values","weights","coverage"]),
+    which built ONE collect_list row per zone before exploding it back:
+    an aggregation-buffer / 2 GB-column killer for continent-sized
+    zones).  The kernel emits bounded per-pair rows instead; every
+    downstream aggregation is a plain partial+final hash agg."""
+    from .extract import ZonalExtractor, run_kernel
+    from .ops import FLT_MIN
+
+    ext = ZonalExtractor(zones, tiles, weight_tiles=other_tiles,
+                         grid=grid, strategy=strategy)
+    key = ("values", "weights" if other_tiles is not None else None,
+           FLT_MIN, "fraction", None, None, None)
+    return run_kernel(ext.joined, [(key, req, [])],
+                      geom_lookup=ext.geom_lookup,
+                      has_weights=ext.has_weights)
 
 
 def exact_extract_multi(zones: DataFrame, rasters: dict[str, DataFrame], ops, *,
@@ -120,28 +142,30 @@ def zonal_crosstab(zones: DataFrame, tiles: DataFrame,
     (raster_stats.h frac semantics), i.e. QGIS/ArcGIS "tabulate area"
     crossed over two categorical rasters.
 
-    One extraction computes aligned per-cell (values, weights,
-    coverage) arrays — both arrays enumerate exactly the defined-value
-    cells in cell_id order, so a JVM arrays_zip pairs them without a
-    join.  The tabulation is one hash shuffle on (zone, value, weight)
-    with map-side combine; ``frac`` divides by the per-zone total via a
-    window over the already-compact group rows (≤ |value domain| ×
-    |weight domain| rows per zone — bounded state, never the raw
-    cells)."""
+    The kernel emits a per-(zone, tile) JOINT (value, y) histogram as
+    compact parallel arrays (≤ the pair's joint domain — bounded by
+    cells per tile, typically far less), exploded JVM-side and merged
+    by one hash shuffle on (zone, value, weight) with map-side combine;
+    ``frac`` divides by the per-zone total via a window over the
+    already-compact group rows (≤ |value domain| × |weight domain| rows
+    per zone — bounded state, never the raw cells, and never one
+    collect_list row per zone)."""
     from pyspark.sql import Window
 
-    from .extract import exact_extract
+    from .ops import StatRequirements
 
-    res = exact_extract(zones, tiles, ["values", "weights", "coverage"],
-                        weight_tiles=weight_tiles, grid=grid,
-                        strategy=strategy)
-    e = (res.select("zone_id",
-                    F.explode(F.arrays_zip("values", "weights", "coverage"))
-                     .alias("e"))
+    req = StatRequirements(basic=True, pair_hist=True)
+    partials = _pair_partials(zones, tiles, weight_tiles, req,
+                              grid=grid, strategy=strategy)
+    e = (partials.select(
+            "zone_id",
+            F.explode(F.arrays_zip(F.col("k0_hist2_v").alias("v"),
+                                   F.col("k0_hist2_w").alias("w"),
+                                   F.col("k0_hist2_c").alias("c"))).alias("e"))
          .select("zone_id",
-                 F.col("e.values").alias("value"),
-                 F.col("e.weights").alias("weight"),
-                 F.col("e.coverage").cast("double").alias("cov")))
+                 F.col("e.v").alias("value"),
+                 F.col("e.w").alias("weight"),
+                 F.col("e.c").alias("cov")))
     g = e.groupBy("zone_id", "value", "weight") \
          .agg(F.sum("cov").alias("count"))
     w = Window.partitionBy("zone_id")
@@ -167,28 +191,22 @@ def zonal_correlation(zones: DataFrame, tiles: DataFrame,
     ``corr = (n·Σcxy − Σcx·Σcy) / √((n·Σcx²−Σcx²ᵗ)(n·Σcy²−Σcy²ᵗ))``,
     NULL when either marginal variance is 0 (constant band in zone).
 
-    One extraction + one compact per-zone aggregate: the moment rows
-    are six doubles per zone — never the raw cells — so the final
-    agg shuffles |zones| rows regardless of raster size."""
-    from .extract import exact_extract
+    The kernel emits the six moments per (zone, tile) pair — six
+    doubles, never the raw cells (the r5 stored-array funnel is gone) —
+    so the final agg shuffles bounded pair rows and the output is
+    |zones| rows regardless of raster size."""
+    from .ops import StatRequirements
 
-    res = exact_extract(zones, tiles, ["values", "weights", "coverage"],
-                        weight_tiles=other_tiles, grid=grid,
-                        strategy=strategy)
-    e = (res.select("zone_id",
-                    F.explode(F.arrays_zip("values", "weights", "coverage"))
-                     .alias("e"))
-         .select("zone_id",
-                 F.col("e.values").cast("double").alias("x"),
-                 F.col("e.weights").cast("double").alias("y"),
-                 F.col("e.coverage").cast("double").alias("c")))
-    m = e.groupBy("zone_id").agg(
-        F.sum("c").alias("n"),
-        F.sum(F.col("c") * F.col("x")).alias("sx"),
-        F.sum(F.col("c") * F.col("y")).alias("sy"),
-        F.sum(F.col("c") * F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("c") * F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("c") * F.col("x") * F.col("y")).alias("sxy"))
+    req = StatRequirements(basic=True, variance=True, xy_moments=True)
+    partials = _pair_partials(zones, tiles, other_tiles, req,
+                              grid=grid, strategy=strategy)
+    m = partials.groupBy("zone_id").agg(
+        F.sum("k0_sum_c").alias("n"),
+        F.sum("k0_sum_cx").alias("sx"),
+        F.sum("k0_sum_cy").alias("sy"),
+        F.sum("k0_sum_cx2").alias("sxx"),
+        F.sum("k0_sum_cy2").alias("syy"),
+        F.sum("k0_sum_cxy").alias("sxy"))
     cov_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     vx_num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     vy_num = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
@@ -208,32 +226,65 @@ def zonal_change(zones: DataFrame, tiles: DataFrame,
     """Per-zone change detection between two aligned rasters (the
     remote-sensing before/after summary): coverage inside the zone,
     coverage-weighted changed fraction, mean signed delta, and the
-    largest absolute per-cell delta.  Rides the aligned-arrays
-    extraction; all sums are exact for the quarter-aligned fixture, so
-    the statistics are single correctly-rounded divisions."""
-    from .extract import exact_extract
+    largest absolute per-cell delta.  The kernel emits the change
+    partials per (zone, tile) pair — three doubles, never the raw
+    cells; all sums are exact for the quarter-aligned fixture, so the
+    statistics are single correctly-rounded divisions."""
+    from .ops import StatRequirements
 
-    res = exact_extract(zones, tiles, ["values", "weights", "coverage"],
-                        weight_tiles=other_tiles, grid=grid,
-                        strategy=strategy)
-    e = (res.select("zone_id",
-                    F.explode(F.arrays_zip("values", "weights", "coverage"))
-                     .alias("e"))
-         .select("zone_id",
-                 F.col("e.values").cast("double").alias("x"),
-                 F.col("e.weights").cast("double").alias("y"),
-                 F.col("e.coverage").cast("double").alias("c")))
-    m = e.groupBy("zone_id").agg(
-        F.sum("c").alias("n"),
-        F.sum(F.when(F.col("x") != F.col("y"), F.col("c"))
-               .otherwise(F.lit(0.0))).alias("changed"),
-        F.sum(F.col("c") * (F.col("x") - F.col("y"))).alias("sdelta"),
-        F.max(F.abs(F.col("x") - F.col("y"))).alias("max_abs_delta"))
+    req = StatRequirements(basic=True, xy_change=True)
+    partials = _pair_partials(zones, tiles, other_tiles, req,
+                              grid=grid, strategy=strategy)
+    m = partials.groupBy("zone_id").agg(
+        F.sum("k0_sum_c").alias("n"),
+        F.sum("k0_chg_c").alias("changed"),
+        F.sum("k0_chg_sd").alias("sdelta"),
+        F.max("k0_chg_maxad").alias("max_abs_delta"))
     return m.select(
         "zone_id", "n",
         (F.col("changed") / F.col("n")).alias("changed_frac"),
         (F.col("sdelta") / F.col("n")).alias("mean_delta"),
         "max_abs_delta")
+
+
+def zonal_topk_cells(zones: DataFrame, tiles: DataFrame, *,
+                     k: int = 5, salts: int = 8,
+                     grid: dict | None = None,
+                     strategy: str = "auto") -> DataFrame:
+    """Per-zone hotspot extraction: the top-k covered cells by value
+    (ties → lowest cell_id).  The kernel emits each (zone, tile) pair's
+    LOCAL top-k candidates (≤ k rows per pair — the per-zone union
+    provably contains the zone's global top-k), then the two-phase
+    salted rank of the ann_topk scale pattern merges them: a local rank
+    per (zone, salt) bounds every task, the final rank sees
+    ≤ k·salts rows per zone — no task ever sorts a whole zone's cell
+    list, and no per-zone collect_list exists anywhere in the plan."""
+    from pyspark.sql import Window
+
+    from .ops import StatRequirements
+
+    req = StatRequirements(basic=True, pair_topk=int(k))
+    partials = _pair_partials(zones, tiles, None, req,
+                              grid=grid, strategy=strategy)
+    e = (partials.select(
+            "zone_id",
+            F.explode(F.arrays_zip(F.col("k0_topk_cell").alias("cid"),
+                                   F.col("k0_topk_v").alias("v"),
+                                   F.col("k0_topk_cov").alias("cov")))
+             .alias("e"))
+         .select("zone_id", F.col("e.cid").alias("cell_id"),
+                 F.col("e.v").alias("value"),
+                 F.col("e.cov").alias("cov")))
+    w1 = Window.partitionBy("zone_id",
+                            F.pmod(F.col("cell_id"), F.lit(int(salts)))) \
+        .orderBy(F.col("value").desc(), F.col("cell_id"))
+    local = e.withColumn("_lr", F.row_number().over(w1)) \
+        .where(F.col("_lr") <= k)
+    w2 = Window.partitionBy("zone_id") \
+        .orderBy(F.col("value").desc(), F.col("cell_id"))
+    return (local.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k)
+            .select("zone_id", "rank", "cell_id", "value", "cov"))
 
 
 def unnest_arrays(df: DataFrame, array_cols: list[str] | None = None,

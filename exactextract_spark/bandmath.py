@@ -93,9 +93,18 @@ def band_math(tiles: DataFrame, fn: Callable[[np.ndarray, np.ndarray], np.ndarra
                     row["values_b"], mask_buf=row.get("mask_values_b"), **dec)
                 av = np.asarray(av, dtype=np.float64).copy()
                 bv = np.asarray(bv, dtype=np.float64).copy()
-                if nd is not None:  # no-transform path returns raw values
-                    av[av == nd] = np.nan
-                    bv[bv == nd] = np.nan
+                # sentinel masking applies only on the NO-transform path
+                # (decode_value_tile returned raw values); a transformed
+                # tile already carries NaN for undefined cells, and
+                # comparing post-transform values against the RAW
+                # sentinel would null legitimate cells whose transformed
+                # value equals it (ADVICE r5)
+                scaled = dec["scale"] != 1.0 or dec["offset"] != 0.0
+                if nd is not None:
+                    if not (scaled or row.get("mask_values") is not None):
+                        av[av == nd] = np.nan
+                    if not (scaled or row.get("mask_values_b") is not None):
+                        bv[bv == nd] = np.nan
                 res = np.asarray(fn(av, bv), dtype=np.float64)
                 res[np.isnan(av) | np.isnan(bv)] = np.nan
                 row["values"] = encode_tile(res)

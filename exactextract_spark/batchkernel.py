@@ -345,8 +345,9 @@ def accumulate_pairs_batch(pairs, tile_vals, key_specs, *, has_weights,
     nd_s = nodata[pid]
     # shared across keys: definedness depends only on the value stream
     defined_s = ~np.isnan(v) & (v != nd_s)
-    need_minmax = any(req.minmax for _, req, _, _ in key_specs)
-    cell_id = gr * grid_ncols + gc if need_minmax else None
+    need_cellid = any(req.minmax or req.pair_topk
+                      for _, req, _, _ in key_specs)
+    cell_id = gr * grid_ncols + gc if need_cellid else None
     cov64 = None  # lazy shared float64 coverage
     wdef_s = None
     rid_arr = None
@@ -440,6 +441,59 @@ def accumulate_pairs_batch(pairs, tile_vals, key_specs, *, has_weights,
             res["min_cell"] = np.minimum.reduceat(np.append(cand_min, LARGE), cstarts)
             res["max_cell"] = np.minimum.reduceat(np.append(cand_max, LARGE), cstarts)
 
+        # --- two-raster partials (y = the weight raster; NaN where y is
+        # undefined, matching the stored-array path's NaN weights) ---
+        y_used = wres_used
+        if y_used is None and req.needs_y:
+            if wdef_s is None:
+                wdef_s = ~np.isnan(wv) & (wv != w_nodata[pid])
+            wu2 = wv[used]
+            y_used = np.where(wdef_s[used], wu2,
+                              np.nan if dwt is None else dwt)
+        if req.xy_moments:
+            cyu = y_used * cu
+            res["sum_cy"] = np.bincount(upid, weights=cyu, minlength=P)
+            res["sum_cy2"] = np.bincount(upid, weights=y_used * cyu,
+                                         minlength=P)
+            res["sum_cxy"] = np.bincount(upid, weights=vu * cyu, minlength=P)
+        if req.xy_change:
+            delta = vu - y_used
+            chm = delta != 0  # NaN != 0 is True — same as SQL x != y
+            res["chg_c"] = np.bincount(upid[chm], weights=cu[chm],
+                                       minlength=P)
+            res["chg_sd"] = np.bincount(upid, weights=delta * cu, minlength=P)
+            cstarts_c = np.searchsorted(upid, np.arange(P))
+            res["chg_maxad"] = np.maximum.reduceat(
+                np.append(np.abs(delta), -np.inf), cstarts_c)
+        if req.pair_topk:
+            k = int(req.pair_topk)
+            cid_u = cell_id[used]
+            # per-pair (value desc, cell_id asc) order; upid is already
+            # non-decreasing so segments stay contiguous after lexsort
+            order = np.lexsort((cid_u, -vu, upid))
+            up_s = upid[order]
+            seg0 = np.searchsorted(up_s, np.arange(P))
+            rank = np.arange(order.size) - seg0[up_s]
+            keep_k = rank < k
+            sel_i = order[keep_k]
+            kpair = up_s[keep_k]
+            lo_t = np.searchsorted(kpair, np.arange(P), side="left")
+            hi_t = np.searchsorted(kpair, np.arange(P), side="right")
+            res["_topk"] = (cid_u[sel_i], vu[sel_i], cu[sel_i], lo_t, hi_t)
+        if req.pair_hist:
+            ux, ix = np.unique(vu, return_inverse=True)
+            uy, iy = np.unique(y_used, return_inverse=True)
+            code1 = ix.astype(np.int64) * uy.size + iy
+            u1, i1 = np.unique(code1, return_inverse=True)
+            comb2 = upid.astype(np.int64) * u1.size + i1
+            uc2, inv2 = np.unique(comb2, return_inverse=True)
+            h2c = np.bincount(inv2, weights=cu)
+            code_of = u1[uc2 % u1.size]
+            pair_of2 = uc2 // u1.size
+            lo_h = np.searchsorted(pair_of2, np.arange(P), side="left")
+            hi_h = np.searchsorted(pair_of2, np.arange(P), side="right")
+            res["_hist2"] = (ux[code_of // uy.size], uy[code_of % uy.size],
+                             h2c, lo_h, hi_h)
         if req.histogram:
             bw = kwargs["bin_width"]
             hv = vu if bw is None else np.floor(vu / bw) * bw
@@ -497,6 +551,14 @@ def accumulate_pairs_batch(pairs, tile_vals, key_specs, *, has_weights,
             out[pfx + "w_undef"] = wu_col
             if req.weighted_variance:
                 out[pfx + "sum_cx2w"] = col(res["sum_cx2w"])
+        if req.xy_moments:
+            out[pfx + "sum_cy"] = col(res["sum_cy"])
+            out[pfx + "sum_cy2"] = col(res["sum_cy2"])
+            out[pfx + "sum_cxy"] = col(res["sum_cxy"])
+        if req.xy_change:
+            out[pfx + "chg_c"] = col(res["chg_c"])
+            out[pfx + "chg_sd"] = col(res["chg_sd"])
+            out[pfx + "chg_maxad"] = col(res["chg_maxad"])
         if req.minmax:
             out[pfx + "min_v"] = col(res["min_v"])
             out[pfx + "max_v"] = col(res["max_v"])
@@ -519,29 +581,48 @@ def accumulate_pairs_batch(pairs, tile_vals, key_specs, *, has_weights,
     # zones × 97 buckets).  NaN weighted sums survive inside array
     # elements (only top-level NaN becomes SQL NULL at the boundary).
     for (i, req, _vname, _kwargs), res in zip(key_specs, key_results):
-        if res is None or not req.histogram:
+        if res is None:
             continue
-        val_of, hci, hciw, lo_b, hi_b = res["_hist"]
         act = res["active"]
         pfx = f"k{i}_"
-        for name, arr in ((pfx + "hist_v", val_of),
-                          (pfx + "hist_ci", hci),
-                          (pfx + "hist_ciw", hciw)):
-            col_o = np.empty(rows.size, dtype=object)
-            col_o[:] = None
-            for o, g in enumerate(rows):
-                if act[g]:
-                    col_o[o] = arr[lo_b[g]:hi_b[g]]
-            out[name] = col_o
+        array_groups = []
+        if req.histogram:
+            val_of, hci, hciw, lo_b, hi_b = res["_hist"]
+            array_groups.append((lo_b, hi_b,
+                                 ((pfx + "hist_v", val_of),
+                                  (pfx + "hist_ci", hci),
+                                  (pfx + "hist_ciw", hciw))))
+        if req.pair_hist:
+            h2v, h2w, h2c, lo_h, hi_h = res["_hist2"]
+            array_groups.append((lo_h, hi_h,
+                                 ((pfx + "hist2_v", h2v),
+                                  (pfx + "hist2_w", h2w),
+                                  (pfx + "hist2_c", h2c))))
+        if req.pair_topk:
+            tcell, tv, tcov, lo_t, hi_t = res["_topk"]
+            array_groups.append((lo_t, hi_t,
+                                 ((pfx + "topk_cell", tcell),
+                                  (pfx + "topk_v", tv),
+                                  (pfx + "topk_cov", tcov))))
+        for lo_b, hi_b, named in array_groups:
+            for name, arr in named:
+                col_o = np.empty(rows.size, dtype=object)
+                col_o[:] = None
+                for o, g in enumerate(rows):
+                    if act[g]:
+                        col_o[o] = arr[lo_b[g]:hi_b[g]]
+                out[name] = col_o
 
     # a key inactive across the whole chunk leaves its histogram
     # columns missing — they must reindex to None objects, not NaN
     # floats (the Arrow array converter iterates non-None values)
     for i, req, _vname, _kwargs in key_specs:
-        if req.histogram:
-            for suffix in ("hist_v", "hist_ci", "hist_ciw"):
-                name = f"k{i}_{suffix}"
-                if name not in out:
-                    out[name] = np.full(rows.size, None, dtype=object)
+        suffixes = (("hist_v", "hist_ci", "hist_ciw") if req.histogram else ()) \
+            + (("hist2_v", "hist2_w", "hist2_c") if req.pair_hist else ()) \
+            + (("topk_cell", "topk_v", "topk_cov") if req.pair_topk else ())
+        for suffix in suffixes:
+            name = f"k{i}_{suffix}"
+            if name not in out:
+                out[name] = np.full(rows.size, None, dtype=object)
     df = pd.DataFrame({c: out[c] for c in col_names if c in out})
     return df.reindex(columns=col_names)

@@ -322,6 +322,25 @@ def _partial_schema(keygroups, passthrough=()) -> T.StructType:
             fields += [T.StructField(p + "hist_v", T.ArrayType(T.DoubleType())),
                        T.StructField(p + "hist_ci", T.ArrayType(T.DoubleType())),
                        T.StructField(p + "hist_ciw", T.ArrayType(T.DoubleType()))]
+        if req.xy_moments:
+            fields += [T.StructField(p + "sum_cy", T.DoubleType()),
+                       T.StructField(p + "sum_cy2", T.DoubleType()),
+                       T.StructField(p + "sum_cxy", T.DoubleType())]
+        if req.xy_change:
+            fields += [T.StructField(p + "chg_c", T.DoubleType()),
+                       T.StructField(p + "chg_sd", T.DoubleType()),
+                       T.StructField(p + "chg_maxad", T.DoubleType())]
+        if req.pair_hist:
+            # joint (value, y) histogram as parallel primitive arrays —
+            # same per-row C-level Arrow conversion as the value
+            # histogram above
+            fields += [T.StructField(p + "hist2_v", T.ArrayType(T.DoubleType())),
+                       T.StructField(p + "hist2_w", T.ArrayType(T.DoubleType())),
+                       T.StructField(p + "hist2_c", T.ArrayType(T.DoubleType()))]
+        if req.pair_topk:
+            fields += [T.StructField(p + "topk_cell", T.ArrayType(T.LongType())),
+                       T.StructField(p + "topk_v", T.ArrayType(T.DoubleType())),
+                       T.StructField(p + "topk_cov", T.ArrayType(T.DoubleType()))]
         if req.cells:
             fields.append(T.StructField(p + "cells", _CELLS_T))
     return T.StructType(fields)
@@ -975,6 +994,11 @@ class ZonalExtractor:
             undefined = "nan"
             preserve_order = True
 
+        if not hasattr(self, "_caches"):
+            # persisted intermediates (partials / merged histograms)
+            # accumulated across extract() calls, released by close()
+            # (ADVICE r5: they leaked for the session lifetime)
+            self._caches = []
         wname = "weights" if self.has_weights else None
         op_list = parse_ops(ops, weights=wname) \
             if not all(isinstance(o, Op) for o in ops) else list(ops)
@@ -1000,7 +1024,8 @@ class ZonalExtractor:
                         int_values=self.int_values,
                         include_cols=inc + (["_zone_ord"] if preserve_order else []),
                         dtype_results=self.int_values and dtype_results,
-                        progress_acc=_progress_acc)
+                        progress_acc=_progress_acc,
+                        cache_registry=self._caches)
         if preserve_order:
             res = res.orderBy("_zone_ord").drop("_zone_ord")
         if frac_as_map and frac_ops:
@@ -1069,6 +1094,8 @@ class ZonalExtractor:
         should call this (or use the context manager) once the last
         result derived from this extractor has been materialized."""
         self.zones_b.unpersist()
+        for df in getattr(self, "_caches", ()):
+            df.unpersist()
         if self._pairs_agg is not None:
             self._pairs_agg.unpersist()
         if self._joined_persisted:
@@ -1112,16 +1139,19 @@ def exact_extract(zones: DataFrame, tiles: DataFrame, ops, *,
 
 
 def _assemble(zones_b, joined, keygroups, *, geom_lookup, has_weights,
-              int_values, include_cols, dtype_results=False, progress_acc=None):
+              int_values, include_cols, dtype_results=False, progress_acc=None,
+              cache_registry=None):
     partials = run_kernel(joined, keygroups, geom_lookup=geom_lookup,
                           has_weights=has_weights, progress_acc=progress_acc)
     return aggregate_partials(zones_b, partials, keygroups,
                               int_values=int_values, include_cols=include_cols,
-                              dtype_results=dtype_results)
+                              dtype_results=dtype_results,
+                              cache_registry=cache_registry)
 
 
 def aggregate_partials(zones_b, partials, keygroups, *, int_values=False,
-                       include_cols=None, dtype_results=False):
+                       include_cols=None, dtype_results=False,
+                       cache_registry=None):
     """Merge partial states into final per-zone statistics.  Separated
     from the kernel so checkpoint/resume can merge stored partials
     (checkpoint.py) — the RasterStats::combine stage."""
@@ -1143,6 +1173,8 @@ def aggregate_partials(zones_b, partials, keygroups, *, int_values=False,
     need_cells = any(req.cells for _, req, _ in keygroups)
     if need_hist or need_cells:
         partials = partials.persist()
+        if cache_registry is not None:
+            cache_registry.append(partials)
 
     aggs = []
     for i, (_, req, ops_in_key) in enumerate(keygroups):
@@ -1235,6 +1267,8 @@ def aggregate_partials(zones_b, partials, keygroups, *, int_values=False,
                 # quantiles) — persist the small merged histogram so the
                 # explode + two-level agg doesn't execute twice
                 h = h.persist()
+                if cache_registry is not None:
+                    cache_registry.append(h)
             hz_aggs = [F.count("*").alias(p + "variety")]
             if stats & {"majority", "mode"}:
                 hz_aggs.append(

@@ -99,7 +99,11 @@ def _resolve(tiles: DataFrame, radius: int, grid: dict | None):
         grid = dict(tiles.select("grid_xmin", "grid_ymax", "dx", "dy",
                                  "grid_nrows", "grid_ncols").first()
                     .asDict())
-    tile = int(grid.get("tile") or 64)
+    # infer the stride from the tile table when the grid dict lacks
+    # 'tile' (a hard-coded 64 mis-addresses halo strips on any other
+    # stride with no error — ADVICE r5)
+    from .grid import infer_tile_size
+    tile = infer_tile_size(grid, tiles)
     rad = int(radius)
     if rad < 1:
         raise ValueError(f"radius must be >= 1, got {radius}")

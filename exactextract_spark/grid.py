@@ -13,11 +13,32 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
-__all__ = ["RasterGrid", "TileWindow", "DEFAULT_TILE", "EARTH_RADIUS", "spherical_row_areas"]
+__all__ = ["RasterGrid", "TileWindow", "DEFAULT_TILE", "EARTH_RADIUS",
+           "spherical_row_areas", "infer_tile_size"]
 
 DEFAULT_TILE = 64
 EARTH_RADIUS = 6378137.0  # reference raster_area.h:79
 _PI_180 = math.pi / 180.0
+
+
+def infer_tile_size(grid: dict | None, tiles=None) -> int:
+    """Tile stride of a tile table: grid['tile'] when present, else
+    inferred as max(greatest(nrows, ncols)) over the table — any
+    dimension with more than one tile contains a full-stride tile, and
+    a grid that fits one tile maps every zone to tile (0, 0) under any
+    stride >= its extent, so the inferred value is still correct.
+    Raises when neither source can determine it (a silently assumed
+    stride mis-addresses halo strips / tile keys with no error)."""
+    if grid and grid.get("tile"):
+        return int(grid["tile"])
+    if tiles is not None:
+        from pyspark.sql import functions as F
+        t = tiles.select(F.max(F.greatest("nrows", "ncols"))).first()[0]
+        if t:
+            return int(t)
+    raise ValueError(
+        "tile stride cannot be determined: pass grid['tile'] or a "
+        "non-empty tile table")
 
 
 @dataclass(frozen=True)

@@ -97,6 +97,20 @@ class StatRequirements:
     histogram: bool = False
     cells: bool = False      # per-cell stored arrays
     cells_weights: bool = False
+    # --- internal two-raster / top-k partials (set only by the api.py
+    # analytics builders, never by parse_ops): compact per-(zone, tile)
+    # states that replace the stored-array funnel the r5 verdict
+    # flagged (one collect_list row per zone) with pure partial+final
+    # aggregation ---
+    xy_moments: bool = False  # sum_cy, sum_cy2, sum_cxy (correlation)
+    xy_change: bool = False   # chg_c, chg_sd, chg_maxad (change detection)
+    pair_hist: bool = False   # joint (value, weight) histogram arrays
+    pair_topk: int = 0        # per-pair top-k candidate cells (0 = off)
+
+    @property
+    def needs_y(self) -> bool:
+        """The weight raster doubles as the second variable (y)."""
+        return self.xy_moments or self.xy_change or self.pair_hist
 
     def merge_op(self, op: Op) -> None:
         self.basic = True

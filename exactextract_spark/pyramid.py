@@ -49,12 +49,16 @@ def coarse_grid(grid: dict, factor: int) -> dict:
     """Grid dict of the overview level: f× larger cells, ceil-divided
     dimensions, same extent origin."""
     f = int(factor)
-    return dict(grid_xmin=float(grid["grid_xmin"]),
-                grid_ymax=float(grid["grid_ymax"]),
-                dx=float(grid["dx"]) * f, dy=float(grid["dy"]) * f,
-                grid_nrows=-(-int(grid["grid_nrows"]) // f),
-                grid_ncols=-(-int(grid["grid_ncols"]) // f),
-                tile=int(grid.get("tile") or 64))
+    out = dict(grid_xmin=float(grid["grid_xmin"]),
+               grid_ymax=float(grid["grid_ymax"]),
+               dx=float(grid["dx"]) * f, dy=float(grid["dy"]) * f,
+               grid_nrows=-(-int(grid["grid_nrows"]) // f),
+               grid_ncols=-(-int(grid["grid_ncols"]) // f))
+    # propagate the stride only when the source grid declares it —
+    # consumers that need one infer or raise (grid.infer_tile_size)
+    if grid.get("tile"):
+        out["tile"] = int(grid["tile"])
+    return out
 
 
 def _block_reduce(arr: np.ndarray, f: int):
@@ -90,7 +94,8 @@ def overview(tiles: DataFrame, factor: int = 4, *,
     if grid is None:
         grid = tiles.select("grid_xmin", "grid_ymax", "dx", "dy",
                             "grid_nrows", "grid_ncols").first().asDict()
-    tile = int(grid.get("tile") or 64)
+    from .grid import infer_tile_size
+    tile = infer_tile_size(grid, tiles)
     if f < 2:
         raise ValueError(f"factor must be >= 2, got {factor}")
     if tile % f != 0:

@@ -86,7 +86,10 @@ def burn_to_tiles(burn: DataFrame, grid: dict, *,
     raster — ``exact_extract`` consumes it unchanged."""
     from .io import encode_tile
 
-    tile = int(grid.get("tile") or 64)
+    # no tile table here — the grid dict must carry the stride (a
+    # silently assumed 64 would mis-key every tile — ADVICE r5)
+    from .grid import infer_tile_size
+    tile = infer_tile_size(grid)
     g_nrows, g_ncols = int(grid["grid_nrows"]), int(grid["grid_ncols"])
 
     cells = burn.select(

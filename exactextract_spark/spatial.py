@@ -60,7 +60,8 @@ def sample_points(points: DataFrame, tiles: DataFrame, *,
         grid = dict(tiles.select("grid_xmin", "grid_ymax", "dx", "dy",
                                  "grid_nrows", "grid_ncols").first()
                     .asDict())
-    tile = int(grid.get("tile") or 64)
+    from .grid import infer_tile_size
+    tile = infer_tile_size(grid, tiles)
     g_nrows, g_ncols = int(grid["grid_nrows"]), int(grid["grid_ncols"])
     xmin, ymax = float(grid["grid_xmin"]), float(grid["grid_ymax"])
     dx, dy = float(grid["dx"]), float(grid["dy"])
@@ -83,8 +84,22 @@ def sample_points(points: DataFrame, tiles: DataFrame, *,
         cols = [f.name for f in _SAMPLE_SCHEMA]
         core = parts_pdf[parts_pdf["is_core"]] if len(parts_pdf) else \
             parts_pdf
-        if pts_pdf.empty or core.empty:
+        if pts_pdf.empty:
             return pd.DataFrame(columns=cols)
+        if core.empty:
+            # points whose containing tile has no row in the tiles
+            # table (sparse tile tables, e.g. burn_to_tiles output)
+            # keep their row with NULL values — GDAL / LEFT-JOIN-oracle
+            # semantics, not a silent drop (ADVICE r5)
+            return pd.DataFrame({
+                "point_id": pts_pdf["point_id"].to_numpy(),
+                "x": pts_pdf["x"].to_numpy(),
+                "y": pts_pdf["y"].to_numpy(),
+                "r": pts_pdf["_r"].to_numpy().astype(np.int32),
+                "c": pts_pdf["_c"].to_numpy().astype(np.int32),
+                "v_nearest": np.full(len(pts_pdf), np.nan),
+                "v_bilinear": np.full(len(pts_pdf), np.nan),
+            })
         crow = core.iloc[0]
         c_row0, c_col0 = int(crow["row0"]), int(crow["col0"])
         nr, nc = int(crow["nrows"]), int(crow["ncols"])

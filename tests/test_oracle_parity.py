@@ -38,6 +38,13 @@ def _compare(name, spark):
     assert len(eng) == len(ora), (name, len(eng), len(ora))
     for c in eng.columns:
         a, b = eng[c], ora[c]
+        # dtype-strict like the driver's hash (int64 vs float64 with
+        # equal values is a driver FAIL); 'u' folds to 'i', object
+        # columns exempt
+        ka = {"u": "i"}.get(a.dtype.kind, a.dtype.kind)
+        kb = {"u": "i"}.get(b.dtype.kind, b.dtype.kind)
+        if "O" not in (ka, kb):
+            assert ka == kb, (name, c, a.dtype, b.dtype)
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             ok = ((a == b) | (a.isna() & b.isna())).all()
             assert ok, (name, c, (a - b).abs().max(),
