@@ -751,3 +751,106 @@ def test_sample_points_fuzz_vs_bruteforce(spark):
         assert (g["v_bilinear"] is None) == bool(np.isnan(bl))
         if not np.isnan(bl):
             assert g["v_bilinear"] == bl, (i, g["v_bilinear"], bl)
+
+
+# --- r6: de-funneled two-raster analytics (no per-zone collect_list) -------
+
+def test_analytics_giant_zone_no_funnel(spark):
+    """One zone covering the WHOLE grid: correlation/change/crosstab/
+    top-k produce numpy-exact results and none of their plans contains
+    a per-zone collect_list (the r5 stored-array funnel) — the only
+    collect_list allowed is the per-tile zone hit-list of the broadcast
+    join.  This is the one-giant-zone skew shape: per-(zone, tile)
+    partials bound every task regardless of zone size."""
+    from exactextract_spark.api import (zonal_change, zonal_correlation,
+                                        zonal_crosstab, zonal_topk_cells)
+    from exactextract_spark.io import tiles_from_array
+
+    rng = np.random.RandomState(5)
+    G = 64
+    x = rng.randint(0, 9, (G, G)).astype(float)
+    y = rng.randint(0, 5, (G, G)).astype(float)
+    tx = tiles_from_array(spark, x, tile=8)
+    ty = tiles_from_array(spark, y, tile=8, raster_id="y")
+    grid = dict(grid_xmin=0.0, grid_ymax=float(G), dx=1.0, dy=1.0,
+                grid_nrows=G, grid_ncols=G, tile=8)
+    zones = _zdf(spark, {"all": f"POLYGON((0 0, {G} 0, {G} {G}, 0 {G}, 0 0))"})
+
+    def assert_no_zone_funnel(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "collect_list(struct" not in plan, plan
+
+    r = zonal_correlation(zones, tx, ty, grid=grid)
+    assert_no_zone_funnel(r)
+    row = r.first()
+    assert row["n"] == float(G * G)
+    assert abs(row["cov"] - np.cov(x.ravel(), y.ravel(), bias=True)[0, 1]) < 1e-9
+    expect_corr = np.corrcoef(x.ravel(), y.ravel())[0, 1]
+    assert abs(row["corr"] - expect_corr) < 1e-9
+
+    r = zonal_change(zones, tx, ty, grid=grid)
+    assert_no_zone_funnel(r)
+    row = r.first()
+    assert row["changed_frac"] == float((x != y).mean())
+    assert row["mean_delta"] == (x - y).mean()
+    assert row["max_abs_delta"] == np.abs(x - y).max()
+
+    r = zonal_crosstab(zones, tx, ty, grid=grid)
+    assert_no_zone_funnel(r)
+    ct = {(row["value"], row["weight"]): row["count"] for row in r.collect()}
+    for (v, w), n in ct.items():
+        assert n == float(((x == v) & (y == w)).sum())
+    assert sum(ct.values()) == float(G * G)
+
+    r = zonal_topk_cells(zones, tx, k=5, grid=grid)
+    assert_no_zone_funnel(r)
+    got = [(row["rank"], row["cell_id"], row["value"])
+           for row in r.orderBy("rank").collect()]
+    flat = x.ravel()
+    order = np.lexsort((np.arange(flat.size), -flat))[:5]
+    expect = [(i + 1, int(c), flat[c]) for i, c in enumerate(order)]
+    assert got == expect
+
+
+def test_sample_points_sparse_tile_table_keeps_rows(spark):
+    """A point whose containing tile has no row in the tiles table
+    keeps its output row with NaN values (GDAL / LEFT-JOIN oracle
+    semantics) instead of being silently dropped (ADVICE r5)."""
+    from exactextract_spark.io import tiles_from_array
+    from exactextract_spark.spatial import sample_points
+
+    arr = np.arange(16.0).reshape(4, 4)
+    tiles = tiles_from_array(spark, arr, tile=2)
+    # drop the tile containing cell (3, 3) -> sparse table
+    sparse = tiles.where(~((F.col("tile_row") == 1) & (F.col("tile_col") == 1)))
+    grid = dict(grid_xmin=0.0, grid_ymax=4.0, dx=1.0, dy=1.0,
+                grid_nrows=4, grid_ncols=4, tile=2)
+    pts = spark.createDataFrame(
+        [(0, 0.5, 3.5), (1, 3.5, 0.5)], ["point_id", "x", "y"])
+    out = {r["point_id"]: r for r in
+           sample_points(pts, sparse, grid=grid).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["v_nearest"] == 0.0
+    assert out[1]["v_nearest"] is None or np.isnan(out[1]["v_nearest"])
+
+
+def test_focal_infers_stride_from_tiles(spark):
+    """focal stats on a 32-stride tile table with a grid dict that
+    lacks 'tile' infer the stride from the table instead of silently
+    assuming 64 (ADVICE r5: wrong halo addressing at tile borders)."""
+    from exactextract_spark.focal import focal_stats
+    from exactextract_spark.io import tiles_from_array
+
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 100, (64, 64)).astype(float)
+    tiles = tiles_from_array(spark, arr, tile=32)
+    grid = dict(grid_xmin=0.0, grid_ymax=64.0, dx=1.0, dy=1.0,
+                grid_nrows=64, grid_ncols=64)  # no 'tile' key
+    out = focal_stats(tiles, radius=2, grid=grid)
+    got = {(r["r"], r["c"]): r["focal_mean"] for r in
+           out.where((F.col("r").isin(31, 32)) & (F.col("c").isin(31, 32)))
+              .collect()}
+    # cross-tile windows at the 32-boundary must use true neighbors
+    for (r, c), m in got.items():
+        win = arr[max(r - 2, 0):r + 3, max(c - 2, 0):c + 3]
+        assert m == win.mean(), (r, c, m, win.mean())
