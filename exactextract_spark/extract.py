@@ -151,7 +151,7 @@ def _bbox_expr(minmax: str, parity: int) -> str:
                 f" (v, i) -> IF(i % 2 = {parity}, v, CAST(NULL AS DOUBLE))))")
     inf = "'Infinity'" if minmax == "min" else "'-Infinity'"
     return f"""CASE
-      WHEN NOT ({_WKT_HEAD_OK}) THEN CAST(NULL AS DOUBLE)
+      WHEN NOT _wkt_ok THEN CAST(NULL AS DOUBLE)
       WHEN size(_wkt_nums) >= 2 AND size(_wkt_nums) % 2 = 0 THEN {per_axis}
       WHEN size(_wkt_nums) = 0 AND upper(geometry) LIKE '%EMPTY%'
         THEN CAST({inf} AS DOUBLE)
@@ -173,16 +173,35 @@ def attach_bbox(zones: DataFrame) -> DataFrame:
     coordinate counts) gets a NULL bbox here; consumers fail loudly
     via raise_on_invalid_zones(), and structural invalidity that still
     yields a plausible bbox (e.g. unbalanced parens) raises at kernel
-    parse time, which sees every zone that intersects any tile."""
+    parse time, which sees every zone that intersects any tile.
+
+    The token-stream projection is an OPTIMIZER BARRIER: the split +
+    try_cast parse is wrapped in an always-true non-deterministic guard
+    so PushDownPredicates / CollapseProject cannot substitute it into
+    every downstream filter conjunct and generator.  Without it the
+    optimized tile-assignment plan evaluated the WKT synthesis + regex
+    split up to ~50× per zone (measured: split() appeared 33× in the
+    optimized plan; ~21 core-ms per zone — guide §7.2 'duplicated
+    subtrees').  With the barrier the parse runs exactly once per row
+    and downstream predicates reference the materialized token array."""
     if "xmin" in zones.columns:
         return zones
-    z = zones.withColumn("_wkt_nums", F.expr(_WKT_NUMS.format(c="geometry")))
+    # always-true, non-foldable guard (monotonically_increasing_id is
+    # non-negative by construction); value is unchanged, but the
+    # projection becomes non-deterministic, which blocks predicate
+    # pushdown and projection collapse across it
+    nd_true = F.monotonically_increasing_id() >= F.lit(0)
+    z = zones.select(
+        "*",
+        F.when(nd_true, F.expr(_WKT_NUMS.format(c="geometry")))
+         .alias("_wkt_nums"),
+        F.expr(_WKT_HEAD_OK).alias("_wkt_ok"))
     z = z.select("*",
                  F.expr(_bbox_expr("min", 0)).alias("xmin"),
                  F.expr(_bbox_expr("min", 1)).alias("ymin"),
                  F.expr(_bbox_expr("max", 0)).alias("xmax"),
                  F.expr(_bbox_expr("max", 1)).alias("ymax"))
-    return z.drop("_wkt_nums")
+    return z.drop("_wkt_nums", "_wkt_ok")
 
 
 def raise_on_invalid_zones(zones_b: DataFrame) -> None:

@@ -110,6 +110,17 @@ def _raster_head(cfg: SynthConfig, rid: str, gen: str, nodata: str, *,
     return f"raster:{rid} {meta}"
 
 
+def _range(spark: SparkSession, n: int) -> DataFrame:
+    """spark.range sized to the row count: the default-parallelism
+    split (32 partitions per branch × 7 union branches) schedules
+    ~200 near-empty tasks per fixture query — pure scheduler overhead
+    at bench scale (guide §2.2/§6: fewer, larger partitions).  One
+    partition per 32k rows keeps large fixtures parallel."""
+    parts = max(1, min(spark.sparkContext.defaultParallelism,
+                       -(-n // 32768)))
+    return spark.range(0, n, 1, parts)
+
+
 def build_docs(spark: SparkSession, cfg: SynthConfig) -> DataFrame:
     """The interleaved-document table (FIXTURES.md §1): zone docs with
     WKT text spans + raster docs with media_ref tile spans.  Built with
@@ -119,7 +130,7 @@ def build_docs(spark: SparkSession, cfg: SynthConfig) -> DataFrame:
     zx0, zy0, zx1, zy1 = cfg.zone_exprs("id")
     wkt = (f"concat('POLYGON ((', {zx0}, ' ', {zy0}, ', ', {zx1}, ' ', {zy0}, ', ', "
            f"{zx1}, ' ', {zy1}, ', ', {zx0}, ' ', {zy1}, ', ', {zx0}, ' ', {zy0}, '))')")
-    zdocs = spark.range(cfg.Z).select(
+    zdocs = _range(spark, cfg.Z).select(
         F.concat(F.lit("z"), F.col("id")).alias("doc_id"),
         F.expr(
             "array(named_struct('kind','text','text', concat('zone:z', id), 'media_ref','', 'offset', 0),"
@@ -135,7 +146,7 @@ def build_docs(spark: SparkSession, cfg: SynthConfig) -> DataFrame:
                             dtype=dtype, bands=bands, extra_meta=extra_meta)
         b = f"(id % {bands})"
         t_id = f"(id div {bands})"
-        return spark.range(ntt * ntt * bands).select(
+        return _range(spark, ntt * ntt * bands).select(
             F.concat(F.lit(f"{rid}:t"), F.col("id")).alias("doc_id"),
             F.expr(
                 f"array(named_struct('kind','text','text','{head}','media_ref','','offset',0),"
@@ -215,7 +226,7 @@ def build_line_docs(spark: SparkSession, cfg: SynthConfig) -> DataFrame:
     x0 = f"((1103515245*id + 54321) % {4 * G - WQ}) / 4.0"
     x1 = f"({x0} + (1 + (69069*id + 13) % {WQ}) / 4.0)"
     wkt = f"concat('LINESTRING (', {x0}, ' ', {y}, ', ', {x1}, ' ', {y}, ')')"
-    zdocs = spark.range(L).select(
+    zdocs = _range(spark, L).select(
         F.concat(F.lit("l"), F.col("id")).alias("doc_id"),
         F.expr(
             "array(named_struct('kind','text','text', concat('zone:l', id), 'media_ref','', 'offset', 0),"
@@ -258,7 +269,7 @@ def point_exprs(cfg: SynthConfig, k: str):
 
 def build_points(spark: SparkSession, cfg: SynthConfig) -> DataFrame:
     px, py = point_exprs(cfg, "id")
-    return spark.range(cfg.Z).selectExpr(
+    return _range(spark, cfg.Z).selectExpr(
         "id AS point_id", f"{px} AS x", f"{py} AS y")
 
 
