@@ -114,10 +114,12 @@ def _range(spark: SparkSession, n: int) -> DataFrame:
     """spark.range sized to the row count: the default-parallelism
     split (32 partitions per branch × 7 union branches) schedules
     ~200 near-empty tasks per fixture query — pure scheduler overhead
-    at bench scale (guide §2.2/§6: fewer, larger partitions).  One
-    partition per 32k rows keeps large fixtures parallel."""
+    at bench scale (guide §2.2/§6: fewer, larger partitions).  Fixture
+    rows are compute-heavy (decimal WKT rendering ~30µs + bbox parse
+    ~35µs per zone doc), so the split targets ~1k rows per partition:
+    parallel from a few thousand rows up, single-task below."""
     parts = max(1, min(spark.sparkContext.defaultParallelism,
-                       -(-n // 32768)))
+                       -(-n // 1024)))
     return spark.range(0, n, 1, parts)
 
 
