@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .text import _QUALITY_KEEP, text_stats, text_stats_oracle
 
+from . import stage_cache as _stage_cache
+
 __all__ = ["corpus_pipeline", "corpus_pipeline_oracle"]
 
 BUDGET = 2048           # shard capacity in chars
@@ -55,7 +57,7 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str,
             .select("doc_id", "lang", "n_chars", "keep",
                     F.md5(F.col("text").cast("binary")).alias("digest"),
                     F.md5(F.col("doc_id").cast("string")).alias("h"))
-            .persist())
+            .transform(_stage_cache))
     kept = base.where(F.col("keep")).drop("keep")
     # dedup: lowest doc_id per digest, fields ride along in the struct
     # (one sort-agg with map-side combine; no join back)
@@ -63,7 +65,7 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str,
                  .agg(F.min(F.struct("doc_id", "lang", "n_chars", "h"))
                       .alias("w"))
                  .select("w.*")
-                 .persist())
+                 .transform(_stage_cache))
     k = max(1, -(-256 // _HEX_BLOCKS))
     d = survivors.withColumn(
         "_blk", F.expr("conv(substring(h, 1, 2), 16, 10)").cast("long")) \

@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .text import M, P, TOKCODE_SPARK
 
+from . import stage_cache as _stage_cache
+
 # fixed minhash permutation constants (a*x + b) % P
 MINHASH_A = [131, 137, 139, 149, 151, 157, 163, 167,
              173, 179, 181, 191, 193, 197, 199, 211]
@@ -86,8 +88,227 @@ def _band_expr(prefix: str, b: int) -> str:
     return e
 
 
+def _shingle_streams(toks):
+    """Flat numpy shingle streams for one Arrow batch of token lists.
+
+    Returns (valid, n_docs, sh, sh_doc, sh_count, starts, fold) where
+    ``sh`` is the flat shingle-code stream in document order, ``fold``
+    the short-document (< 3 tokens) Horner fold per doc, and
+    ``starts``/``sh_count`` the per-doc segments of ``sh``.  Identical
+    integer formulas to _SHINGLES_SPARK / _TC_ARR_SPARK; all
+    intermediates < 2^63.  Non-ASCII tokens (byte != codepoint) take a
+    per-token Python fallback with the same ascii()/substr()/length()
+    semantics."""
+    import numpy as np
+
+    n_docs = len(toks)
+    valid = toks.is_valid().to_numpy(zero_copy_only=False)
+    off = toks.offsets.to_numpy().astype(np.int64)
+    sa = toks.values
+    # StringArray exposes no .offsets — read the raw int32 offsets
+    # buffer, honoring the array's slice offset
+    so_all = np.frombuffer(sa.buffers()[1], dtype=np.int32)
+    so = so_all[sa.offset:sa.offset + len(sa) + 1].astype(np.int64)
+    databuf = sa.buffers()[2]
+    data = np.frombuffer(databuf, dtype=np.uint8) if databuf \
+        else np.empty(0, dtype=np.uint8)
+    lo, hi = off[0], off[-1]
+    # --- token codes: ascii(t)*961 + ascii(substr(t,2,1))*31 +
+    #     length(t), exact for ASCII bytes (byte == codepoint, byte
+    #     length == char length) ---
+    t0 = so[lo:hi]
+    t1 = so[lo + 1:hi + 1]
+    tlen = t1 - t0
+    region_ascii = True
+    if hi > lo and t1[-1] > t0[0]:
+        region_ascii = bool((data[t0[0]:t1[-1]] < 128).all())
+    if region_ascii:
+        if data.size:
+            b0 = np.where(tlen > 0, data[np.minimum(t0, data.size - 1)], 0)
+            b1 = np.where(tlen > 1,
+                          data[np.minimum(t0 + 1, data.size - 1)], 0)
+        else:
+            b0 = b1 = np.zeros(hi - lo, dtype=np.int64)
+        tc = b0.astype(np.int64) * 961 + b1.astype(np.int64) * 31 + tlen
+    else:
+        # per-token fallback with full unicode semantics
+        pytoks = sa.slice(lo, hi - lo).to_pylist()
+        tc = np.fromiter(
+            ((ord(t[0]) if t else 0) * 961
+             + (ord(t[1]) if len(t) > 1 else 0) * 31 + len(t)
+             for t in pytoks),
+            dtype=np.int64, count=hi - lo)
+    off0 = off - lo          # doc token ranges into tc
+    n_tok = off0[1:] - off0[:-1]
+    # --- shingles (flat): docs with >= 3 tokens ---
+    doc_of = np.repeat(np.arange(n_docs), n_tok)
+    idx = np.arange(tc.size)
+    sh_ok = (idx + 2 < off0[1:][doc_of]) & (n_tok[doc_of] >= 3)
+    si = idx[sh_ok]
+    sh = ((tc[si] * M + tc[np.minimum(si + 1, max(tc.size - 1, 0))]) % P * M
+          + tc[np.minimum(si + 2, max(tc.size - 1, 0))]) % P
+    sh_doc = doc_of[sh_ok]
+    # --- short docs (< 3 tokens): Horner fold over all tokens ---
+    short = valid & (n_tok < 3)
+    fold = np.zeros(n_docs, dtype=np.int64)
+    if short.any():
+        has1 = short & (n_tok >= 1)
+        fold[has1] = tc[off0[:-1][has1]] % P
+        has2 = short & (n_tok >= 2)
+        fold[has2] = (fold[has2] * 31 + tc[off0[:-1][has2] + 1]) % P
+    sh_count = np.bincount(sh_doc, minlength=n_docs)
+    starts = np.concatenate(([0], np.cumsum(sh_count)))[:-1]
+    return valid, n_docs, sh, sh_doc, sh_count, starts, fold
+
+
+def _minhash_arrow_kernel(schema):
+    """Vectorized signature kernel (guide §4.2): tokenization happens in
+    the JVM (``split(trim(text), '\\s+')`` — exact Spark semantics),
+    and the per-token/shingle/minhash integer arithmetic runs as flat
+    numpy int64 streams over the Arrow list buffers — the interpreted
+    CodegenFallback higher-order functions were ~60% of the 1M-doc
+    minhash wall (5.5 s of 13 s measured).  Bit-exact by differential
+    test against the SQL path (tests + EXACTEXTRACT_MINHASH_ARROW=0)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def run(batches):
+        for rb in batches:
+            ids = rb.column(0)
+            toks = rb.column(1)
+            n_docs = len(toks)
+            if n_docs == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [ids] + [pa.array([], type=pa.int64())
+                             for _ in range(N_BANDS)],
+                    schema=schema)
+                continue
+            valid, n_docs, sh, _sh_doc, sh_count, starts, fold = \
+                _shingle_streams(toks)
+            out_cols = [ids]
+            mh = np.empty((len(MINHASH_A), n_docs), dtype=np.int64)
+            big = np.iinfo(np.int64).max
+            for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)):
+                perm = (a * sh + b) % P
+                col = np.minimum.reduceat(np.append(perm, big), starts)
+                col = np.where(sh_count > 0, col, (a * fold + b) % P)
+                mh[j] = col
+            for bband in range(N_BANDS):
+                e = mh[bband * BAND_W]
+                for j in range(1, BAND_W):
+                    e = (e * 8191 + mh[bband * BAND_W + j]) % P
+                out_cols.append(pa.array(e, type=pa.int64(),
+                                         mask=~valid))
+            yield pa.RecordBatch.from_arrays(out_cols, schema=schema)
+
+    return run
+
+
+def _shingles_arrow_kernel(schema):
+    """Vectorized distinct-shingle kernel: per-doc SORTED distinct
+    shingle codes as list<int64> (every consumer — Jaccard set sizes,
+    explode+join — is order-independent, so sorted-distinct replaces
+    array_distinct's first-occurrence order without changing any
+    result)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def run(batches):
+        for rb in batches:
+            ids = rb.column(0)
+            toks = rb.column(1)
+            n_docs = len(toks)
+            if n_docs == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.array([], type=pa.list_(pa.int64()))],
+                    schema=schema)
+                continue
+            valid, n_docs, sh, sh_doc, sh_count, starts, fold = \
+                _shingle_streams(toks)
+            # sorted distinct per doc on the flat stream: stable sort by
+            # (doc, code), then drop adjacent duplicates within a doc
+            order = np.lexsort((sh, sh_doc))
+            ds, dd = sh[order], sh_doc[order]
+            keep = np.ones(ds.size, dtype=bool)
+            if ds.size > 1:
+                keep[1:] = (ds[1:] != ds[:-1]) | (dd[1:] != dd[:-1])
+            ds, dd = ds[keep], dd[keep]
+            dcnt = np.bincount(dd, minlength=n_docs)
+            # short docs contribute their single fold code
+            short_mask = valid & (sh_count == 0)
+            cnt = np.where(short_mask, 1, dcnt)
+            offs64 = np.concatenate(([0], np.cumsum(cnt)))
+            flat = np.empty(int(offs64[-1]), dtype=np.int64)
+            if ds.size:
+                # distinct codes of doc i are a contiguous run in ds;
+                # within-run index + the doc's output offset places them
+                run_start = np.concatenate(([0], np.cumsum(dcnt)))[:-1]
+                w = np.arange(ds.size) - np.repeat(run_start, dcnt)
+                flat[offs64[:-1][dd] + w] = ds
+            if short_mask.any():
+                flat[offs64[:-1][short_mask]] = fold[short_mask]
+            offs = offs64.astype(np.int32)
+            lists = pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()),
+                pa.array(flat, type=pa.int64()))
+            if not valid.all():
+                # rebuild with validity: ListArray.from_arrays has no
+                # mask parameter for values-level nulls in older
+                # pyarrow; apply via if_else
+                mask = pa.array(valid, type=pa.bool_())
+                nulls = pa.nulls(n_docs, type=pa.list_(pa.int64()))
+                import pyarrow.compute as pc
+                lists = pc.if_else(mask, lists, nulls)
+            yield pa.RecordBatch.from_arrays([ids, lists], schema=schema)
+
+    return run
+
+
+def _distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh array<bigint>): each document's distinct 3-token
+    shingle codes.  Arrow-vectorized by default (sorted distinct; every
+    consumer is order-independent); EXACTEXTRACT_MINHASH_ARROW=0
+    selects the SQL expression path."""
+    import os
+
+    if os.environ.get("EXACTEXTRACT_MINHASH_ARROW", "1") == "1":
+        import pyarrow as pa
+
+        toks = _docs(spark, sf_dir).selectExpr(
+            "doc_id", "split(trim(text), '\\\\s+') AS toks")
+        id_type = toks.schema["doc_id"].dataType.simpleString()
+        pa_schema = pa.schema(
+            [pa.field("doc_id", pa.int64() if id_type == "bigint"
+                      else pa.string()),
+             pa.field("sh", pa.list_(pa.int64()))])
+        return toks.mapInArrow(_shingles_arrow_kernel(pa_schema),
+                               schema=f"doc_id {id_type}, sh array<bigint>")
+    return _docs(spark, sf_dir).selectExpr("doc_id", f"{_TC_ARR_SPARK} AS tc") \
+        .selectExpr("doc_id", f"array_distinct({_SHINGLES_SPARK}) AS sh")
+
+
 def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16 minhashes over 3-token shingles, folded into 4 LSH bands."""
+    """16 minhashes over 3-token shingles, folded into 4 LSH bands.
+
+    The arithmetic runs in a vectorized Arrow kernel by default
+    (_minhash_arrow_kernel); EXACTEXTRACT_MINHASH_ARROW=0 selects the
+    pure-SQL expression path (bit-identical — differential-tested)."""
+    import os
+
+    if os.environ.get("EXACTEXTRACT_MINHASH_ARROW", "1") == "1":
+        import pyarrow as pa
+
+        toks = _docs(spark, sf_dir).selectExpr(
+            "doc_id", "split(trim(text), '\\\\s+') AS toks")
+        id_type = toks.schema["doc_id"].dataType.simpleString()
+        out_schema_str = ", ".join(
+            [f"doc_id {id_type}"] + [f"band{b} long" for b in range(N_BANDS)])
+        pa_schema = pa.schema(
+            [pa.field("doc_id", pa.int64() if id_type == "bigint"
+                      else pa.string())]
+            + [pa.field(f"band{b}", pa.int64()) for b in range(N_BANDS)])
+        return toks.mapInArrow(_minhash_arrow_kernel(pa_schema),
+                               schema=out_schema_str)
     d = _docs(spark, sf_dir).selectExpr("doc_id", f"{_TC_ARR_SPARK} AS tc") \
         .selectExpr("doc_id", f"{_SHINGLES_SPARK} AS sh")
     mh = [f"array_min(transform(sh, s -> ({MINHASH_A[j]} * s + {MINHASH_B[j]}) % {P})) AS mh{j}"
@@ -130,7 +351,7 @@ def minhash_band_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(N_BANDS)]))
-         .alias("band_idx", "bk")).persist()
+         .alias("band_idx", "bk")).transform(_stage_cache)
 
 
 def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,7 +445,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
               for b in range(SIM60_BANDS)]
     long = s.select("doc_id", "sim",
                     F.posexplode(F.array(*bucket)).alias("band_idx", "bk")) \
-        .persist()
+        .transform(_stage_cache)
     a = long.select(F.col("doc_id").alias("doc_a"),
                     F.col("sim").alias("sim_a"), "band_idx", "bk")
     c = long.select(F.col("doc_id").alias("doc_b"),
@@ -260,9 +481,7 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and verification is one join back to the shingle table."""
     # persisted: referenced by both sides of the verify join, and the
     # shingle expressions are interpreted HOFs worth evaluating once
-    sh = _docs(spark, sf_dir).selectExpr("doc_id", f"{_TC_ARR_SPARK} AS tc") \
-        .selectExpr("doc_id", f"array_distinct({_SHINGLES_SPARK}) AS sh") \
-        .persist()
+    sh = _distinct_shingles(spark, sf_dir).transform(_stage_cache)
     cand = minhash_pairs(spark, sf_dir)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -408,8 +627,7 @@ FROM comp JOIN documents d ON comp.doc_id = d.doc_id"""
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard for adjacent doc pairs (deterministic
     demo pairing; production path verifies minhash_pairs candidates)."""
-    d = _docs(spark, sf_dir).selectExpr("doc_id", f"{_TC_ARR_SPARK} AS tc") \
-        .selectExpr("doc_id", f"array_distinct({_SHINGLES_SPARK}) AS sh")
+    d = _distinct_shingles(spark, sf_dir)
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (a.join(b, a.doc_a + 1 == b.doc_b)
@@ -446,9 +664,7 @@ def contamination_check(spark: SparkSession, sf_dir: str,
     # would otherwise inline the shingle tree into a size(sh) > 0 filter
     # below each explode (re-evaluating it per row; BENCH/audit_filters.py
     # flags exactly this)
-    d = _docs(spark, sf_dir).selectExpr("doc_id", f"{_TC_ARR_SPARK} AS tc") \
-        .selectExpr("doc_id", f"array_distinct({_SHINGLES_SPARK}) AS sh") \
-        .persist()
+    d = _distinct_shingles(spark, sf_dir).transform(_stage_cache)
     is_eval = (F.col("doc_id") % eval_mod) == eval_rem
     ev = d.where(is_eval).select(F.explode("sh").alias("s")).distinct()
     tr = d.where(~is_eval)

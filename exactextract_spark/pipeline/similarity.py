@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from . import stage_cache as _stage_cache
+
 N_QUERIES = 16
 TOP_K = 5
 N_PLANES = 8
@@ -152,7 +154,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs once per consumer, and the persisted frame stays small
     # (N_PROBE rows per vector, not N_CENTROIDS)
     ranked = scored.withColumn("crank", F.row_number().over(w)) \
-        .where(F.col("crank") <= max(1, N_PROBE)).persist()
+        .where(F.col("crank") <= max(1, N_PROBE)).transform(_stage_cache)
     assign = ranked.where(F.col("crank") == 1) \
         .select("vec_id", F.col("cent_id").alias("cell"), "embedding")
     probes = ranked.where((F.col("crank") <= N_PROBE) &
@@ -347,7 +349,7 @@ def neardup_candidates(spark: SparkSession, sf_dir: str,
         "vec_id",
         F.posexplode(F.array(*[F.col(f"band{b}")
                                for b in range(NEARDUP_BANDS)]))
-         .alias("band_idx", "bucket")).persist()
+         .alias("band_idx", "bucket")).transform(_stage_cache)
     a = long.select(F.col("vec_id").alias("vec_a"), "band_idx", "bucket")
     c = long.select(F.col("vec_id").alias("vec_b"), "band_idx", "bucket")
     return (a.join(c, ["band_idx", "bucket"])

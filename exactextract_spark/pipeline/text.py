@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from . import stage_cache as _stage_cache
+
 # deterministic per-token integer code (ASCII docs): first char, second
 # char, length — used by fingerprints/minhash/simhash instead of any
 # engine-builtin hash so both engines agree exactly
@@ -545,7 +547,7 @@ def bigram_coverage(spark: SparkSession, sf_dir: str,
         "CASE WHEN size(toks) >= 2 THEN"
         " transform(sequence(1, size(toks) - 1),"
         "  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
-        " ELSE array() END AS bgs").persist()
+        " ELSE array() END AS bgs").transform(_stage_cache)
     bg = bga.select("doc_id", F.explode("bgs").alias("bg"))
     top = (bg.groupBy("bg").count()
            .orderBy(F.desc("count"), F.asc("bg")).limit(k)

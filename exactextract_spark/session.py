@@ -42,6 +42,11 @@ def get_spark(app: str = "exactextract-spark", cores: int | None = None,
             .config("spark.sql.adaptive.skewJoin.enabled", "true")
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-            .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+            # local-mode JVM = driver + executors in one heap: size it so
+            # staged pipeline caches (shingle/band tables) plus 10M-row
+            # window state fit without eviction churn (the host has
+            # 128 GiB; override via SPARK_DRIVER_MEM for smaller hosts
+            # or cluster mode, where executors carry their own memory)
+            .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
             .config("spark.ui.enabled", "false")
             .getOrCreate())
