@@ -234,11 +234,15 @@ def _shingles_arrow_kernel(schema):
                 keep[1:] = (ds[1:] != ds[:-1]) | (dd[1:] != dd[:-1])
             ds, dd = ds[keep], dd[keep]
             dcnt = np.bincount(dd, minlength=n_docs)
-            # short docs contribute their single fold code
+            # short docs contribute their single fold code; NULL-token
+            # docs yield a single NULL element ([NULL], matching the
+            # SQL path's array(aggregate(NULL tc, ...)) — NOT a null
+            # list, which would change e.g. ngram_jaccard on null docs)
             short_mask = valid & (sh_count == 0)
-            cnt = np.where(short_mask, 1, dcnt)
+            null_mask = ~valid
+            cnt = np.where(short_mask | null_mask, 1, dcnt)
             offs64 = np.concatenate(([0], np.cumsum(cnt)))
-            flat = np.empty(int(offs64[-1]), dtype=np.int64)
+            flat = np.zeros(int(offs64[-1]), dtype=np.int64)
             if ds.size:
                 # distinct codes of doc i are a contiguous run in ds;
                 # within-run index + the doc's output offset places them
@@ -247,18 +251,13 @@ def _shingles_arrow_kernel(schema):
                 flat[offs64[:-1][dd] + w] = ds
             if short_mask.any():
                 flat[offs64[:-1][short_mask]] = fold[short_mask]
-            offs = offs64.astype(np.int32)
+            flat_null = np.zeros(flat.size, dtype=bool)
+            if null_mask.any():
+                flat_null[offs64[:-1][null_mask]] = True
             lists = pa.ListArray.from_arrays(
-                pa.array(offs, type=pa.int32()),
-                pa.array(flat, type=pa.int64()))
-            if not valid.all():
-                # rebuild with validity: ListArray.from_arrays has no
-                # mask parameter for values-level nulls in older
-                # pyarrow; apply via if_else
-                mask = pa.array(valid, type=pa.bool_())
-                nulls = pa.nulls(n_docs, type=pa.list_(pa.int64()))
-                import pyarrow.compute as pc
-                lists = pc.if_else(mask, lists, nulls)
+                pa.array(offs64.astype(np.int32), type=pa.int32()),
+                pa.array(flat, type=pa.int64(),
+                         mask=flat_null if flat_null.any() else None))
             yield pa.RecordBatch.from_arrays([ids, lists], schema=schema)
 
     return run

@@ -898,3 +898,43 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     g = got["b_val"]
     e = exp["b_val"]
     assert ((g == e) | (g.isna() & e.isna())).all()
+
+
+def test_minhash_arrow_differential(spark, tmp_path):
+    """The Arrow minhash/shingle kernels are bit-equal to the SQL
+    expression path (EXACTEXTRACT_MINHASH_ARROW=0), including edge
+    documents: empty text, 1-2 tokens (Horner fold), unicode tokens
+    (per-token fallback), and NULL text."""
+    import os
+
+    from exactextract_spark.pipeline import dedup as D
+
+    pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "text": ["", "one", "two toks",
+                 "héllo wörld ünïcode xx yy", "a b c d e", None],
+        "lang": ["en"] * 6, "source": ["s"] * 6,
+        "n_chars": [0, 3, 8, 24, 9, 0],
+    }).to_parquet(tmp_path / "documents.parquet")
+
+    for fn in (D.minhash_signature, D._distinct_shingles):
+        for src in (SF_DIR, str(tmp_path)):
+            a = fn(spark, src).toPandas() \
+                .sort_values("doc_id").reset_index(drop=True)
+            os.environ["EXACTEXTRACT_MINHASH_ARROW"] = "0"
+            try:
+                b = fn(spark, src).toPandas() \
+                    .sort_values("doc_id").reset_index(drop=True)
+            finally:
+                del os.environ["EXACTEXTRACT_MINHASH_ARROW"]
+            assert list(a.columns) == list(b.columns)
+            if "sh" in a.columns:
+                # sorted-distinct vs first-occurrence order: compare as
+                # sets; a NULL element (null-text doc -> [NULL]) maps to
+                # the sentinel -1 (codes are non-negative)
+                def norm(arr):
+                    return sorted(-1 if pd.isna(v) else int(v) for v in arr)
+                for x, y in zip(a["sh"], b["sh"]):
+                    assert norm(x) == norm(y), (x, y)
+            else:
+                assert a.equals(b), (fn.__name__, src)
