@@ -88,17 +88,13 @@ def _band_expr(prefix: str, b: int) -> str:
     return e
 
 
-def _shingle_streams(toks):
-    """Flat numpy shingle streams for one Arrow batch of token lists.
-
-    Returns (valid, n_docs, sh, sh_doc, sh_count, starts, fold) where
-    ``sh`` is the flat shingle-code stream in document order, ``fold``
-    the short-document (< 3 tokens) Horner fold per doc, and
-    ``starts``/``sh_count`` the per-doc segments of ``sh``.  Identical
-    integer formulas to _SHINGLES_SPARK / _TC_ARR_SPARK; all
-    intermediates < 2^63.  Non-ASCII tokens (byte != codepoint) take a
-    per-token Python fallback with the same ascii()/substr()/length()
-    semantics."""
+def _token_codes(toks):
+    """Per-token codes (ascii(t)*961 + ascii(substr(t,2,1))*31 +
+    length(t)) for one Arrow batch of token lists, as a flat int64
+    stream plus per-doc ranges.  Exact _TC_ARR_SPARK semantics;
+    non-ASCII tokens (byte != codepoint) take a per-token Python
+    fallback with the same ascii()/substr()/length() behaviour.
+    Returns (valid, n_docs, tc, off0, n_tok)."""
     import numpy as np
 
     n_docs = len(toks)
@@ -140,6 +136,20 @@ def _shingle_streams(toks):
             dtype=np.int64, count=hi - lo)
     off0 = off - lo          # doc token ranges into tc
     n_tok = off0[1:] - off0[:-1]
+    return valid, n_docs, tc, off0, n_tok
+
+
+def _shingle_streams(toks):
+    """Flat numpy shingle streams for one Arrow batch of token lists.
+
+    Returns (valid, n_docs, sh, sh_doc, sh_count, starts, fold) where
+    ``sh`` is the flat shingle-code stream in document order, ``fold``
+    the short-document (< 3 tokens) Horner fold per doc, and
+    ``starts``/``sh_count`` the per-doc segments of ``sh``.  Identical
+    integer formulas to _SHINGLES_SPARK; all intermediates < 2^63."""
+    import numpy as np
+
+    valid, n_docs, tc, off0, n_tok = _token_codes(toks)
     # --- shingles (flat): docs with >= 3 tokens ---
     doc_of = np.repeat(np.arange(n_docs), n_tok)
     idx = np.arange(tc.size)
@@ -375,11 +385,77 @@ def minhash_pairs_oracle() -> str:
     return f"WITH sig AS ({sig}) {joins}"
 
 
+def _bit_majority_kernel(schema, nbits, sim60):
+    """Vectorized SimHash kernel: bit-majority of a per-token hash,
+    computed as a (tokens x nbits) ±1 matrix summed per doc — replaces
+    the O(nbits x tokens) interpreted nested-aggregate expressions.
+    ``sim60``: the two-half 30-bit multiplicative hash of
+    _SIM60_HALF/_SIM60_BIT; otherwise the raw token code's low bits.
+    NULL-token docs yield 0 (the SQL CASE WHEN NULL > 0 path), exactly
+    like the expression form."""
+    import numpy as np
+    import pyarrow as pa
+
+    def run(batches):
+        for rb in batches:
+            ids = rb.column(0)
+            toks = rb.column(1)
+            n_docs = len(toks)
+            if n_docs == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.array([], type=pa.int64())], schema=schema)
+                continue
+            valid, n_docs, tc, off0, n_tok = _token_codes(toks)
+            if sim60:
+                h1 = (tc * 2654435761) % (1 << 30)
+                h2 = (tc * 2246822519 + 3266489917) % (1 << 30)
+                bits = np.concatenate(
+                    [(h1[:, None] >> np.arange(30)) & 1,
+                     (h2[:, None] >> np.arange(30)) & 1], axis=1)
+            else:
+                bits = (tc[:, None] >> np.arange(nbits)) & 1
+            pm = (bits.astype(np.int64) * 2 - 1)
+            # per-doc segment sums; a zero sentinel row keeps empty
+            # trailing segments (null docs, n_tok == 0) in bounds
+            pm = np.vstack([pm, np.zeros((1, nbits), dtype=np.int64)])
+            starts = np.concatenate(([0], np.cumsum(n_tok)))[:-1]
+            sums = np.add.reduceat(pm, starts, axis=0)
+            sums[n_tok == 0] = 0          # empty segment -> no votes
+            sim = ((sums > 0).astype(np.int64)
+                   << np.arange(nbits)).sum(axis=1)
+            sim[~valid | (n_tok == 0)] = 0  # SQL: CASE WHEN NULL>0 -> 0
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sim, type=pa.int64())], schema=schema)
+
+    return run
+
+
+def _simhash_table(spark: SparkSession, sf_dir: str, nbits: int,
+                   sim60: bool, out_col: str) -> DataFrame:
+    """(doc_id, <out_col>) SimHash fingerprints, Arrow-vectorized
+    (EXACTEXTRACT_MINHASH_ARROW=0 selects the SQL expression path)."""
+    import pyarrow as pa
+
+    toks = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "split(trim(text), '\\\\s+') AS toks")
+    id_type = toks.schema["doc_id"].dataType.simpleString()
+    pa_schema = pa.schema(
+        [pa.field("doc_id", pa.int64() if id_type == "bigint"
+                  else pa.string()),
+         pa.field(out_col, pa.int64())])
+    return toks.mapInArrow(_bit_majority_kernel(pa_schema, nbits, sim60),
+                           schema=f"doc_id {id_type}, {out_col} long")
+
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash over token codes (bit-majority of code bits).
-    Tokenization is hoisted into its own projection so Catalyst
-    evaluates it once per row, not once per bit (CollapseProject keeps
-    multi-referenced non-cheap aliases in their own stage)."""
+    """16-bit SimHash over token codes (bit-majority of code bits),
+    Arrow-vectorized by default (_bit_majority_kernel; differential-
+    tested against the expression path)."""
+    import os
+
+    if os.environ.get("EXACTEXTRACT_MINHASH_ARROW", "1") == "1":
+        return _simhash_table(spark, sf_dir, SIMHASH_BITS, False, "simhash")
     return _docs(spark, sf_dir).selectExpr(
         "doc_id", f"{_TC_ARR_SPARK} AS tc").selectExpr(
         "doc_id",
@@ -437,9 +513,14 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH candidates (one equi-join on the long (band_idx, bucket) table,
     see minhash_band_long for why not per-band joins on computed keys)
     verified with the exact popcount of the fingerprint XOR."""
-    s = _docs(spark, sf_dir) \
-        .selectExpr("doc_id", f"{_TC_ARR_SPARK} AS tc") \
-        .selectExpr("doc_id", f"{_SIM60_SPARK} AS sim")
+    import os
+
+    if os.environ.get("EXACTEXTRACT_MINHASH_ARROW", "1") == "1":
+        s = _simhash_table(spark, sf_dir, 60, True, "sim")
+    else:
+        s = _docs(spark, sf_dir) \
+            .selectExpr("doc_id", f"{_TC_ARR_SPARK} AS tc") \
+            .selectExpr("doc_id", f"{_SIM60_SPARK} AS sim")
     bucket = [F.expr(f"(sim >> {SIM60_BAND_BITS * b}) % {1 << SIM60_BAND_BITS}")
               for b in range(SIM60_BANDS)]
     long = s.select("doc_id", "sim",

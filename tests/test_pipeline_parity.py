@@ -917,7 +917,18 @@ def test_minhash_arrow_differential(spark, tmp_path):
         "n_chars": [0, 3, 8, 24, 9, 0],
     }).to_parquet(tmp_path / "documents.parquet")
 
-    for fn in (D.minhash_signature, D._distinct_shingles):
+    def _sim16(spark_, src_):
+        return D.simhash(spark_, src_)
+
+    def _sim60(spark_, src_):
+        import os
+        if os.environ.get("EXACTEXTRACT_MINHASH_ARROW", "1") == "1":
+            return D._simhash_table(spark_, src_, 60, True, "sim")
+        return D._docs(spark_, src_) \
+            .selectExpr("doc_id", f"{D._TC_ARR_SPARK} AS tc") \
+            .selectExpr("doc_id", f"{D._SIM60_SPARK} AS sim")
+
+    for fn in (D.minhash_signature, D._distinct_shingles, _sim16, _sim60):
         for src in (SF_DIR, str(tmp_path)):
             a = fn(spark, src).toPandas() \
                 .sort_values("doc_id").reset_index(drop=True)
