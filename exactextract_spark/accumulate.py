@@ -151,20 +151,31 @@ def accumulate_pair(cov: np.ndarray, values: np.ndarray, *,
                 out["sum_cx2w"] = float((cvals * cvals * ciwi).sum())
 
     # --- two-raster partials (the weight raster as the second variable
-    # y; NaN where y is undefined, poisoning the sums exactly like the
-    # stored-array path's NaN weights did) — compact per-pair state
-    # replacing the collect_list funnel (r5 verdict finding 3) ---
-    if req.xy_moments:
-        out["sum_cy"] = float((w * ccov).sum())
-        out["sum_cy2"] = float((w * w * ccov).sum())
-        out["sum_cxy"] = float((cvals * w * ccov).sum())
-    if req.xy_change:
-        delta = cvals - w
-        # NaN delta counts as "changed" (NaN != 0 is True) — identical
-        # to the SQL `x != y` predicate, which is true for y = NaN
-        out["chg_c"] = float(ccov[delta != 0].sum())
-        out["chg_sd"] = float((delta * ccov).sum())
-        out["chg_maxad"] = float(np.max(np.abs(delta)))
+    # y) — compact per-pair state replacing the collect_list funnel (r5
+    # verdict finding 3).  An undefined y (NaN) must poison the zone's
+    # y-dependent statistics like the stored-array path's NaN weights
+    # did, but a top-level NaN partial becomes SQL NULL at the Arrow
+    # boundary and F.sum/F.max silently SKIP it — so, exactly like
+    # w_undef above, the partial carries an explicit y_undef flag with
+    # zero-filled sums, and the finalize re-poisons with NaN when any
+    # merged partial has it set. ---
+    if req.xy_moments or req.xy_change:
+        y_undef = bool(np.isnan(w).any())
+        ys = np.where(np.isnan(w), 0.0, w) if y_undef else w
+        out["y_undef"] = y_undef
+        if req.xy_moments:
+            out["sum_cy"] = float((ys * ccov).sum())
+            out["sum_cy2"] = float((ys * ys * ccov).sum())
+            out["sum_cxy"] = float((cvals * ys * ccov).sum())
+        if req.xy_change:
+            delta = cvals - w
+            # NaN delta counts as "changed" (NaN != 0 is True) —
+            # identical to the SQL `x != y` predicate for y = NaN
+            out["chg_c"] = float(ccov[delta != 0].sum())
+            dfill = np.where(np.isnan(delta), 0.0, delta) if y_undef \
+                else delta
+            out["chg_sd"] = float((dfill * ccov).sum())
+            out["chg_maxad"] = float(np.max(np.abs(dfill)))
 
     cell_ids = (rr + row0).astype(np.int64) * grid_ncols + (cc + col0)
     if req.pair_topk:

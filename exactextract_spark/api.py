@@ -206,7 +206,15 @@ def zonal_correlation(zones: DataFrame, tiles: DataFrame,
         F.sum("k0_sum_cy").alias("sy"),
         F.sum("k0_sum_cx2").alias("sxx"),
         F.sum("k0_sum_cy2").alias("syy"),
-        F.sum("k0_sum_cxy").alias("sxy"))
+        F.sum("k0_sum_cxy").alias("sxy"),
+        F.max("k0_y_undef").alias("_yu"))
+    # re-poison: any pair with an undefined y makes the zone's
+    # y-dependent moments NaN, exactly like the stored-array path's NaN
+    # weights flowing through SUM (the partials zero-fill because a
+    # top-level NaN would become SQL NULL at the Arrow boundary)
+    nanlit = F.lit(float("nan"))
+    for c in ("sy", "syy", "sxy"):
+        m = m.withColumn(c, F.when(F.col("_yu"), nanlit).otherwise(F.col(c)))
     cov_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     vx_num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     vy_num = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
@@ -239,7 +247,14 @@ def zonal_change(zones: DataFrame, tiles: DataFrame,
         F.sum("k0_sum_c").alias("n"),
         F.sum("k0_chg_c").alias("changed"),
         F.sum("k0_chg_sd").alias("sdelta"),
-        F.max("k0_chg_maxad").alias("max_abs_delta"))
+        F.max("k0_chg_maxad").alias("max_abs_delta"),
+        F.max("k0_y_undef").alias("_yu"))
+    # re-poison (see zonal_correlation): undefined y -> NaN signed-delta
+    # stats; `changed` stays finite (x != NaN is true, like the SQL
+    # predicate)
+    nanlit = F.lit(float("nan"))
+    for c in ("sdelta", "max_abs_delta"):
+        m = m.withColumn(c, F.when(F.col("_yu"), nanlit).otherwise(F.col(c)))
     return m.select(
         "zone_id", "n",
         (F.col("changed") / F.col("n")).alias("changed_frac"),

@@ -445,15 +445,28 @@ def accumulate_pairs_batch(pairs, tile_vals, key_specs, *, has_weights,
         # undefined, matching the stored-array path's NaN weights) ---
         y_used = wres_used
         if y_used is None and req.needs_y:
-            if wdef_s is None:
-                wdef_s = ~np.isnan(wv) & (wv != w_nodata[pid])
-            wu2 = wv[used]
-            y_used = np.where(wdef_s[used], wu2,
-                              np.nan if dwt is None else dwt)
+            if wv is None:
+                # no weight raster joined: y is undefined everywhere —
+                # same NaN semantics as the per-pair path's default fill
+                y_used = np.full(int(used.sum()),
+                                 np.nan if dwt is None else dwt)
+            else:
+                if wdef_s is None:
+                    wdef_s = ~np.isnan(wv) & (wv != w_nodata[pid])
+                wu2 = wv[used]
+                y_used = np.where(wdef_s[used], wu2,
+                                  np.nan if dwt is None else dwt)
+        if req.xy_moments or req.xy_change:
+            # per-pair undefined-y flag + zero-filled sums: a top-level
+            # NaN partial becomes SQL NULL at the Arrow boundary and
+            # F.sum/F.max silently skip it (see accumulate.accumulate_pair)
+            y_nan = np.isnan(y_used)
+            res["y_undef"] = np.bincount(upid[y_nan], minlength=P) > 0
+            y_fill = np.where(y_nan, 0.0, y_used)
         if req.xy_moments:
-            cyu = y_used * cu
+            cyu = y_fill * cu
             res["sum_cy"] = np.bincount(upid, weights=cyu, minlength=P)
-            res["sum_cy2"] = np.bincount(upid, weights=y_used * cyu,
+            res["sum_cy2"] = np.bincount(upid, weights=y_fill * cyu,
                                          minlength=P)
             res["sum_cxy"] = np.bincount(upid, weights=vu * cyu, minlength=P)
         if req.xy_change:
@@ -461,10 +474,11 @@ def accumulate_pairs_batch(pairs, tile_vals, key_specs, *, has_weights,
             chm = delta != 0  # NaN != 0 is True — same as SQL x != y
             res["chg_c"] = np.bincount(upid[chm], weights=cu[chm],
                                        minlength=P)
-            res["chg_sd"] = np.bincount(upid, weights=delta * cu, minlength=P)
+            dfill = np.where(y_nan, 0.0, delta)
+            res["chg_sd"] = np.bincount(upid, weights=dfill * cu, minlength=P)
             cstarts_c = np.searchsorted(upid, np.arange(P))
             res["chg_maxad"] = np.maximum.reduceat(
-                np.append(np.abs(delta), -np.inf), cstarts_c)
+                np.append(np.abs(dfill), -np.inf), cstarts_c)
         if req.pair_topk:
             k = int(req.pair_topk)
             cid_u = cell_id[used]
@@ -551,6 +565,10 @@ def accumulate_pairs_batch(pairs, tile_vals, key_specs, *, has_weights,
             out[pfx + "w_undef"] = wu_col
             if req.weighted_variance:
                 out[pfx + "sum_cx2w"] = col(res["sum_cx2w"])
+        if req.xy_moments or req.xy_change:
+            yu_col = np.full(rows.size, None, dtype=object)
+            yu_col[sel] = [bool(b) for b in res["y_undef"][rows][sel]]
+            out[pfx + "y_undef"] = yu_col
         if req.xy_moments:
             out[pfx + "sum_cy"] = col(res["sum_cy"])
             out[pfx + "sum_cy2"] = col(res["sum_cy2"])

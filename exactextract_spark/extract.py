@@ -341,6 +341,11 @@ def _partial_schema(keygroups, passthrough=()) -> T.StructType:
             fields += [T.StructField(p + "hist_v", T.ArrayType(T.DoubleType())),
                        T.StructField(p + "hist_ci", T.ArrayType(T.DoubleType())),
                        T.StructField(p + "hist_ciw", T.ArrayType(T.DoubleType()))]
+        if req.xy_moments or req.xy_change:
+            # explicit undefined-y flag: NaN cannot ride a top-level
+            # double partial (pandas NaN -> SQL NULL, silently skipped
+            # by sum/max) — same mechanism as w_undef
+            fields.append(T.StructField(p + "y_undef", T.BooleanType()))
         if req.xy_moments:
             fields += [T.StructField(p + "sum_cy", T.DoubleType()),
                        T.StructField(p + "sum_cy2", T.DoubleType()),
@@ -897,15 +902,8 @@ class ZonalExtractor:
             grid = tiles.select("grid_xmin", "grid_ymax", "dx", "dy",
                                 "grid_nrows", "grid_ncols").first().asDict()
         if tile_size is None:
-            # infer the tile stride as max(greatest(nrows, ncols)): any
-            # dimension with more than one tile contains a full-stride
-            # tile; when BOTH dimensions fit a single tile, every zone
-            # maps to tile (0,0) under any stride >= the grid extent, so
-            # the inferred value is still correct.  (max(nrows) alone
-            # under-infers for short-and-wide grids, silently dropping
-            # tiles from the zone->tile join.)
-            tile_size = grid.get("tile") or tiles.select(
-                F.max(F.greatest("nrows", "ncols"))).first()[0]
+            from .grid import infer_tile_size
+            tile_size = infer_tile_size(grid, tiles)
         # CRS validation (reference exact_extract.py:297-360): a zones
         # table may carry a constant `crs` column; raster CRS comes from
         # the grid dict or a tile-table `crs` column.  Mismatches warn —

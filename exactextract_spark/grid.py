@@ -23,17 +23,27 @@ _PI_180 = math.pi / 180.0
 
 def infer_tile_size(grid: dict | None, tiles=None) -> int:
     """Tile stride of a tile table: grid['tile'] when present, else
-    inferred as max(greatest(nrows, ncols)) over the table — any
-    dimension with more than one tile contains a full-stride tile, and
-    a grid that fits one tile maps every zone to tile (0, 0) under any
-    stride >= its extent, so the inferred value is still correct.
-    Raises when neither source can determine it (a silently assumed
-    stride mis-addresses halo strips / tile keys with no error)."""
+    inferred from the table itself.  The schema invariant
+    ``row0 == tile_row * stride`` (and likewise for columns) makes
+    ``row0 div tile_row`` the exact stride for ANY tile with a non-zero
+    index — including sparse tables whose surviving tiles are all
+    partial edge tiles (where the previous max(nrows, ncols) heuristic
+    would under-infer).  When every tile is (0, 0) the grid fits one
+    tile and any stride >= its extent addresses it identically, so
+    max(greatest(nrows, ncols)) is still correct.  Raises when neither
+    source can determine the stride (a silently assumed stride
+    mis-addresses halo strips / tile keys with no error)."""
     if grid and grid.get("tile"):
         return int(grid["tile"])
     if tiles is not None:
         from pyspark.sql import functions as F
-        t = tiles.select(F.max(F.greatest("nrows", "ncols"))).first()[0]
+        row = tiles.select(
+            F.max(F.when(F.col("tile_row") > 0,
+                         F.expr("row0 div tile_row"))).alias("sr"),
+            F.max(F.when(F.col("tile_col") > 0,
+                         F.expr("col0 div tile_col"))).alias("sc"),
+            F.max(F.greatest("nrows", "ncols")).alias("mx")).first()
+        t = row["sr"] or row["sc"] or row["mx"]
         if t:
             return int(t)
     raise ValueError(

@@ -273,6 +273,19 @@ def _shingles_arrow_kernel(schema):
     return run
 
 
+def _toks_frame(spark: SparkSession, sf_dir: str):
+    """Shared Arrow-kernel input: the JVM-tokenized (doc_id, toks)
+    frame plus the doc_id types for the output schemas (one place to
+    keep tokenization and id typing consistent across the kernels)."""
+    import pyarrow as pa
+
+    toks = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "split(trim(text), '\\\\s+') AS toks")
+    id_type = toks.schema["doc_id"].dataType.simpleString()
+    pa_id = pa.int64() if id_type == "bigint" else pa.string()
+    return toks, id_type, pa_id
+
+
 def _distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh array<bigint>): each document's distinct 3-token
     shingle codes.  Arrow-vectorized by default (sorted distinct; every
@@ -283,12 +296,9 @@ def _distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     if os.environ.get("EXACTEXTRACT_MINHASH_ARROW", "1") == "1":
         import pyarrow as pa
 
-        toks = _docs(spark, sf_dir).selectExpr(
-            "doc_id", "split(trim(text), '\\\\s+') AS toks")
-        id_type = toks.schema["doc_id"].dataType.simpleString()
+        toks, id_type, pa_id = _toks_frame(spark, sf_dir)
         pa_schema = pa.schema(
-            [pa.field("doc_id", pa.int64() if id_type == "bigint"
-                      else pa.string()),
+            [pa.field("doc_id", pa_id),
              pa.field("sh", pa.list_(pa.int64()))])
         return toks.mapInArrow(_shingles_arrow_kernel(pa_schema),
                                schema=f"doc_id {id_type}, sh array<bigint>")
@@ -307,14 +317,11 @@ def minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     if os.environ.get("EXACTEXTRACT_MINHASH_ARROW", "1") == "1":
         import pyarrow as pa
 
-        toks = _docs(spark, sf_dir).selectExpr(
-            "doc_id", "split(trim(text), '\\\\s+') AS toks")
-        id_type = toks.schema["doc_id"].dataType.simpleString()
+        toks, id_type, pa_id = _toks_frame(spark, sf_dir)
         out_schema_str = ", ".join(
             [f"doc_id {id_type}"] + [f"band{b} long" for b in range(N_BANDS)])
         pa_schema = pa.schema(
-            [pa.field("doc_id", pa.int64() if id_type == "bigint"
-                      else pa.string())]
+            [pa.field("doc_id", pa_id)]
             + [pa.field(f"band{b}", pa.int64()) for b in range(N_BANDS)])
         return toks.mapInArrow(_minhash_arrow_kernel(pa_schema),
                                schema=out_schema_str)
@@ -436,12 +443,9 @@ def _simhash_table(spark: SparkSession, sf_dir: str, nbits: int,
     (EXACTEXTRACT_MINHASH_ARROW=0 selects the SQL expression path)."""
     import pyarrow as pa
 
-    toks = _docs(spark, sf_dir).selectExpr(
-        "doc_id", "split(trim(text), '\\\\s+') AS toks")
-    id_type = toks.schema["doc_id"].dataType.simpleString()
+    toks, id_type, pa_id = _toks_frame(spark, sf_dir)
     pa_schema = pa.schema(
-        [pa.field("doc_id", pa.int64() if id_type == "bigint"
-                  else pa.string()),
+        [pa.field("doc_id", pa_id),
          pa.field(out_col, pa.int64())])
     return toks.mapInArrow(_bit_majority_kernel(pa_schema, nbits, sim60),
                            schema=f"doc_id {id_type}, {out_col} long")

@@ -170,8 +170,8 @@ def subdivide(zones: DataFrame, tiles: DataFrame, *,
         grid = tiles.select("grid_xmin", "grid_ymax", "dx", "dy",
                             "grid_nrows", "grid_ncols").first().asDict()
     if tile_size is None:
-        tile_size = grid.get("tile") or tiles.select(
-            F.max(F.greatest("nrows", "ncols"))).first()[0]
+        from .grid import infer_tile_size
+        tile_size = infer_tile_size(grid, tiles)
     had_bbox = "xmin" in zones.columns
     zones_b = attach_bbox(zones)
     if strategy == "auto":

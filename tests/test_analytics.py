@@ -854,3 +854,40 @@ def test_focal_infers_stride_from_tiles(spark):
     for (r, c), m in got.items():
         win = arr[max(r - 2, 0):r + 3, max(c - 2, 0):c + 3]
         assert m == win.mean(), (r, c, m, win.mean())
+
+
+def test_correlation_change_nan_poison_on_undefined_y(spark):
+    """A nodata cell in the SECOND raster under a defined value cell
+    must poison the zone's y-dependent statistics with NaN (the
+    stored-array path's semantics), not silently drop the pair — a
+    top-level NaN partial would become SQL NULL at the Arrow boundary
+    and be skipped by sum/max (code-review r6 finding)."""
+    from exactextract_spark.api import zonal_change, zonal_correlation
+    from exactextract_spark.io import tiles_from_array
+
+    x = np.arange(16.0).reshape(4, 4) + 1.0
+    y = (x * 2.0).copy()
+    y[1, 1] = -9.0  # nodata sentinel in the second raster
+    tx = tiles_from_array(spark, x, tile=2)
+    ty = tiles_from_array(spark, y, tile=2, nodata=-9.0, raster_id="y")
+    grid = dict(grid_xmin=0.0, grid_ymax=4.0, dx=1.0, dy=1.0,
+                grid_nrows=4, grid_ncols=4, tile=2)
+    zones = _zdf(spark, {"all": "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))"})
+
+    r = zonal_correlation(zones, tx, ty, grid=grid).first()
+    assert r["n"] == 16.0 and r["mean_x"] == x.mean()
+    assert np.isnan(r["mean_y"]) and np.isnan(r["cov"])
+    assert r["corr"] is None or np.isnan(r["corr"])
+
+    r = zonal_change(zones, tx, ty, grid=grid).first()
+    assert r["n"] == 16.0
+    # the undefined-y cell still counts as changed (x != NaN is true)
+    assert r["changed_frac"] == 1.0
+    assert np.isnan(r["mean_delta"]) and np.isnan(r["max_abs_delta"])
+
+    # a zone NOT touching the nodata cell stays fully defined
+    z2 = _zdf(spark, {"br": "POLYGON((2 0, 4 0, 4 2, 2 2, 2 0))"})
+    r = zonal_correlation(z2, tx, ty, grid=grid).first()
+    assert not np.isnan(r["cov"]) and r["corr"] == 1.0
+    r = zonal_change(z2, tx, ty, grid=grid).first()
+    assert r["mean_delta"] == -(x[2:, 2:].mean())

@@ -928,16 +928,23 @@ def test_minhash_arrow_differential(spark, tmp_path):
             .selectExpr("doc_id", f"{D._TC_ARR_SPARK} AS tc") \
             .selectExpr("doc_id", f"{D._SIM60_SPARK} AS sim")
 
+    prior = os.environ.get("EXACTEXTRACT_MINHASH_ARROW")
     for fn in (D.minhash_signature, D._distinct_shingles, _sim16, _sim60):
         for src in (SF_DIR, str(tmp_path)):
-            a = fn(spark, src).toPandas() \
-                .sort_values("doc_id").reset_index(drop=True)
-            os.environ["EXACTEXTRACT_MINHASH_ARROW"] = "0"
             try:
+                # force the Arrow path for side a (a preset =0 in the
+                # environment would otherwise compare SQL vs SQL)
+                os.environ["EXACTEXTRACT_MINHASH_ARROW"] = "1"
+                a = fn(spark, src).toPandas() \
+                    .sort_values("doc_id").reset_index(drop=True)
+                os.environ["EXACTEXTRACT_MINHASH_ARROW"] = "0"
                 b = fn(spark, src).toPandas() \
                     .sort_values("doc_id").reset_index(drop=True)
             finally:
-                del os.environ["EXACTEXTRACT_MINHASH_ARROW"]
+                if prior is None:
+                    os.environ.pop("EXACTEXTRACT_MINHASH_ARROW", None)
+                else:
+                    os.environ["EXACTEXTRACT_MINHASH_ARROW"] = prior
             assert list(a.columns) == list(b.columns)
             if "sh" in a.columns:
                 # sorted-distinct vs first-occurrence order: compare as
