@@ -171,6 +171,30 @@ def _shingle_streams(toks):
     return valid, n_docs, sh, sh_doc, sh_count, starts, fold
 
 
+def _band_columns(valid, sh, sh_count, starts, fold):
+    """The 16-perm minhash → 4 folded LSH band keys for one batch's
+    shingle streams, as N_BANDS pyarrow int64 arrays (NULL for docs
+    with a NULL token list)."""
+    import numpy as np
+    import pyarrow as pa
+
+    n_docs = valid.size
+    mh = np.empty((len(MINHASH_A), n_docs), dtype=np.int64)
+    big = np.iinfo(np.int64).max
+    for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)):
+        perm = (a * sh + b) % P
+        col = np.minimum.reduceat(np.append(perm, big), starts)
+        col = np.where(sh_count > 0, col, (a * fold + b) % P)
+        mh[j] = col
+    out = []
+    for bband in range(N_BANDS):
+        e = mh[bband * BAND_W]
+        for j in range(1, BAND_W):
+            e = (e * 8191 + mh[bband * BAND_W + j]) % P
+        out.append(pa.array(e, type=pa.int64(), mask=~valid))
+    return out
+
+
 def _minhash_arrow_kernel(schema):
     """Vectorized signature kernel (guide §4.2): tokenization happens in
     the JVM (``split(trim(text), '\\s+')`` — exact Spark semantics),
@@ -179,7 +203,6 @@ def _minhash_arrow_kernel(schema):
     CodegenFallback higher-order functions were ~60% of the 1M-doc
     minhash wall (5.5 s of 13 s measured).  Bit-exact by differential
     test against the SQL path (tests + EXACTEXTRACT_MINHASH_ARROW=0)."""
-    import numpy as np
     import pyarrow as pa
 
     def run(batches):
@@ -195,20 +218,8 @@ def _minhash_arrow_kernel(schema):
                 continue
             valid, n_docs, sh, _sh_doc, sh_count, starts, fold = \
                 _shingle_streams(toks)
-            out_cols = [ids]
-            mh = np.empty((len(MINHASH_A), n_docs), dtype=np.int64)
-            big = np.iinfo(np.int64).max
-            for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)):
-                perm = (a * sh + b) % P
-                col = np.minimum.reduceat(np.append(perm, big), starts)
-                col = np.where(sh_count > 0, col, (a * fold + b) % P)
-                mh[j] = col
-            for bband in range(N_BANDS):
-                e = mh[bband * BAND_W]
-                for j in range(1, BAND_W):
-                    e = (e * 8191 + mh[bband * BAND_W + j]) % P
-                out_cols.append(pa.array(e, type=pa.int64(),
-                                         mask=~valid))
+            out_cols = [ids] + _band_columns(valid, sh, sh_count,
+                                             starts, fold)
             yield pa.RecordBatch.from_arrays(out_cols, schema=schema)
 
     return run
@@ -220,7 +231,6 @@ def _shingles_arrow_kernel(schema):
     explode+join — is order-independent, so sorted-distinct replaces
     array_distinct's first-occurrence order without changing any
     result)."""
-    import numpy as np
     import pyarrow as pa
 
     def run(batches):
@@ -233,44 +243,83 @@ def _shingles_arrow_kernel(schema):
                     [ids, pa.array([], type=pa.list_(pa.int64()))],
                     schema=schema)
                 continue
-            valid, n_docs, sh, sh_doc, sh_count, starts, fold = \
-                _shingle_streams(toks)
-            # sorted distinct per doc on the flat stream: stable sort by
-            # (doc, code), then drop adjacent duplicates within a doc
-            order = np.lexsort((sh, sh_doc))
-            ds, dd = sh[order], sh_doc[order]
-            keep = np.ones(ds.size, dtype=bool)
-            if ds.size > 1:
-                keep[1:] = (ds[1:] != ds[:-1]) | (dd[1:] != dd[:-1])
-            ds, dd = ds[keep], dd[keep]
-            dcnt = np.bincount(dd, minlength=n_docs)
-            # short docs contribute their single fold code; NULL-token
-            # docs yield a single NULL element ([NULL], matching the
-            # SQL path's array(aggregate(NULL tc, ...)) — NOT a null
-            # list, which would change e.g. ngram_jaccard on null docs)
-            short_mask = valid & (sh_count == 0)
-            null_mask = ~valid
-            cnt = np.where(short_mask | null_mask, 1, dcnt)
-            offs64 = np.concatenate(([0], np.cumsum(cnt)))
-            flat = np.zeros(int(offs64[-1]), dtype=np.int64)
-            if ds.size:
-                # distinct codes of doc i are a contiguous run in ds;
-                # within-run index + the doc's output offset places them
-                run_start = np.concatenate(([0], np.cumsum(dcnt)))[:-1]
-                w = np.arange(ds.size) - np.repeat(run_start, dcnt)
-                flat[offs64[:-1][dd] + w] = ds
-            if short_mask.any():
-                flat[offs64[:-1][short_mask]] = fold[short_mask]
-            flat_null = np.zeros(flat.size, dtype=bool)
-            if null_mask.any():
-                flat_null[offs64[:-1][null_mask]] = True
-            lists = pa.ListArray.from_arrays(
-                pa.array(offs64.astype(np.int32), type=pa.int32()),
-                pa.array(flat, type=pa.int64(),
-                         mask=flat_null if flat_null.any() else None))
+            streams = _shingle_streams(toks)
+            lists = _distinct_list_array(*streams)
             yield pa.RecordBatch.from_arrays([ids, lists], schema=schema)
 
     return run
+
+
+def _fused_arrow_kernel(schema):
+    """One-pass kernel for the verified-pairs pipeline: per doc the
+    sorted distinct shingle list AND the 4 LSH band keys, from a single
+    tokenize → shingle-stream build.  The signature and shingle outputs
+    are produced by exactly the code the standalone kernels run
+    (_band_columns / _distinct_list_array), so the fusion cannot drift
+    from either declared query."""
+    import pyarrow as pa
+
+    def run(batches):
+        for rb in batches:
+            ids = rb.column(0)
+            toks = rb.column(1)
+            n_docs = len(toks)
+            if n_docs == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.array([], type=pa.list_(pa.int64()))]
+                    + [pa.array([], type=pa.int64())
+                       for _ in range(N_BANDS)],
+                    schema=schema)
+                continue
+            streams = _shingle_streams(toks)
+            valid, _n, sh, _sh_doc, sh_count, starts, fold = streams
+            lists = _distinct_list_array(*streams)
+            bands = _band_columns(valid, sh, sh_count, starts, fold)
+            yield pa.RecordBatch.from_arrays([ids, lists] + bands,
+                                             schema=schema)
+
+    return run
+
+
+def _distinct_list_array(valid, n_docs, sh, sh_doc, sh_count, starts, fold):
+    """Per-doc SORTED distinct shingle lists for one batch's shingle
+    streams, as a pyarrow list<int64> array."""
+    import numpy as np
+    import pyarrow as pa
+
+    # sorted distinct per doc on the flat stream: stable sort by
+    # (doc, code), then drop adjacent duplicates within a doc
+    order = np.lexsort((sh, sh_doc))
+    ds, dd = sh[order], sh_doc[order]
+    keep = np.ones(ds.size, dtype=bool)
+    if ds.size > 1:
+        keep[1:] = (ds[1:] != ds[:-1]) | (dd[1:] != dd[:-1])
+    ds, dd = ds[keep], dd[keep]
+    dcnt = np.bincount(dd, minlength=n_docs)
+    # short docs contribute their single fold code; NULL-token
+    # docs yield a single NULL element ([NULL], matching the
+    # SQL path's array(aggregate(NULL tc, ...)) — NOT a null
+    # list, which would change e.g. ngram_jaccard on null docs)
+    short_mask = valid & (sh_count == 0)
+    null_mask = ~valid
+    cnt = np.where(short_mask | null_mask, 1, dcnt)
+    offs64 = np.concatenate(([0], np.cumsum(cnt)))
+    flat = np.zeros(int(offs64[-1]), dtype=np.int64)
+    if ds.size:
+        # distinct codes of doc i are a contiguous run in ds;
+        # within-run index + the doc's output offset places them
+        run_start = np.concatenate(([0], np.cumsum(dcnt)))[:-1]
+        w = np.arange(ds.size) - np.repeat(run_start, dcnt)
+        flat[offs64[:-1][dd] + w] = ds
+    if short_mask.any():
+        flat[offs64[:-1][short_mask]] = fold[short_mask]
+    flat_null = np.zeros(flat.size, dtype=bool)
+    if null_mask.any():
+        flat_null[offs64[:-1][null_mask]] = True
+    return pa.ListArray.from_arrays(
+        pa.array(offs64.astype(np.int32), type=pa.int32()),
+        pa.array(flat, type=pa.int64(),
+                 mask=flat_null if flat_null.any() else None))
 
 
 def _toks_frame(spark: SparkSession, sf_dir: str):
@@ -562,11 +611,44 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production near-dup path: LSH candidate pairs (band-key
     equi-joins) verified with EXACT shingle Jaccard, keeping pairs
     >= 0.5.  At 100 TB the candidate set is tiny relative to all-pairs,
-    and verification is one join back to the shingle table."""
-    # persisted: referenced by both sides of the verify join, and the
-    # shingle expressions are interpreted HOFs worth evaluating once
-    sh = _distinct_shingles(spark, sf_dir).transform(_stage_cache)
-    cand = minhash_pairs(spark, sf_dir)
+    and verification is one join back to the shingle table.
+
+    On the Arrow path the shingle lists and band keys come from ONE
+    fused kernel pass (one corpus scan/tokenize instead of two); the
+    persisted fused table then feeds both the band self-join (keys are
+    materialized, so no computed-key pushdown — see minhash_band_long)
+    and both sides of the verify join."""
+    import os
+
+    if os.environ.get("EXACTEXTRACT_MINHASH_ARROW", "1") == "1":
+        import pyarrow as pa
+
+        toks, id_type, pa_id = _toks_frame(spark, sf_dir)
+        pa_schema = pa.schema(
+            [pa.field("doc_id", pa_id),
+             pa.field("sh", pa.list_(pa.int64()))]
+            + [pa.field(f"band{b}", pa.int64()) for b in range(N_BANDS)])
+        out_schema = ", ".join(
+            [f"doc_id {id_type}", "sh array<bigint>"]
+            + [f"band{b} long" for b in range(N_BANDS)])
+        fused = toks.mapInArrow(_fused_arrow_kernel(pa_schema),
+                                schema=out_schema).transform(_stage_cache)
+        long = fused.select(
+            "doc_id",
+            F.posexplode(F.array(*[F.col(f"band{b}")
+                                   for b in range(N_BANDS)]))
+             .alias("band_idx", "bk"))
+        l = long.select(F.col("doc_id").alias("doc_a"), "band_idx", "bk")
+        r = long.select(F.col("doc_id").alias("doc_b"), "band_idx", "bk")
+        cand = (l.join(r, ["band_idx", "bk"])
+                .where(F.col("doc_a") < F.col("doc_b"))
+                .select("doc_a", "doc_b").distinct())
+        sh = fused.select("doc_id", "sh")
+    else:
+        # persisted: referenced by both sides of the verify join, and the
+        # shingle expressions are interpreted HOFs worth evaluating once
+        sh = _distinct_shingles(spark, sf_dir).transform(_stage_cache)
+        cand = minhash_pairs(spark, sf_dir)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (cand.join(a, "doc_a").join(b, "doc_b")

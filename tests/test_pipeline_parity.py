@@ -956,3 +956,39 @@ def test_minhash_arrow_differential(spark, tmp_path):
                     assert norm(x) == norm(y), (x, y)
             else:
                 assert a.equals(b), (fn.__name__, src)
+
+
+def test_verified_pairs_fused_differential(spark, tmp_path):
+    """minhash_verified_pairs' fused one-pass Arrow kernel is bit-equal
+    to the pure SQL composition (EXACTEXTRACT_MINHASH_ARROW=0) — pair
+    set AND jaccard values — on the sf fixture and on a corpus with
+    exact duplicates, near-duplicates, short and NULL docs."""
+    import os
+
+    from exactextract_spark.pipeline import dedup as D
+
+    pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4, 5, 6],
+        "text": ["a b c d e f g h", "a b c d e f g h",     # exact dup
+                 "a b c d e f g X", "one", None,           # near dup
+                 "", "a b c d e f g h"],                   # triple dup
+        "lang": ["en"] * 7, "source": ["s"] * 7,
+        "n_chars": [15, 15, 15, 3, 0, 0, 15],
+    }).to_parquet(tmp_path / "documents.parquet")
+
+    prior = os.environ.get("EXACTEXTRACT_MINHASH_ARROW")
+    for src in (SF_DIR, str(tmp_path)):
+        try:
+            os.environ["EXACTEXTRACT_MINHASH_ARROW"] = "1"
+            a = D.minhash_verified_pairs(spark, src).toPandas() \
+                .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+            os.environ["EXACTEXTRACT_MINHASH_ARROW"] = "0"
+            b = D.minhash_verified_pairs(spark, src).toPandas() \
+                .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        finally:
+            if prior is None:
+                os.environ.pop("EXACTEXTRACT_MINHASH_ARROW", None)
+            else:
+                os.environ["EXACTEXTRACT_MINHASH_ARROW"] = prior
+        assert len(a) > 0 or src == SF_DIR, "edge corpus must pair up"
+        assert a.equals(b), (src, a, b)
