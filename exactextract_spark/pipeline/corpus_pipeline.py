@@ -39,7 +39,6 @@ from . import stage_cache as _stage_cache
 __all__ = ["corpus_pipeline", "corpus_pipeline_oracle"]
 
 BUDGET = 2048           # shard capacity in chars
-_HEX_BLOCKS = 8         # prefix-sum blocks (256 hex buckets / 32 each)
 
 
 def corpus_pipeline(spark: SparkSession, sf_dir: str,
@@ -66,11 +65,15 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str,
                       .alias("w"))
                  .select("w.*")
                  .transform(_stage_cache))
-    k = max(1, -(-256 // _HEX_BLOCKS))
+    # scale-adaptive prefix-sum blocking (hex buckets; block count
+    # never leaks into the result — see packing._default_blocks)
+    from .packing import _default_blocks
+    blocks = _default_blocks(spark, cap=256)
+    k = max(1, -(-256 // blocks))
     d = survivors.withColumn(
         "_blk", F.expr("conv(substring(h, 1, 2), 16, 10)").cast("long")) \
         .withColumn("_blk", F.expr(f"_blk div {k}")) \
-        .repartition(_HEX_BLOCKS, "_blk")
+        .repartition(blocks, "_blk")
     w = Window.partitionBy("_blk").orderBy("h", "doc_id")
     local = d.withColumn(
         "_loc", F.sum("n_chars").over(w) - F.col("n_chars"))

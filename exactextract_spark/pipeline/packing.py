@@ -44,8 +44,22 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 __all__ = ["pack_documents", "shuffle_documents"]
 
 
+def _default_blocks(spark: SparkSession, cap: int | None = None) -> int:
+    """Scale-adaptive prefix-sum block count: 4x the session's
+    parallelism (finer than the core count so the hash-partitioned
+    blocks balance — blocks == partitions leaves ~1/e of the cores
+    idle by balls-in-bins), optionally capped (hex-byte blocking
+    cannot exceed 256 buckets).  The block count never leaks into any
+    result — prefix sum is associative over ordered disjoint blocks."""
+    n = 4 * max(1, spark.sparkContext.defaultParallelism)
+    return min(n, cap) if cap else n
+
+
 def pack_documents(spark: SparkSession, sf_dir: str,
-                   budget: int = 4096, num_partitions: int = 8) -> DataFrame:
+                   budget: int = 4096,
+                   num_partitions: int | None = None) -> DataFrame:
+    if num_partitions is None:
+        num_partitions = _default_blocks(spark)
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select("doc_id", "n_chars"))
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
@@ -80,7 +94,7 @@ def pack_documents(spark: SparkSession, sf_dir: str,
 
 
 def shuffle_documents(spark: SparkSession, sf_dir: str,
-                      num_partitions: int = 8) -> DataFrame:
+                      num_partitions: int | None = None) -> DataFrame:
     """Deterministic global training-order shuffle: every document gets
     a position 0..N-1 in pseudo-random order (md5 of the doc_id, ties
     by doc_id — reproducible across runs and engines, no seed state).
@@ -95,6 +109,8 @@ def shuffle_documents(spark: SparkSession, sf_dir: str,
     Scale shape (100 TB): one hash shuffle of (doc_id, 2 scalars), no
     global-order window, a broadcast of num_partitions rows — the
     permutation of 10^12 docs never funnels through one task."""
+    if num_partitions is None:
+        num_partitions = _default_blocks(spark, cap=256)
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select("doc_id"))
     k = max(1, -(-256 // num_partitions))  # hex-byte buckets per block

@@ -415,7 +415,7 @@ def test_pack_documents_contiguous_and_partition_invariant(spark):
     assert starts.iloc[0] == 0
     assert (starts.iloc[1:].values
             == (starts + base.n_chars).iloc[:-1].values).all()
-    for nparts in (1, 3):
+    for nparts in (1, 3, 77, None):   # None = scale-adaptive default
         alt = pack_documents(spark, SF_DIR, budget=B,
                              num_partitions=nparts) \
             .toPandas().sort_values("doc_id").reset_index(drop=True)
@@ -454,7 +454,7 @@ def test_shuffle_documents_permutation_invariant(spark):
     n = len(base)
     assert sorted(base.position) == list(range(n))
     assert not (base.position.values == np.arange(n)).all()
-    for nparts in (1, 3):
+    for nparts in (1, 3, 256, None):  # None = scale-adaptive default
         alt = shuffle_documents(spark, SF_DIR, num_partitions=nparts) \
             .toPandas().sort_values("doc_id").reset_index(drop=True)
         assert base.equals(alt), nparts
